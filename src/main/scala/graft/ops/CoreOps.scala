@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{Q, U}
+import graft.faults.FaultRules
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 groups A (reference-parity core) and B (scan / projection /
+  * filter), on the `events` table treated as telemetry: series key =
+  * `user_id`, event time = `ts`, measurement = `value`.
+  *
+  * Group A reproduces the reference's entire query surface:
+  *   - R2 series range scan (`rusty_timeseries/src/main.rs:119-139`)
+  *   - R5 threshold fault flagging (`main.rs:384-406`)
+  *   - R12 client-side fault count (`py_client.py:40-49`)
+  *   - R3 flag write-back, as a pure recompute (`main.rs:106-117`)
+  *   - R1 append ingest roundtrip (`main.rs:92-104`)
+  *
+  * Every filter here is a deterministic Catalyst-pushable predicate: the
+  * equality + time-range predicate reaches the parquet scan as PushedFilters,
+  * replacing the reference's O(N) deserialize-everything loop
+  * (`main.rs:126-137`). At 100 TB the same query prunes on a
+  * `date(ts)`-partitioned layout instead of scanning.
+  */
+object CoreOps {
+
+  /** Fault threshold over events.value (range 0.03..327.53); the reference's
+    * 0.95 scaled to this domain (main.rs:398).
+    */
+  private val Threshold = 250.0
+
+  val qs: Seq[Q] = Seq(
+    // R2: the flagship query — series equality + inclusive time range.
+    Q(
+      "q_select_by_id_range",
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events
+        |WHERE user_id = 7
+        |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 23:59:59'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      U.events(s, d)
+        .filter(
+          col("user_id") === 7 &&
+            col("ts").between(
+              lit("2024-01-05 00:00:00").cast("timestamp"),
+              lit("2024-01-12 23:59:59").cast("timestamp")))
+        .select(
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("user_id"),
+          col("event_type"),
+          col("value"),
+          col("props"))
+        .orderBy("event_id")
+    },
+
+    // R5: derive the fault flag (1 where over threshold, else null).
+    Q(
+      "q_fault_flag",
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         |  CASE WHEN value > $Threshold THEN CAST(1 AS BIGINT) END AS fc1_flag
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          FaultRules.thresholdFlag(col("value"), Threshold).as("fc1_flag"))
+        .orderBy("event_id")
+    },
+
+    // R12: count over-threshold rows per series.
+    Q(
+      "q_fault_count",
+      s"""SELECT user_id, count(*) AS n_faults FROM events
+         |WHERE value > $Threshold GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        U.events(s, d)
+          .filter(col("value") > Threshold)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_faults"))
+          .orderBy("user_id")
+    },
+
+    // R3 as recompute: fresh rule output merged over a prior flag.
+    Q(
+      "q_fault_update_recompute",
+      s"""SELECT event_id,
+         |  coalesce(
+         |    CASE WHEN value > $Threshold THEN CAST(1 AS BIGINT) END,
+         |    CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) > 90
+         |         THEN CAST(1 AS BIGINT) END) AS fc1_flag
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val prior =
+        when(get_json_object(col("props"), "$.k").cast("long") > 90, lit(1L))
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          FaultRules
+            .mergeFlags(FaultRules.thresholdFlag(col("value"), Threshold), prior)
+            .as("fc1_flag"))
+        .orderBy("event_id")
+    },
+
+    // R1: append ingest then read back (count-level roundtrip check).
+    Q(
+      "q_ingest_roundtrip",
+      "SELECT count(*) AS n FROM events") { (s, d) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ingest")
+        .toString
+      U.events(s, d).write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).agg(count(lit(1)).as("n"))
+    },
+
+    // B: column pruning — ReadSchema at the parquet scan is 3 of 11 cols.
+    Q(
+      "q_scan_project",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      U.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B: compound AND/OR/IN/BETWEEN predicate, pushed to the scan.
+    Q(
+      "q_filter_complex",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE (l_returnflag IN ('A', 'R') OR l_linestatus = 'O')
+        |  AND l_quantity BETWEEN 10 AND 40
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      U.lineitem(s, d)
+        .filter(
+          (col("l_returnflag").isin("A", "R") || col("l_linestatus") === "O") &&
+            col("l_quantity").between(10, 40) &&
+            col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate").isNotNull)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"),
+          col("l_returnflag"),
+          col("l_linestatus"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+}

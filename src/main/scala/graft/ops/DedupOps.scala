@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.{Q, U}
+import graft.functions.SimHash64.simhash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline (north star,
+  * `BASELINE.json:6`): exact, n-gram Jaccard, MinHash+LSH, and SimHash —
+  * all over the `documents` table.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash-aggregate shuffle on the text (at scale:
+  *     on md5(text), so the shuffle carries 16-byte keys, not documents);
+  *   - MinHash/LSH never compares all pairs — signatures are banded and
+  *     candidate pairs come from a groupBy-bucket join, so cost is
+  *     O(docs x bands + collisions), the standard Broder/LSH recipe;
+  *   - the exact-Jaccard variant prunes by shared shingle (inverted-index
+  *     join) — correct and oracle-checkable, but quadratic in hot shingles;
+  *     it is the verifier for the MinHash path, not the scale path;
+  *   - SimHash is a zero-shuffle per-row fingerprint (custom codegen'd
+  *     Catalyst expression) + a 16-bit-chunk pigeonhole join (Manku et al.,
+  *     WWW 2007) for hamming<=3 candidates.
+  */
+object DedupOps {
+
+  private def words: Column = split(trim(col("text")), "\\s+")
+
+  /** doc_id + distinct 3-word shingles (docs with >= 3 tokens). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    U.documents(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        array_distinct(
+          transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i =>
+              concat_ws(
+                " ",
+                element_at(col("w"), i),
+                element_at(col("w"), i + 1),
+                element_at(col("w"), i + 2)))).as("shingles"))
+
+  private val MinHashPerms = 32
+  private val Bands = 8 // 8 bands x 4 rows
+
+  val qs: Seq[Q] = Seq(
+    // Exact dedup: canonical (lowest) doc_id per distinct text.
+    Q(
+      "q_dedup_exact",
+      """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin) {
+      (s, d) =>
+        U.documents(s, d)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+          .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
+          .orderBy("canonical_id")
+    },
+
+    // Exact n-gram Jaccard near-dup: candidate pairs share >= 1 shingle
+    // (inverted-index join), exact |A∩B| / |A∪B| >= 0.8.
+    Q(
+      "q_dedup_ngram_jaccard",
+      """WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |       FROM wd WHERE len(w) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |          FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      val pairs = ex
+        .as("x")
+        .join(ex.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
+        4)
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // MinHash + LSH banding (Broder 1997 resemblance sketch; banding per
+    // Leskovec/Rajaraman/Ullman ch.3): 32 xxhash64 permutations, 8 bands of
+    // 4 — candidates from bucket joins only, then exact-Jaccard verify at
+    // 0.7. Not SQL-expressible (hash-dependent) => property-verified against
+    // q_dedup_ngram_jaccard in ScalaTest; driver records rows-only.
+    Q.noOracle("q_dedup_near_minhash") { (s, d) =>
+      val sh = shingled(s, d)
+      val sig = sh.select(
+        col("doc_id"),
+        col("shingles"),
+        transform(
+          sequence(lit(0), lit(MinHashPerms - 1)),
+          k => array_min(transform(col("shingles"), sh2 => xxhash64(k, sh2))))
+          .as("sig"))
+      val rowsPerBand = MinHashPerms / Bands
+      val bandCols = (0 until Bands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      val banded = sig.select(
+        col("doc_id"),
+        posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      val cand = banded
+        .as("x")
+        .join(
+          banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      withSets
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn(
+          "jaccard",
+          round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // SimHash near-dup: per-row 64-bit fingerprint (custom expression, zero
+    // shuffle), 4x16-bit chunk pigeonhole join guarantees recall for
+    // hamming <= 3. Hash-dependent => property-verified in ScalaTest.
+    Q.noOracle("q_dedup_simhash") { (s, d) =>
+      val fp = U
+        .documents(s, d)
+        .select(col("doc_id"), simhash64(words).as("sh"))
+      val chunkCols = (0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)))
+      val chunked = fp.select(
+        col("doc_id"),
+        col("sh"),
+        posexplode(array(chunkCols: _*)))
+        .withColumnRenamed("pos", "chunk")
+        .withColumnRenamed("col", "chunk_val")
+      chunked
+        .as("x")
+        .join(
+          chunked.as("y"),
+          col("x.chunk") === col("y.chunk") &&
+            col("x.chunk_val") === col("y.chunk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("a"),
+          col("y.doc_id").as("b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("a", "b")
+    }
+  )
+}

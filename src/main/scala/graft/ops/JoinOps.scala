@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.{Q, U}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 group C — joins. The reference has no joins at all (single
+  * table; the dead `TimeseriesReference` catalog struct at
+  * `rusty_timeseries/src/main.rs:32-36` is the only hint of a second one);
+  * this group realizes that intent with every standard join shape.
+  *
+  * Scale notes (100 TB): dimension joins are explicitly `broadcast()` so no
+  * shuffle of the fact side ever happens; the large equi join shuffles both
+  * sides on the join key once (sort-merge, AQE-coalesced); the as-of join is
+  * implemented as a single window pass over a union — NOT a join — so it
+  * costs one shuffle by series key instead of a per-row range probe.
+  */
+object JoinOps {
+
+  val qs: Seq[Q] = Seq(
+    // Broadcast-hash join: fact x two small dims, zero fact-side shuffle
+    // before the aggregate.
+    Q(
+      "q_join_broadcast",
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(broadcast(U.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(U.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(U.dsum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Large equi join: orders x lineitem, shuffled on the key (sort-merge /
+    // shuffled-hash under AQE), partial aggregation before the final shuffle.
+    Q(
+      "q_join_shuffle",
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      U.orders(s, d)
+        .join(U.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Left outer join preserving customers with no orders.
+    Q(
+      "q_join_left",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(U.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(round(U.dsum(col("o_totalprice")), 2), lit(0.0))
+            .as("total_spent"))
+        .orderBy("c_custkey")
+    },
+
+    // Existence join (semi): customers that placed at least one order.
+    Q(
+      "q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(U.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // Anti join: customers that never ordered.
+    Q(
+      "q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(U.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // Range/interval join: equi key + time-band condition — the temporal
+    // semantics of the reference's range scan (main.rs:131-134) as a join.
+    Q(
+      "q_join_range",
+      """SELECT o_orderkey, count(*) AS n_in_window
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate > o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      U.orders(s, d)
+        .join(
+          U.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("o_orderkey")
+    },
+
+    // As-of join: for each purchase event, the most recent signup of the
+    // same user at-or-before its timestamp. One window pass over a union —
+    // no join, single shuffle by series key (SURVEY §2.4 C).
+    Q(
+      "q_join_asof",
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_event_id
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, signup_event_id
+        |FROM u WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) {
+      (s, d) =>
+        // Signups sort before purchases at equal ts => "at-or-before" holds.
+        val kindOrder = when(col("event_type") === "signup", 0).otherwise(1)
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), kindOrder, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        U.events(s, d)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .withColumn(
+            "signup_event_id",
+            last(
+              when(col("event_type") === "signup", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("signup_event_id"))
+          .orderBy("event_id")
+    }
+  )
+}

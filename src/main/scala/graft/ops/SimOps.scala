@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{Q, U}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north star,
+  * `BASELINE.json:6`): brute-force cosine top-k as the exactness baseline,
+  * all-pairs cosine near-dup, and a random-hyperplane LSH (SimHash for
+  * vectors, Charikar 2002) bucketed ANN as the scale path.
+  *
+  * Scale design (100 TB): brute force is one broadcast of the query vector +
+  * a map-side TopK (TakeOrderedAndProject) — linear scan, no shuffle of the
+  * vectors; the LSH variant prunes candidates to matching/adjacent hyperplane
+  * buckets so the scan becomes a bucket-pruned fraction of the corpus. The
+  * all-pairs variant is the oracle-checkable verifier, not the scale path —
+  * at scale, near-dup pairs come from the same LSH bucketing.
+  */
+object SimOps {
+
+  /** Deterministic dot product in double (fold in list order — mirrored by
+    * DuckDB's `list_dot_product` on DOUBLE[] to within 1 ulp, far below the
+    * round(4) output granularity).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, z) => acc + z)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** 8 deterministic random hyperplanes (seed 42) for 64-dim embeddings. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def bucketOf(emb: Column): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(emb, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  val qs: Seq[Q] = Seq(
+    // Brute-force cosine top-k against the vec_id=0 query vector.
+    Q(
+      "q_sim_topk",
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        |FROM n, q
+        |ORDER BY list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val e = U.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(
+          col("vec_id"),
+          (dot(col("embedding"), col("qv")) /
+            (norm(col("embedding")) * norm(col("qv")))).as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+    },
+
+    // All-pairs embedding near-dup at cosine >= 0.35 (synthetic embeddings
+    // are random — max pairwise cosine ~0.48 — so the threshold is set to
+    // exercise the operator; the pair semantics are what's verified).
+    Q(
+      "q_dedup_embed_cosine",
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val n = U
+        .embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      n.as("x")
+        .join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(
+          col("x.vec_id").as("a"),
+          col("y.vec_id").as("b"),
+          round(
+            dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")),
+            4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("a", "b")
+    },
+
+    // LSH-bucketed approximate top-k: candidates restricted to the query's
+    // hyperplane bucket plus hamming-1 probes, then exact cosine on the
+    // pruned set. Hash-dependent => ScalaTest verifies candidates' cosines
+    // against brute force; driver records rows-only.
+    Q.noOracle("q_sim_ann_lsh") { (s, d) =>
+      val e = U.embeddings(s, d)
+      val bucketed = e.select(
+        col("vec_id"),
+        col("embedding"),
+        bucketOf(col("embedding")).as("bucket"))
+      val q = bucketed
+        .filter(col("vec_id") === 0)
+        .select(
+          col("embedding").as("qv"),
+          col("bucket").as("q_bucket"),
+          norm(col("embedding")).as("q_nrm"))
+      bucketed
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        // multiprobe: exact bucket or any single differing hyperplane bit
+        .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+        .select(
+          col("vec_id"),
+          col("bucket").cast("long").as("bucket"),
+          (dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("q_nrm")))
+            .as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 4).as("cos_sim"))
+    }
+  )
+}

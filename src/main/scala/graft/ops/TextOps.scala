@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{Q, U}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline (SURVEY.md §2.4
+  * group I + north star `BASELINE.json:6`): corpus stats, heuristic
+  * language ID, quality scoring, token counting, and rolling-hash document
+  * fingerprinting — all over the `documents` table.
+  *
+  * Everything is built-in expressions inside whole-stage codegen (no UDFs):
+  * at 100 TB these are embarrassingly parallel scans whose only shuffle is
+  * the final small aggregate (stats) or none at all (per-doc scores).
+  */
+object TextOps {
+
+  /** Whitespace tokenization, identical in Spark and DuckDB
+    * (`string_split_regex(trim(text), '\s+')`).
+    */
+  private def words: Column = split(trim(col("text")), "\\s+")
+
+  private val StopEn = Seq("the", "a", "of", "and", "to")
+  private val StopEs = Seq("el", "la", "de", "y", "que")
+  private val StopDe = Seq("der", "die", "und", "das", "ist")
+  private val StopFr = Seq("le", "la", "et", "les", "des")
+
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stop: _*))).cast("long")
+
+  private def sqlHits(stop: Seq[String]): String = {
+    val lst = stop.map(s => s"'$s'").mkString(", ")
+    s"CAST(len(list_filter(w, x -> list_contains([$lst], x))) AS BIGINT)"
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Corpus stats per language label.
+    Q(
+      "q_text_stats",
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  round(CAST(sum(n_chars) AS BIGINT) / count(*), 4) AS avg_chars,
+        |  round(CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) / count(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      U.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          round(sum(col("n_chars")) / count(lit(1)), 4).as("avg_chars"),
+          round(sum(size(words).cast("long")) / count(lit(1)), 4)
+            .as("avg_tokens"))
+        .orderBy("lang")
+    },
+
+    // Heuristic language ID: stopword hit counts per language, argmax with a
+    // fixed tie order (en > es > de > fr > unk). The corpus vocabulary is
+    // synthetic, so predictions won't match the `lang` labels — the contract
+    // is determinism and Spark/oracle parity of the heuristic itself.
+    Q(
+      "q_text_langid",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${sqlHits(StopEn)} AS hits_en,
+         |  ${sqlHits(StopEs)} AS hits_es,
+         |  ${sqlHits(StopDe)} AS hits_de,
+         |  ${sqlHits(StopFr)} AS hits_fr
+         |FROM t)
+         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+         |  CASE
+         |    WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+         |    WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+         |    WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+         |    WHEN hits_fr > 0 THEN 'fr'
+         |    ELSE 'unk' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = U
+        .documents(s, d)
+        .select(
+          col("doc_id"),
+          hits(words, StopEn).as("hits_en"),
+          hits(words, StopEs).as("hits_es"),
+          hits(words, StopDe).as("hits_de"),
+          hits(words, StopFr).as("hits_fr"))
+      base
+        .withColumn(
+          "pred_lang",
+          when(
+            col("hits_en") >= col("hits_es") &&
+              col("hits_en") >= col("hits_de") &&
+              col("hits_en") >= col("hits_fr") && col("hits_en") > 0,
+            "en")
+            .when(
+              col("hits_es") >= col("hits_de") &&
+                col("hits_es") >= col("hits_fr") && col("hits_es") > 0,
+              "es")
+            .when(col("hits_de") >= col("hits_fr") && col("hits_de") > 0, "de")
+            .when(col("hits_fr") > 0, "fr")
+            .otherwise("unk"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: alphabetic ratio, token-length shape, stopword density.
+    Q(
+      "q_text_quality",
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(trim(text), '\\s+') AS w,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |    CAST(length(text) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(n_alpha / n, 4) AS alpha_ratio,
+         |  round(n_digit / n, 4) AS digit_ratio,
+         |  round(n_alpha / CAST(len(w) AS BIGINT), 4) AS avg_token_len,
+         |  round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS stop_ratio,
+         |  round(0.4 * (n_alpha / n)
+         |      + 0.3 * (1 - least(1.0, abs(n_alpha / CAST(len(w) AS BIGINT) - 5.0) / 5.0))
+         |      + 0.3 * least(1.0, (${sqlHits(StopEn)} / CAST(len(w) AS BIGINT)) * 5), 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nAlpha =
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+      val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+      val n = length(col("text")).cast("long")
+      val ntok = size(words).cast("long")
+      val stopHits = hits(words, StopEn)
+      val avgTokLen = nAlpha / ntok
+      val stopRatio = stopHits / ntok
+      U.documents(s, d)
+        .select(
+          col("doc_id"),
+          round(nAlpha / n, 4).as("alpha_ratio"),
+          round(nDigit / n, 4).as("digit_ratio"),
+          round(avgTokLen, 4).as("avg_token_len"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(
+            lit(0.4) * (nAlpha / n)
+              + lit(0.3) * (lit(1) - least(lit(1.0), abs(avgTokLen - 5.0) / 5.0))
+              + lit(0.3) * least(lit(1.0), stopRatio * 5),
+            4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens and a BPE-ish regex segmentation.
+    Q(
+      "q_text_tokens",
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      U.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(words).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(
+            col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"),
+            lit(0))).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling polynomial hash over the token stream (order-sensitive
+    // document fingerprint; same fold in both engines).
+    Q(
+      "q_text_fingerprint",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |                   t -> CAST(ascii(t) * 7 + length(t) AS BIGINT)) AS vals
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+        |              (h, x) -> (h * 31 + x) % 1000000007) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val vals =
+        transform(words, t => (ascii(t) * 7 + length(t)).cast("long"))
+      U.documents(s, d)
+        .select(
+          col("doc_id"),
+          aggregate(vals, lit(0L), (h, x) => (h * 31 + x) % 1000000007L)
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.{Q, U}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 group H — time-series analytics generalizing the
+  * reference's periodic fault scan (R5/R6, `rusty_timeseries/src/main.rs:
+  * 234-240,384-406`): tumbling buckets, OHLC downsampling, gap-fill with
+  * forward fill, and batch sessionization.
+  *
+  * Buckets are epoch-second floors (BIGINT) rather than `window()` structs so
+  * the DuckDB oracle can express them verbatim. Scale notes: bucketing is a
+  * single partial-aggregated shuffle on (series, bucket); gap-fill generates
+  * the dense spine with `sequence`/`explode` per series — the spine is tiny
+  * relative to the data (one row per series-hour) and never shuffles the raw
+  * events twice; sessionization is one window shuffle by series key.
+  */
+object TsOps {
+
+  private def wUser = Window.partitionBy(col("user_id"))
+  private def wOrdered = wUser.orderBy(col("ts"), col("event_id"))
+
+  /** Epoch-seconds floor bucket, identical in Spark and DuckDB. */
+  private def bucket(seconds: Int) =
+    (floor(unix_timestamp(col("ts")) / seconds) * seconds).cast("long")
+
+  val qs: Seq[Q] = Seq(
+    // Tumbling 15-minute buckets per series: count / avg / min / max.
+    Q(
+      "q_ts_bucket",
+      """SELECT user_id,
+        |  CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bkt,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id, bkt ORDER BY user_id, bkt""".stripMargin) {
+      (s, d) =>
+        U.events(s, d)
+          .groupBy(col("user_id"), bucket(900).as("bkt"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(U.davg(col("value")), 4).as("avg_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))
+          .orderBy("user_id", "bkt")
+    },
+
+    // OHLC downsample: first/last by (ts, event_id) plus min/max per
+    // series-day. first/last realized as rank-1 rows of asc/desc windows so
+    // ties are deterministic in both engines.
+    Q(
+      "q_ts_downsample_ohlc",
+      """WITH t AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS d,
+        |    row_number() OVER (PARTITION BY user_id, CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, d,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM t GROUP BY user_id, d ORDER BY user_id, d""".stripMargin) { (s, d) =>
+      val day = bucket(86400)
+      val wDay = Window.partitionBy(col("user_id"), col("d"))
+      U.events(s, d)
+        .select(col("user_id"), day.as("d"), col("ts"), col("event_id"), col("value"))
+        .withColumn(
+          "rn_a",
+          row_number().over(wDay.orderBy(col("ts"), col("event_id"))))
+        .withColumn(
+          "rn_d",
+          row_number().over(wDay.orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy(col("user_id"), col("d"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "d")
+    },
+
+    // Dense hourly spine per series, left join, forward fill (the honest
+    // treatment of the sparse/late data the reference simply re-scans).
+    Q(
+      "q_ts_gapfill",
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bkt,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bkt FROM bounds)
+        |SELECT s.user_id, s.bkt,
+        |  last_value(b.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.bkt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bkt = b.bkt
+        |ORDER BY s.user_id, s.bkt""".stripMargin) { (s, d) =>
+      val hourly = U
+        .events(s, d)
+        .groupBy(col("user_id"), bucket(3600).as("bkt"))
+        .agg(round(U.davg(col("value")), 4).as("avg_v"))
+      val spine = hourly
+        .groupBy(col("user_id"))
+        .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
+        .select(
+          col("user_id"),
+          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bkt"))
+      spine
+        .join(hourly, Seq("user_id", "bkt"), "left")
+        .withColumn(
+          "filled",
+          last(col("avg_v"), ignoreNulls = true).over(
+            Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("bkt"), col("filled"))
+        .orderBy("user_id", "bkt")
+    },
+
+    // Batch sessionization: a gap > 30 min starts a new session.
+    Q(
+      "q_ts_session",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) {
+      (s, d) =>
+        val epochS = unix_timestamp(col("ts"))
+        val gap = epochS - lag(epochS, 1).over(wOrdered)
+        U.events(s, d)
+          .withColumn(
+            "new_s",
+            when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+          .withColumn(
+            "session_id",
+            sum(col("new_s")).over(
+              wOrdered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(unix_micros(col("ts"))).as("start_us"),
+            max(unix_micros(col("ts"))).as("end_us"))
+          .orderBy("user_id", "session_id")
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared engine operator (SURVEY.md §2.4): a Spark query plus, where
+  * SQL-expressible, the equivalent ANSI SQL the driver runs in DuckDB over
+  * the same parquet tables.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q = Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB, so every
+  * output column must be bit-identical across engines:
+  *   - double SUM/AVG go through DECIMAL(18,6) (exact, order-independent)
+  *     and back to double — IEEE summation order differs between engines;
+  *   - timestamps are emitted as epoch microseconds (BIGINT) — parquet
+  *     tz-annotation round-trips differently between Spark and DuckDB;
+  *   - every query ends in a deterministic ORDER BY over a unique key.
+  */
+object U {
+  val Dec: DecimalType = DecimalType(18, 6)
+
+  /** Order-independent exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Deterministic mean: exact decimal sum divided by count, as double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver testdata stores TIMESTAMP(NANOS) (events.ts) and NTZ
+    // millis (orders/lineitem dates). Read nanos as raw int64 and NTZ as
+    // session-UTC instants so every downstream op sees plain TIMESTAMP —
+    // exactly what DuckDB sees (it floors nanos to micros).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = tbl(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = tbl(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+}
+
+/** Aggregates every operator group into the driver contract maps. */
+object Registry {
+  def all: Seq[Q] =
+    ops.CoreOps.qs ++ ops.JoinOps.qs ++ ops.AggOps.qs ++ ops.WindowOps.qs ++
+      ops.SetOps.qs ++ ops.FnOps.qs ++ ops.TsOps.qs ++ ops.TextOps.qs ++
+      ops.DedupOps.qs ++ ops.SimOps.qs ++ ops.MultimodalOps.qs
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query output
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+source tables and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # tz-aware -> naive for comparison robustness
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.sql(sql).df()
+            g, w = normalize(got), normalize(want)
+            if list(g.columns) != list(w.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                n_fail += 1
+                continue
+            if len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                n_fail += 1
+                continue
+            g = g.astype(object).where(pd.notnull(g), None)
+            w = w.astype(object).where(pd.notnull(w), None)
+            if not g.equals(w):
+                neq = (g != w)
+                bad_cols = [c for c in g.columns if neq[c].any()]
+                print(f"FAIL {name}: value mismatch in {bad_cols}")
+                for c in bad_cols[:2]:
+                    idx = neq[c].idxmax()
+                    print(f"  {c}[{idx}]: spark={g[c][idx]!r} duckdb={w[c][idx]!r}")
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
