@@ -26,22 +26,17 @@ object DedupOps {
 
   private def words: Column = split(trim(col("text")), "\\s+")
 
-  /** doc_id + distinct 3-word shingles (docs with >= 3 tokens). */
+  /** doc_id + distinct 3-word shingles (docs with >= 3 tokens). Codegen'd
+    * expression — see [[graft.functions.Shingles]] for why not
+    * `array_distinct(transform(...))`.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     U.documents(s, d)
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= 3)
       .select(
         col("doc_id"),
-        array_distinct(
-          transform(
-            sequence(lit(1), size(col("w")) - 2),
-            i =>
-              concat_ws(
-                " ",
-                element_at(col("w"), i),
-                element_at(col("w"), i + 1),
-                element_at(col("w"), i + 2)))).as("shingles"))
+        graft.functions.Shingles.shingles(col("w"), 3).as("shingles"))
 
   private val MinHashPerms = 32
   private val Bands = 8 // 8 bands x 4 rows
@@ -111,9 +106,8 @@ object DedupOps {
       val sig = sh.select(
         col("doc_id"),
         col("shingles"),
-        transform(
-          sequence(lit(0), lit(MinHashPerms - 1)),
-          k => array_min(transform(col("shingles"), sh2 => xxhash64(k, sh2))))
+        // codegen'd one-pass signature — see [[graft.functions.MinHashSig]]
+        graft.functions.MinHashSig.minhashSig(col("shingles"), MinHashPerms)
           .as("sig"))
       val rowsPerBand = MinHashPerms / Bands
       val bandCols = (0 until Bands).map(b =>

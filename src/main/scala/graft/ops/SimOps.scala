@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Deterministic dot product in double (fold in list order — mirrored by
-    * DuckDB's `list_dot_product` on DOUBLE[] to within 1 ulp, far below the
-    * round(4) output granularity).
+  /** Deterministic dot product in double (left-to-right multiply-add —
+    * mirrored by DuckDB's `list_dot_product` on DOUBLE[] to within 1 ulp,
+    * far below the round(4) output granularity). Codegen'd Catalyst
+    * expression — see [[graft.functions.VecDot]] for why not
+    * `aggregate(zip_with(...))`.
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, z) => acc + z)
+    graft.functions.VecDot.vecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
