@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.faults.FaultRules
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** SURVEY.md §2.4 group J — Structured Streaming.
+  *
+  * The reference's "streaming" is a push-ingest HTTP route plus a wall-clock
+  * periodic scan job (`rusty_timeseries/src/main.rs:327-331,234-240`): late
+  * data is handled by appending and re-scanning everything on the next tick.
+  * Here the same semantics are event-time-correct micro-batch dataflows:
+  *
+  *   - [[ingestFiles]]  — R1/R9: JSON-lines landing dir → partitioned
+  *     parquet, exactly-once via checkpoint (replaces the full-file rewrite
+  *     per insert, `main.rs:101`).
+  *   - [[faultFlags]]   — R5 per-row: stateless threshold flagging; at scale
+  *     this runs in the ingest stream itself, zero shuffle.
+  *   - [[faultCounts]]  — R5/R6 aggregated: per-series tumbling-window fault
+  *     counts with a watermark bounding state; late rows update their
+  *     window instead of triggering a full rescan.
+  *   - [[sessionize]]   — session windows per series (gap-based), the
+  *     streaming analog of the batch `q_ts_session` operator.
+  *
+  * All transforms are pure `DataFrame => DataFrame` on an unbounded input,
+  * so ScalaTest drives them with `MemoryStream` and asserts equivalence
+  * with the batch operators on the same rows (SURVEY.md §5.2.4); the same
+  * code runs against a file source in production.
+  */
+object Streams {
+
+  /** The reference's telemetry record (`main.rs:23-30`) as a streaming-JSON
+    * schema: SURVEY.md §1.3 mapping, with proper types for ts/value/flag.
+    */
+  val telemetrySchema: StructType = StructType(Seq(
+    StructField("sensor_name", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("value", DoubleType),
+    StructField("fc1_flag", ByteType),
+    StructField("timeseries_id", StringType)))
+
+  /** R1/R9: JSON-lines dir → parquet sink, checkpointed, day-partitioned.
+    * Caller starts the returned writer (`.start()`), which lets tests use
+    * `Trigger.AvailableNow` while production uses processing-time.
+    */
+  def ingestFiles(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+      : DataStreamWriter[Row] = {
+    val in = spark.readStream
+      .schema(telemetrySchema)
+      .json(inDir)
+      .withColumn("event_date", to_date(col("timestamp")))
+    in.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .trigger(trigger)
+  }
+
+  /** R5 stateless: flag rows over threshold; composes onto any telemetry
+    * stream or batch frame (same code path both ways).
+    */
+  def faultFlags(telemetry: DataFrame, threshold: Double): DataFrame =
+    telemetry.withColumn(
+      "fc1_flag",
+      FaultRules.mergeFlags(
+        FaultRules.thresholdFlag(col("value"), threshold),
+        col("fc1_flag").cast("long")))
+
+  /** R5+R6 aggregated: per-series fault counts in event-time tumbling
+    * windows; watermark bounds state and admits late rows into their
+    * correct window (the reference instead re-scanned everything each tick).
+    */
+  def faultCounts(
+      telemetry: DataFrame,
+      threshold: Double,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        col("timeseries_id"),
+        window(col("timestamp"), windowLen).as("win"))
+      .agg(
+        count(when(col("value") > threshold, 1)).as("n_faults"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("timeseries_id"),
+        col("win.start").as("window_start"),
+        col("n_faults"),
+        col("n_rows"))
+
+  /** Session windows per series: a session closes after `gap` of event-time
+    * silence. Streaming analog of batch `q_ts_session` (lag + cumulative sum).
+    */
+  def sessionize(
+      telemetry: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        col("timeseries_id"),
+        session_window(col("timestamp"), gap).as("sess"))
+      .agg(count(lit(1)).as("n_rows"), graft.U.dsum(col("value")).as("sum_value"))
+      .select(
+        col("timeseries_id"),
+        col("sess.start").as("session_start"),
+        col("sess.end").as("session_end"),
+        col("n_rows"),
+        col("sum_value"))
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions.{MinHashSig, Shingles, SimHash64, VecDot}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Custom Catalyst expressions vs their declarative equivalents
+  * (SURVEY.md §5.2.3): each codegen'd expression must agree exactly with the
+  * built-in higher-order-function form it replaced, across generated inputs
+  * and edge cases (empty arrays, single element, nulls).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling driver (scalatestplus bridge isn't on the
+    * offline classpath, so drive scalacheck Gens directly). */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 40)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    while (produced < n) {
+      gen(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+    }
+  }
+
+  private val vecPairGen: Gen[(List[Float], List[Float])] =
+    Gen.choose(0, 8).flatMap(n =>
+      for {
+        a <- Gen.listOfN(n, Gen.choose(-10f, 10f))
+        b <- Gen.listOfN(n, Gen.choose(-10f, 10f))
+      } yield (a, b))
+
+  test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
+    forAllSamples(vecPairGen) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0)
+      val want = df.select(
+        aggregate(
+          zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, z) => acc + z)).head.getDouble(0)
+      assert(got === want) // exact: same IEEE summation order
+    }
+  }
+
+  test("VecDot: empty vectors dot to 0; length mismatch yields null") {
+    val df = Seq(
+      (List.empty[Float], List.empty[Float]),
+      (List(1f, 2f), List(3f))).toDF("a", "b")
+    val rows = df.select(VecDot.vecDot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) === 0.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("VecDot handles double arrays too") {
+    val df = Seq((List(1.5, 2.0), List(2.0, 4.0))).toDF("a", "b")
+    assert(df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0) === 11.0)
+  }
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x")))
+
+  test("Shingles equals array_distinct(transform(...)) on generated tokens") {
+    // sequence(1, size-2) descends when size < 3, so the declarative form
+    // is only defined for >= 3 tokens (the ops filter on that too)
+    forAllSamples(tokensGen.suchThat(_.length >= 3)) { (w: List[String]) =>
+      {
+        val df = Seq(Tuple1(w)).toDF("w")
+        val got = df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+        val want = df.select(
+          array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i => concat_ws(" ",
+              element_at(col("w"), i),
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2))))).head.getSeq[String](0)
+        assert(got === want)
+      }
+    }
+  }
+
+  test("Shingles: fewer tokens than n yields empty array; order is first-occurrence") {
+    val df = Seq(Tuple1(List("a", "b"))).toDF("w")
+    assert(df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0).isEmpty)
+    val df2 = Seq(Tuple1(List("a", "b", "a", "b", "a", "b"))).toDF("w")
+    assert(df2.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+      === Seq("a b a", "b a b"))
+  }
+
+  test("MinHashSig: deterministic, correct width, empty set -> MaxValue slots") {
+    val df = Seq(Tuple1(List("x", "y", "z")), Tuple1(List.empty[String])).toDF("s")
+    val rows = df.select(MinHashSig.minhashSig(col("s"), 16).as("sig")).collect()
+    assert(rows(0).getSeq[Long](0).length === 16)
+    assert(rows(1).getSeq[Long](0).forall(_ == Long.MaxValue))
+    val again = df.select(MinHashSig.minhashSig(col("s"), 16).as("sig")).collect()
+    assert(rows.map(_.getSeq[Long](0)).toSeq === again.map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("MinHashSig: signature agreement rate approximates Jaccard similarity") {
+    // two sets with known Jaccard 1/3 (|inter|=2, |union|=6)
+    val a = List("p", "q", "r", "s")
+    val b = List("p", "q", "t", "u")
+    val perms = 512
+    val df = Seq(Tuple1(a), Tuple1(b)).toDF("s")
+    val sigs = df.select(MinHashSig.minhashSig(col("s"), perms)).collect()
+      .map(_.getSeq[Long](0))
+    val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / perms
+    assert(math.abs(agree - 1.0 / 3.0) < 0.08, s"agreement $agree vs expected 0.333")
+  }
+
+  test("SimHash64: identical token sets hash identically; disjoint sets differ") {
+    val df = Seq(
+      Tuple1(List("the", "quick", "brown", "fox")),
+      Tuple1(List("the", "quick", "brown", "fox")),
+      Tuple1(List("zzz", "qqq", "mmm", "vvv"))).toDF("w")
+    val hs = df.select(SimHash64.simhash64(col("w")).as("h")).collect().map(_.getLong(0))
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+  }
+
+  test("SimHash64: near-identical docs land within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").toList
+    val nearDup = base.updated(30, "CHANGED")
+    val df = Seq(Tuple1(base), Tuple1(nearDup)).toDF("w")
+    val hs = df.select(SimHash64.simhash64(col("w")).as("h")).collect().map(_.getLong(0))
+    val hamming = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    assert(hamming <= 12, s"hamming $hamming too large for a 1-token change")
+  }
+}

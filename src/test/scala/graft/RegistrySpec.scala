@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared operator runs at sf0.001, is deterministic (two runs
+  * produce identical rows), and keys/oracles are consistent (SURVEY.md §5.2).
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry has no duplicate keys") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry (flagship R2 range scan) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- Registry.all) {
+    test(s"${q.name} runs and is deterministic at sf0.001") {
+      val a = q.fn(spark, sfDir).collect()
+      val b = q.fn(spark, sfDir).collect()
+      assert(a.toSeq === b.toSeq, s"${q.name} not deterministic across runs")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming operators verified by batch equivalence (SURVEY.md §5.2.4):
+  * each group-J transform run over a MemoryStream (complete/append output to
+  * a memory sink) must equal the same transform applied to the same rows as
+  * a batch frame — including late-arriving rows admitted by the watermark.
+  */
+/** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
+case class Tele(
+    sensor_name: String, timestamp: Timestamp, value: Double,
+    fc1_flag: Option[Byte], timeseries_id: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Tele("Sa_FanSpeed", ts("2024-08-28 12:00:10"), 0.96, None, "id-a"),
+    Tele("Sa_FanSpeed", ts("2024-08-28 12:01:00"), 0.50, None, "id-a"),
+    Tele("Sa_FanSpeed", ts("2024-08-28 12:06:00"), 0.99, None, "id-a"),
+    Tele("Oa_Temp",     ts("2024-08-28 12:02:00"), 0.97, None, "id-b"),
+    // late row: arrives after the 12:06 row but belongs to the first window
+    Tele("Sa_FanSpeed", ts("2024-08-28 12:03:00"), 0.98, None, "id-a"),
+    Tele("Sa_FanSpeed", ts("2024-08-28 13:00:00"), 0.10, None, "id-a"))
+
+  private def runComplete(
+      name: String)(xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tele]
+    val q = xform(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(rows.take(4))
+    mem.addData(rows.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("faultCounts stream == batch on same rows, late row lands in its window") {
+    val streamed = runComplete("fc_stream")(df =>
+      Streams.faultCounts(df, threshold = 0.95, windowLen = "5 minutes"))
+    val batch = Streams.faultCounts(
+      rows.toDF(), threshold = 0.95, windowLen = "5 minutes")
+    assert(
+      streamed.orderBy("timeseries_id", "window_start").collect().toSeq ===
+        batch.orderBy("timeseries_id", "window_start").collect().toSeq)
+    // the late 12:03 fault (0.98) must be counted in the 12:00 window
+    val w0 = streamed
+      .filter(col("timeseries_id") === "id-a" &&
+        col("window_start") === ts("2024-08-28 12:00:00"))
+      .head
+    assert(w0.getAs[Long]("n_faults") === 2) // 0.96 and late 0.98
+  }
+
+  test("sessionize stream == batch on same rows") {
+    val streamed = runComplete("sess_stream")(df =>
+      Streams.sessionize(df, gap = "30 minutes"))
+    val batch = Streams.sessionize(rows.toDF(), gap = "30 minutes")
+    assert(
+      streamed.orderBy("timeseries_id", "session_start").collect().toSeq ===
+        batch.orderBy("timeseries_id", "session_start").collect().toSeq)
+    // 13:00 row is > 30 min after 12:06 -> id-a has 2 sessions
+    assert(streamed.filter(col("timeseries_id") === "id-a").count() === 2)
+  }
+
+  test("faultFlags is stateless and batch-identical") {
+    // stateless transform: apply to batch frame both ways
+    val flagged = Streams.faultFlags(rows.toDF(), 0.95)
+    val expect = rows.map(t => if (t.value > 0.95) Some(1L) else None)
+    val got = flagged.collect().map(r => Option(r.getAs[java.lang.Long]("fc1_flag")).map(_.toLong))
+    assert(got.toSeq === expect)
+  }
+
+  test("ingestFiles: JSON-lines dir lands as day-partitioned parquet, exactly once") {
+    val in = java.nio.file.Files.createTempDirectory("graft_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val json = rows.map(t =>
+      s"""{"sensor_name":"${t.sensor_name}","timestamp":"${t.timestamp}","value":${t.value},"timeseries_id":"${t.timeseries_id}"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(in, "batch1.json"),
+      json.mkString("\n").getBytes)
+    val q = Streams
+      .ingestFiles(spark, in, out, ckpt, Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // restart on same checkpoint: no new files -> no duplicate rows
+    val q2 = Streams
+      .ingestFiles(spark, in, out, ckpt, Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() === rows.length)
+    assert(back.columns.contains("event_date"))
+    assert(back.filter(col("event_date") === "2024-08-28").count() === rows.length)
+  }
+}
