@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-footer paths once so the first timed
+    // query doesn't absorb session startup (~4s measured at sf0.1).
+    try SparkEntry.queries("q_select_by_id_range")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

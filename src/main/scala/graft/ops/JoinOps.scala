@@ -46,7 +46,11 @@ object JoinOps {
         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      U.orders(s, d)
+      // "merge" hint: at bench SF the orders side fits under the broadcast
+      // threshold and Spark would broadcast, hiding the path this operator
+      // exists to exercise; at 100 TB sort-merge is the only viable plan, so
+      // pin it to measure the real shuffle join.
+      U.orders(s, d).hint("merge")
         .join(U.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(

@@ -52,6 +52,19 @@ object U {
   def events(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  /** `events` with the raw int64-nanos `ts` kept as-is. Time-range predicates
+    * on the *converted* column can't reach the parquet scan (the source can't
+    * translate `timestamp_micros(ts DIV 1000) >= X`); filtering raw nanos
+    * pushes down and prunes row groups — at 100 TB that is the difference
+    * between a stats-skip and a full scan. Convert to timestamp after.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = tbl(s, d, "events")
+
+  /** Inclusive micros range -> exact raw-nanos range: floor(ts/1000) >= a
+    * iff ts >= a*1000; floor(ts/1000) <= b iff ts <= b*1000 + 999. */
+  def nanosRange(tsNs: Column, startUs: Long, endUs: Long): Column =
+    tsNs >= startUs * 1000L && tsNs <= endUs * 1000L + 999L
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
