@@ -81,15 +81,15 @@ object SimOps {
       val n = U
         .embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val cos = round(
+        dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")),
+        4)
+      // threshold inside the join condition: the nested-loop join evaluates
+      // the cosine once per candidate pair and only materializes survivors
+      // (~0.2% here) instead of emitting all O(n^2) pairs and filtering after
       n.as("x")
-        .join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .select(
-          col("x.vec_id").as("a"),
-          col("y.vec_id").as("b"),
-          round(
-            dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")),
-            4).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
+        .join(n.as("y"), col("x.vec_id") < col("y.vec_id") && cos >= 0.35)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), cos.as("cos_sim"))
         .orderBy("a", "b")
     },
 
