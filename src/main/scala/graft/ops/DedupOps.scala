@@ -77,20 +77,24 @@ object DedupOps {
         |WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-      val pairs = ex
-        .as("x")
+      // Carry the (constant per doc) shingle-set size on every inverted-index
+      // row: |A| and |B| ride through the self-join as extra group keys, so
+      // no size-lookup joins and no third/fourth evaluation of the shingling.
+      val ex = sh.select(
+        col("doc_id"),
+        size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("sh"))
+      ex.as("x")
         .join(ex.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy(
+          col("x.doc_id").as("a"),
+          col("y.doc_id").as("b"),
+          col("x.n").as("na"),
+          col("y.n").as("nb"))
         .agg(count(lit(1)).as("inter"))
-      val jac = round(
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")),
-        4)
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("jaccard", jac)
+        .withColumn(
+          "jaccard",
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
         .filter(col("jaccard") >= 0.8)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy("a", "b")
