@@ -110,16 +110,13 @@ object FnOps {
         |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
         |  CAST(len(list_filter(embedding, x -> x > 0.1)) AS BIGINT) AS n_big
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
-      val sq = transform(
-        col("embedding"),
-        x => x.cast("double") * x.cast("double"))
       U.embeddings(s, d)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
           round(element_at(col("embedding"), 1).cast("double"), 6)
             .as("first_elem"),
-          round(sqrt(aggregate(sq, lit(0.0), (acc, x) => acc + x)), 6)
+          round(sqrt(graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))), 6)
             .as("l2_norm"),
           size(filter(col("embedding"), x => x > 0.1)).cast("long").as("n_big"))
         .orderBy("vec_id")

@@ -1,11 +1,28 @@
 package graft.streaming
 
 import graft.faults.FaultRules
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Row
+
+/** Telemetry record for typed stateful ops (the reference's TimeseriesData,
+  * `main.rs:23-30`, in Spark-encoder shape). */
+case class Telemetry(
+    sensor_name: String,
+    timestamp: java.sql.Timestamp,
+    value: Double,
+    fc1_flag: Option[Byte],
+    timeseries_id: String)
+
+/** Keyed state carried across micro-batches by [[Streams.faultRuns]]. */
+case class RunState(runLength: Int)
+
+/** Alert emitted when a series reaches `minRun` consecutive faults. */
+case class FaultRunAlert(
+    timeseries_id: String,
+    at: java.sql.Timestamp,
+    run_length: Int)
 
 /** SURVEY.md §2.4 group J — Structured Streaming.
   *
@@ -97,6 +114,44 @@ object Streams {
         col("win.start").as("window_start"),
         col("n_faults"),
         col("n_rows"))
+
+  /** Streaming fault-run detection with custom state
+    * (`flatMapGroupsWithState`): emits an alert whenever a series has seen
+    * `minRun` consecutive over-threshold readings. The reference can't
+    * express this at all — each 300 s tick re-derives flags from scratch
+    * with no memory between scans (`main.rs:384-406`); here the run length
+    * is keyed state carried across micro-batches.
+    *
+    * Rows within a micro-batch are sorted by event time before folding, so
+    * in-batch ordering is deterministic; cross-batch late data is bounded by
+    * the upstream watermark in production pipelines. State is one int per
+    * live series; a production deployment bounds it with an event-time
+    * timeout (a processing-time timeout makes the no-data micro-batch loop
+    * spin continuously under the default 0 ms trigger — measured, not
+    * theorized — so silent-series eviction belongs with a real trigger
+    * interval, not in this transform).
+    */
+  def faultRuns(
+      telemetry: Dataset[Telemetry],
+      threshold: Double,
+      minRun: Int): Dataset[FaultRunAlert] = {
+    import telemetry.sparkSession.implicits._
+    telemetry
+      .groupByKey(_.timeseries_id)
+      .flatMapGroupsWithState[RunState, FaultRunAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, rows, state) =>
+          var run = state.getOption.map(_.runLength).getOrElse(0)
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[FaultRunAlert]
+          rows.toSeq.sortBy(_.timestamp.getTime).foreach { r =>
+            run = if (r.value > threshold) run + 1 else 0
+            if (run == minRun)
+              alerts += FaultRunAlert(id, r.timestamp, run)
+          }
+          state.update(RunState(run))
+          alerts.iterator
+      }
+  }
 
   /** Session windows per series: a session closes after `gap` of event-time
     * silence. Streaming analog of batch `q_ts_session` (lag + cumulative sum).

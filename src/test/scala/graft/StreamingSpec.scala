@@ -79,6 +79,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {
+    import graft.streaming.{FaultRunAlert, Telemetry}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    val alerts = Streams.faultRuns(mem.toDS(), threshold = 0.95, minRun = 3)
+    // default trigger + processAllAvailable: one continuous query, so keyed
+    // state genuinely persists between the two micro-batches below
+    val q = alerts.writeStream.format("memory").queryName("fault_runs")
+      .outputMode("append").start()
+    def t(s: String, v: Double, id: String = "id-a") =
+      Telemetry("Sa_FanSpeed", ts(s), v, None, id)
+    // micro-batch 1: two consecutive faults (run = 2, below minRun -> silent)
+    mem.addData(Seq(
+      t("2024-08-28 12:00:00", 0.97),
+      t("2024-08-28 12:01:00", 0.98),
+      t("2024-08-28 12:00:30", 0.10, id = "id-b")))
+    q.processAllAvailable()
+    assert(spark.table("fault_runs").count() === 0)
+    // micro-batch 2: third consecutive fault crosses minRun using state from
+    // batch 1 -> exactly one alert; cool reading resets; 2 more faults stay
+    // below minRun again
+    mem.addData(Seq(
+      t("2024-08-28 12:02:00", 0.99),
+      t("2024-08-28 12:03:00", 0.10),
+      t("2024-08-28 12:04:00", 0.97),
+      t("2024-08-28 12:05:00", 0.98)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fault_runs").collect()
+      .map(r => (r.getAs[String]("timeseries_id"), r.getAs[Int]("run_length")))
+    assert(out.toSeq === Seq(("id-a", 3)), s"got ${out.toSeq}")
+  }
+
   test("ingestFiles: JSON-lines dir lands as day-partitioned parquet, exactly once") {
     val in = java.nio.file.Files.createTempDirectory("graft_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
