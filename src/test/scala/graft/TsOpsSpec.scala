@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Hand-computed semantics for the trickiest TS operators (the DuckDB oracle
+  * proves cross-engine agreement; these prove the intended meaning on frames
+  * where the right answer is visible by inspection).
+  */
+class TsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
+    // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
+    val hourly = Seq(
+      (1L, 0L, 10.0),
+      (1L, 10800L, 40.0),
+      (2L, 3600L, 7.0))
+      .toDF("user_id", "bkt", "avg_v")
+    val spine = hourly
+      .groupBy($"user_id")
+      .agg(min($"bkt").as("b0"), max($"bkt").as("b1"))
+      .select($"user_id", explode(sequence($"b0", $"b1", lit(3600L))).as("bkt"))
+    val filled = spine
+      .join(hourly, Seq("user_id", "bkt"), "left")
+      .withColumn(
+        "filled",
+        last($"avg_v", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("user_id", "bkt")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(filled.toSeq === Seq(
+      (1L, 0L, 10.0), (1L, 3600L, 10.0), (1L, 7200L, 10.0), (1L, 10800L, 40.0),
+      (2L, 3600L, 7.0)))
+  }
+
+  test("sessionization: gap strictly greater than threshold starts a new session") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // exactly 1800s gap -> SAME session
+      (1L, ts("2024-01-01 11:00:01"), 3L), // 1801s gap -> NEW session
+      (2L, ts("2024-01-01 10:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val out = rows
+      .withColumn("gap", unix_timestamp($"ts") - lag(unix_timestamp($"ts"), 1).over(w))
+      .withColumn("new_s", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"event_id", $"session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L)
+    assert(out(2L) === 1L, "boundary gap of exactly 1800s must NOT split")
+    assert(out(3L) === 2L)
+    assert(out(4L) === 1L)
+  }
+
+  test("as-of semantics: signup at the same timestamp as a purchase is visible to it") {
+    val sameTs = ts("2024-01-01 10:00:00")
+    val rows = Seq(
+      (10L, 1L, sameTs, "signup"),
+      (11L, 1L, sameTs, "purchase"),
+      (12L, 1L, ts("2024-01-01 09:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val kindOrder = when($"event_type" === "signup", 0).otherwise(1)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", kindOrder, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = rows
+      .withColumn("signup_event_id",
+        last(when($"event_type" === "signup", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("signup_event_id")))
+      .toMap
+    assert(out(11L) === Some(10L), "equal-ts signup must be at-or-before the purchase")
+    assert(out(12L) === None, "earlier purchase has no signup yet")
+  }
+}
