@@ -100,7 +100,12 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Quality scoring: alphabetic ratio, token-length shape, stopword density.
+    // Quality scoring: alphabetic ratio, token-length shape, stopword
+    // density. The composite score is computed in DECIMAL from the
+    // already-rounded components: composing the raw double ratios in IEEE
+    // arithmetic lands rows on 4-dp rounding boundaries where Spark and
+    // DuckDB disagree by 1 ulp (observed at sf0.1); decimal arithmetic is
+    // exact and engine-independent.
     Q(
       "q_text_quality",
       s"""WITH t AS (
@@ -109,36 +114,60 @@ object TextOps {
          |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
          |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
          |    CAST(length(text) AS BIGINT) AS n
-         |  FROM documents)
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(round(n_alpha / n, 4) AS DECIMAL(18,6)) AS a4,
+         |    round(n_digit / n, 4) AS digit_ratio,
+         |    CAST(round(n_alpha / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) AS t4,
+         |    CAST(round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) AS s4
+         |  FROM t)
          |SELECT doc_id,
-         |  round(n_alpha / n, 4) AS alpha_ratio,
-         |  round(n_digit / n, 4) AS digit_ratio,
-         |  round(n_alpha / CAST(len(w) AS BIGINT), 4) AS avg_token_len,
-         |  round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS stop_ratio,
-         |  round(0.4 * (n_alpha / n)
-         |      + 0.3 * (1 - least(1.0, abs(n_alpha / CAST(len(w) AS BIGINT) - 5.0) / 5.0))
-         |      + 0.3 * least(1.0, (${sqlHits(StopEn)} / CAST(len(w) AS BIGINT)) * 5), 4) AS quality
-         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |  CAST(a4 AS DOUBLE) AS alpha_ratio,
+         |  digit_ratio,
+         |  CAST(t4 AS DOUBLE) AS avg_token_len,
+         |  CAST(s4 AS DOUBLE) AS stop_ratio,
+         |  CAST((CAST(0.4 AS DECIMAL(2,1)) * a4
+         |      + CAST(0.3 AS DECIMAL(2,1)) * (1 - least(CAST(1 AS DECIMAL(18,6)), abs(t4 - 5) * CAST(0.2 AS DECIMAL(2,1))))
+         |      + CAST(0.3 AS DECIMAL(2,1)) * least(CAST(1 AS DECIMAL(18,6)), s4 * 5)) * 100000000 AS BIGINT) AS quality_e8
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val nAlpha =
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
       val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
       val n = length(col("text")).cast("long")
       val ntok = size(words).cast("long")
       val stopHits = hits(words, StopEn)
-      val avgTokLen = nAlpha / ntok
-      val stopRatio = stopHits / ntok
+      val a4 = round(nAlpha / n, 4).cast(U.Dec)
+      val t4 = round(nAlpha / ntok, 4).cast(U.Dec)
+      val s4 = round(stopHits / ntok, 4).cast(U.Dec)
+      // Literal BigDecimals infer DecimalType(38,18) in Spark, which blows
+      // the 38-digit budget in products and silently rounds (precision
+      // loss); pin them to minimal types so every product stays exact.
+      val small = org.apache.spark.sql.types.DecimalType(2, 1)
+      val w04 = lit(BigDecimal("0.4")).cast(small)
+      val w03 = lit(BigDecimal("0.3")).cast(small)
+      val w02 = lit(BigDecimal("0.2")).cast(small)
+      val one = lit(BigDecimal(1)).cast(U.Dec)
+      // The composite is exact decimal arithmetic (scale 8), emitted as the
+      // integer quality * 10^8 so the scaled value is exactly integral and
+      // every cross-engine cast quirk is moot. Each cheaper alternative
+      // fails: ROUND(x,4) lands on half boundaries where Spark (HALF_UP)
+      // and DuckDB disagree; decimal->double casts differ by 1 ulp (DuckDB
+      // multiplies by the reciprocal scale); DuckDB floor(DECIMAL) detours
+      // through double (exact 5590.0 -> 5589); and on fractional decimals
+      // DuckDB's decimal->int cast rounds while Spark's truncates.
+      val quality =
+        w04 * a4 +
+          w03 * (one - least(one, abs(t4 - 5) * w02)) +
+          w03 * least(one, s4 * 5)
       U.documents(s, d)
         .select(
           col("doc_id"),
-          round(nAlpha / n, 4).as("alpha_ratio"),
+          a4.cast("double").as("alpha_ratio"),
           round(nDigit / n, 4).as("digit_ratio"),
-          round(avgTokLen, 4).as("avg_token_len"),
-          round(stopRatio, 4).as("stop_ratio"),
-          round(
-            lit(0.4) * (nAlpha / n)
-              + lit(0.3) * (lit(1) - least(lit(1.0), abs(avgTokLen - 5.0) / 5.0))
-              + lit(0.3) * least(lit(1.0), stopRatio * 5),
-            4).as("quality"))
+          t4.cast("double").as("avg_token_len"),
+          s4.cast("double").as("stop_ratio"),
+          (quality * 100000000L).cast("long").as("quality_e8"))
         .orderBy("doc_id")
     },
 
