@@ -78,6 +78,21 @@ object AggOps {
         .orderBy("l_returnflag")
     },
 
+    // Quantile sketch (Greenwald-Khanna via percentile_approx) — the scale
+    // path where exact percentiles would need a full sort; accuracy bounded
+    // against exact quantiles in ScalaTest, driver records rows-only.
+    Q.noOracle("q_agg_approx_quantile") { (s, d) =>
+      U.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // Hierarchical totals: rollup / cube / grouping sets.
     Q(
       "q_agg_rollup",

@@ -104,6 +104,37 @@ object CoreOps {
         .orderBy("event_id")
     },
 
+    // R5 generalized: rolling-deviation fault rule — value deviates from the
+    // trailing 4-row mean by > 100 (FaultRules.rollingDeviationFlag; the
+    // smoothed thresholding the reference's fixed rule gestures at).
+    Q(
+      "q_fault_rolling_dev",
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN abs(value -
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |  ) > 100 THEN CAST(1 AS BIGINT) END AS dev_flag
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      // decimal-exact rolling mean so the deviation comparison can't flake
+      // on cross-engine float summation order (same recipe as U.dsum)
+      val rollAvg =
+        sum(col("value").cast(U.Dec)).over(w).cast("double") /
+          count(lit(1)).over(w)
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("value"),
+          when(abs(col("value") - rollAvg) > 100, lit(1L)).as("dev_flag"))
+        .orderBy("event_id")
+    },
+
     // R1: append ingest then read back (count-level roundtrip check).
     Q(
       "q_ingest_roundtrip",

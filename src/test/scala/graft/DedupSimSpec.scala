@@ -53,6 +53,22 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("approx quantiles bracket the exact quantiles") {
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val li = U.lineitem(spark, sfDir)
+    approx.foreach { case (k, (p50, p95)) =>
+      val vals = li.filter(col("l_returnflag") === k)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def exact(q: Double) = vals(math.min(vals.length - 1, (q * vals.length).toInt))
+      // GK sketch with accuracy 1000 -> rank error <= n/1000; generous bound
+      assert(math.abs(p50 - exact(0.5)) / exact(0.5) < 0.05, s"$k p50 $p50 vs ${exact(0.5)}")
+      assert(math.abs(p95 - exact(0.95)) / exact(0.95) < 0.05, s"$k p95 $p95 vs ${exact(0.95)}")
+    }
+  }
+
   test("approx_count_distinct within rsd bound of exact") {
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_parts")).toMap
