@@ -57,6 +57,43 @@ object Layout {
       .sortBy(seriesCol, tsCol)
       .saveAsTable(table)
 
+  /** Compact one date partition in place: streaming ingest appends a file
+    * per micro-batch per partition, and at 100 TB the accumulated small
+    * files dominate scan setup cost (footer reads, task scheduling).
+    * Rewrites the partition dir to ~`targetFileBytes` files, restoring the
+    * (series, time) sort so row-group pruning keeps working. Embarrassingly
+    * parallel across dates; each date is one independent rewrite, the same
+    * unit the reference rewrote on *every insert* (`main.rs:101`).
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactPartition(
+      spark: SparkSession,
+      rootDir: String,
+      eventDate: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      seriesCol: String = "user_id",
+      tsCol: String = "ts"): (Int, Int) = {
+    val partDir = s"$rootDir/event_date=$eventDate"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(partDir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(partDir)
+    def parquetFiles() =
+      fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(partDir)
+      .repartition(nOut)
+      .sortWithinPartitions(col(seriesCol), col(tsCol))
+    // write to a sibling tmp dir, then atomically swap
+    val tmpDir = s"$rootDir/.compact_tmp_event_date=$eventDate"
+    df.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    fs.delete(path, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), path)
+    (before.length, parquetFiles().length)
+  }
+
   /** R2 over the partitioned layout: the date bounds prune partition
     * directories (PartitionFilters), the series equality + exact time range
     * prune row groups (PushedFilters). */

@@ -82,6 +82,19 @@ object Streams {
       .trigger(trigger)
   }
 
+  /** Stream-static dimension enrichment: join the telemetry stream with a
+    * (small, slowly-changing) series-catalog table — the realized form of
+    * the reference's dead `TimeseriesReference` struct (`main.rs:32-36`).
+    * The dimension is broadcast, so enrichment adds ZERO shuffle to the
+    * stream; Spark re-reads the static side per micro-batch, picking up
+    * catalog updates without restarting the query.
+    */
+  def enrich(
+      telemetry: DataFrame,
+      seriesCatalog: DataFrame,
+      key: String = "timeseries_id"): DataFrame =
+    telemetry.join(broadcast(seriesCatalog), Seq(key), "left")
+
   /** R5 stateless: flag rows over threshold; composes onto any telemetry
     * stream or batch frame (same code path both ways).
     */

@@ -57,6 +57,25 @@ class LayoutSpec extends SparkSpec {
       s"ts range not pushed: $pushed")
   }
 
+  test("compaction merges small files, preserves rows, keeps pruning intact") {
+    // fragment one partition the way per-micro-batch appends would
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = U.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    val oneDay = ev.filter(col("event_date") === "2024-01-05").drop("event_date")
+    oneDay.repartition(7).write.mode("overwrite")
+      .parquet(s"$dir/event_date=2024-01-05")
+    val rowsBefore = spark.read.parquet(dir).count()
+    val (before, after) = Layout.compactPartition(
+      spark, dir, "2024-01-05", targetFileBytes = 1L << 30)
+    assert(before === 7)
+    assert(after === 1, s"expected 1 compacted file, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === rowsBefore, "compaction must not lose rows")
+    // pruning on the untouched partition column still works
+    assert(back.filter(col("event_date") === "2024-01-05").count() === rowsBefore)
+  }
+
   test("pruned range query returns exactly the brute-force rows") {
     val got = Layout.rangeQuery(
       spark, outDir, 7, "2024-01-05 00:00:00", "2024-01-06 23:59:59")

@@ -30,14 +30,19 @@ class StreamingSpec extends SparkSpec {
     Tele("Sa_FanSpeed", ts("2024-08-28 12:03:00"), 0.98, None, "id-a"),
     Tele("Sa_FanSpeed", ts("2024-08-28 13:00:00"), 0.10, None, "id-a"))
 
+  // Default trigger, not AvailableNow: AvailableNow snapshots the available
+  // offsets at start(), so data added afterwards silently never processes
+  // (observed as intermittently empty sinks); the default micro-batch loop
+  // plus processAllAvailable() is race-free for add-then-drain tests.
   private def runComplete(
       name: String)(xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Tele]
     val q = xform(mem.toDF())
       .writeStream.format("memory").queryName(name).outputMode("complete")
-      .trigger(Trigger.AvailableNow()).start()
+      .start()
     mem.addData(rows.take(4))
+    q.processAllAvailable()
     mem.addData(rows.drop(4))
     q.processAllAvailable()
     q.stop()
@@ -77,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     val expect = rows.map(t => if (t.value > 0.95) Some(1L) else None)
     val got = flagged.collect().map(r => Option(r.getAs[java.lang.Long]("fc1_flag")).map(_.toLong))
     assert(got.toSeq === expect)
+  }
+
+  test("enrich: stream-static broadcast join attaches catalog attrs, keeps uncataloged rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq(("id-a", "AHU-1", "Briq:Supply_Fan")).toDF(
+      "timeseries_id", "equipment", "brick_class")
+    val mem = MemoryStream[Tele]
+    val q = Streams.enrich(mem.toDF(), catalog)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData(rows.take(4))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched")
+    assert(out.count() === 4)
+    assert(out.filter(col("timeseries_id") === "id-a")
+      .collect().forall(_.getAs[String]("equipment") == "AHU-1"))
+    // left join: the uncataloged id-b row survives with null attrs
+    val idb = out.filter(col("timeseries_id") === "id-b").collect()
+    assert(idb.length === 1 && idb.head.getAs[String]("equipment") == null)
   }
 
   test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {
