@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Shingles, SimHash64, VecDot}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics the oracle data never exercises: null join keys, empty
+  * inputs, unicode/degenerate tokens through the custom expressions.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equi join drops null keys on both sides (SQL semantics, not NULL==NULL)") {
+    val l = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("k", "lv")
+    val r = Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("k", "rv")
+    val out = l.join(r, Seq("k")).collect()
+    assert(out.length === 1 && out.head.getAs[Long]("k") === 1L)
+  }
+
+  test("left join keeps null-key left rows with null right side") {
+    val l = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("k", "lv")
+    val r = Seq((Some(1L), "x")).toDF("k", "rv")
+    val out = l.join(r, Seq("k"), "left").orderBy("lv").collect()
+    assert(out.length === 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("rv")))
+  }
+
+  test("aggregation over an empty frame yields zero rows grouped, one row global") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    assert(empty.groupBy("k").agg(sum("v")).count() === 0)
+    val global = empty.agg(count(lit(1)).as("n"), sum("v").as("s")).head
+    assert(global.getLong(0) === 0 && global.isNullAt(1))
+  }
+
+  test("window functions over an empty frame return empty, not error") {
+    import org.apache.spark.sql.expressions.Window
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val w = Window.partitionBy("k").orderBy("v")
+    assert(empty.withColumn("rn", row_number().over(w)).count() === 0)
+  }
+
+  test("get_json_object: missing key and malformed JSON both yield null") {
+    val df = Seq("""{"k": 1}""", """not json""", """{"other": 2}""").toDF("props")
+    val out = df.select(get_json_object($"props", "$.k").as("k")).collect()
+    assert(Option(out(0).getString(0)) === Some("1"))
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("Shingles handles unicode, empty-string, and repeated tokens exactly like concat_ws") {
+    val tricky = Seq(
+      List("héllo", "wörld", "héllo", "wörld", "héllo"),
+      List("", "a", "", "a", ""),
+      List("日本語", "の", "トークン", "化", "テスト"),
+      List("a\tb", "c d", "e", "f", "g"))
+    tricky.foreach { w =>
+      val df = Seq(Tuple1(w)).toDF("w")
+      val got = df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+      val want = df.select(
+        array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))).head.getSeq[String](0)
+      assert(got === want, s"tokens $w")
+    }
+  }
+
+  test("SimHash64 on an empty token array is deterministic (all-negative votes)") {
+    val df = Seq(Tuple1(List.empty[String])).toDF("w")
+    val h = df.select(SimHash64.simhash64(col("w"))).head.getLong(0)
+    assert(h === 0L, "zero tokens -> every bit votes negative -> 0")
+  }
+
+  test("VecDot with extreme values stays IEEE-faithful (inf propagates)") {
+    val big = Float.MaxValue
+    val df = Seq((List(big, big), List(big, big))).toDF("a", "b")
+    val dot = df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0)
+    // float max squared overflows float but fits double: ~1.157e77, finite
+    assert(!dot.isInfinite && dot > 1e76)
+  }
+
+  test("set ops on disjoint inputs: intersect empty, except is identity") {
+    val a = Seq(1L, 2L).toDF("k")
+    val b = Seq(3L, 4L).toDF("k")
+    assert(a.intersect(b).count() === 0)
+    assert(a.except(b).orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+}
