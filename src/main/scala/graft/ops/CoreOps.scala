@@ -139,9 +139,10 @@ object CoreOps {
     Q(
       "q_ingest_roundtrip",
       "SELECT count(*) AS n FROM events") { (s, d) =>
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ingest")
-        .toString
+      // fixed scratch path, overwritten per run — a fresh createTempDirectory
+      // per invocation would leak a copy of events every Verify/Bench run
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_ingest_roundtrip").toString
       U.events(s, d).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).agg(count(lit(1)).as("n"))
     },
