@@ -29,7 +29,6 @@ object FaultRules {
 
   /** Rate-of-change rule: |value - lag(value)| > maxDelta within a series. */
   def rateOfChangeFlag(
-      df: DataFrame,
       seriesKey: Column,
       eventTime: Column,
       tieBreak: Column,
@@ -40,10 +39,13 @@ object FaultRules {
   }
 
   /** Rolling-average deviation rule: value deviates from the trailing mean
-    * of the last `frameRows` rows by more than `maxDev`.
+    * of the last `frameRows` rows by more than `maxDev`. The mean is a
+    * decimal-exact sum divided by the frame count — plain `avg(double)`
+    * accumulates in frame-slide order, which differs across engines and
+    * flakes oracle comparisons at rounding boundaries (same recipe as
+    * `U.dsum`).
     */
   def rollingDeviationFlag(
-      df: DataFrame,
       seriesKey: Column,
       eventTime: Column,
       tieBreak: Column,
@@ -54,6 +56,9 @@ object FaultRules {
       .partitionBy(seriesKey)
       .orderBy(eventTime, tieBreak)
       .rowsBetween(-frameRows, 0)
-    when(abs(value - avg(value).over(w)) > maxDev, lit(1L))
+    val mean =
+      sum(value.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .over(w).cast("double") / count(lit(1)).over(w)
+    when(abs(value - mean) > maxDev, lit(1L))
   }
 }

@@ -48,7 +48,10 @@ object Shingles {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null tokens are skipped
+    * together with their separator — exactly `concat_ws`'s null handling, so
+    * the declarative-equivalence property holds even for arrays with nulls.
+    */
   def shingle(tokens: ArrayData, n: Int): ArrayData = {
     val total = tokens.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
@@ -56,13 +59,17 @@ object Shingles {
     val parts = new Array[UTF8String](2 * n - 1)
     while (i + n <= total) {
       var j = 0
+      var k = 0
       while (j < n) {
-        if (j > 0) parts(2 * j - 1) = Space
         val t = tokens.getUTF8String(i + j)
-        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (t != null) {
+          if (k > 0) { parts(k) = Space; k += 1 }
+          parts(k) = t
+          k += 1
+        }
         j += 1
       }
-      out.add(UTF8String.concat(parts: _*))
+      out.add(UTF8String.concat(parts.take(k): _*))
       i += 1
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])

@@ -18,8 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row inside the stage with zero shuffle and no serialization — at
   * 100 TB the fingerprint is computed in the same scan that reads the text.
   *
-  * The token hash is xxHash64-style mixing of the UTF8 bytes via Spark's own
-  * hashing of the two 32-bit murmur lanes; any fixed 64-bit hash works, it
+  * The token hash is two zero-copy xxHash64 passes over the UTF8 bytes with
+  * distinct seeds, combined into 64 bits; any fixed 64-bit hash works, it
   * only has to be stable.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -55,12 +55,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  /** Stable 64-bit token hash (two murmur3 lanes over the UTF8 bytes). */
+  /** Stable 64-bit token hash: two seeded xxHash64 passes directly over the
+    * UTF8String's backing memory (no per-token byte-array copy — this runs
+    * per token per row inside the scan), mixed into one word.
+    */
   def tokenHash(w: UTF8String): Long = {
-    val bytes = w.getBytes
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 0x9747b28cL)
+    val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 0x85ebca6bL)
+    h1 ^ java.lang.Long.rotateLeft(h2, 32)
   }
 
   /** Called from both interpreted eval and generated code. */

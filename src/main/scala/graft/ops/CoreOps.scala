@@ -116,22 +116,16 @@ object CoreOps {
         |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |  ) > 100 THEN CAST(1 AS BIGINT) END AS dev_flag
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-4, 0)
-      // decimal-exact rolling mean so the deviation comparison can't flake
-      // on cross-engine float summation order (same recipe as U.dsum)
-      val rollAvg =
-        sum(col("value").cast(U.Dec)).over(w).cast("double") /
-          count(lit(1)).over(w)
       U.events(s, d)
         .select(
           col("event_id"),
           col("user_id"),
           col("value"),
-          when(abs(col("value") - rollAvg) > 100, lit(1L)).as("dev_flag"))
+          FaultRules
+            .rollingDeviationFlag(
+              col("user_id"), col("ts"), col("event_id"), col("value"),
+              frameRows = 4, maxDev = 100)
+            .as("dev_flag"))
         .orderBy("event_id")
     },
 
@@ -139,10 +133,14 @@ object CoreOps {
     Q(
       "q_ingest_roundtrip",
       "SELECT count(*) AS n FROM events") { (s, d) =>
-      // fixed scratch path, overwritten per run — a fresh createTempDirectory
-      // per invocation would leak a copy of events every Verify/Bench run
+      // fixed scratch path keyed by input dir, overwritten per run — a fresh
+      // createTempDirectory per invocation would leak a copy of events every
+      // Verify/Bench run, and a single shared path would let a concurrent
+      // run at another scale factor overwrite this one mid-read
       val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_ingest_roundtrip").toString
+        sys.props("java.io.tmpdir"),
+        s"graft_ingest_roundtrip_${java.lang.Integer.toHexString(d.hashCode)}")
+        .toString
       U.events(s, d).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).agg(count(lit(1)).as("n"))
     },

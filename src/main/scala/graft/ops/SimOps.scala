@@ -35,12 +35,23 @@ object SimOps {
     Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  private def bucketOf(emb: Column): Column =
-    planes.zipWithIndex
+  private val PlaneDim = 64
+
+  private def bucketOf(emb: Column): Column = {
+    val bits = planes.zipWithIndex
       .map { case (p, i) =>
         when(dot(emb, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
       }
       .reduce(_ + _)
+    // Fail fast on a dimension mismatch: VecDot yields null there, and
+    // silently mapping null to bucket 0 would collapse the whole corpus
+    // into one bucket — the "LSH-pruned" scan would quietly degrade to
+    // brute force with no error anywhere.
+    when(size(emb) === PlaneDim, bits).otherwise(
+      raise_error(concat(
+        lit(s"q_sim_ann_lsh: embedding dim "), size(emb),
+        lit(s" != hyperplane dim $PlaneDim"))))
+  }
 
   val qs: Seq[Q] = Seq(
     // Brute-force cosine top-k against the vec_id=0 query vector.

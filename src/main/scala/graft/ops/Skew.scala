@@ -24,26 +24,35 @@ object Skew {
 
   /** Two-stage salted aggregation: `aggs` are the partial (algebraic)
     * aggregates computed per (key, salt); `finish` combines the partials per
-    * key. The salt column is uniform random in [0, nSalts).
+    * key. The salt is `xxhash64(saltSource) mod nSalts` — a DETERMINISTIC
+    * function of row content, never `rand()`: under task retry Spark may
+    * recompute one map task while reducers keep partials fetched from the
+    * first attempt, and `rand()` assigns by partition/position, so retried
+    * rows would land in different (key, salt) partials and be double-counted
+    * or dropped. A content-derived salt re-salts identically on every
+    * attempt.
     */
   def saltedAgg(
       df: DataFrame,
       key: Column,
+      saltSource: Column,
       nSalts: Int)(
       aggs: Seq[Column],
       finish: Seq[Column]): DataFrame =
-    df.withColumn("__salt", (rand(seed = 7) * nSalts).cast("int"))
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts.toLong)))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(aggs.head, aggs.tail: _*)
       .groupBy(col("__key"))
       .agg(finish.head, finish.tail: _*)
 
   /** Salted sum/count/avg of `value` per `key` — the common telemetry shape
-    * (per-series stats when some series are pathologically hot).
+    * (per-series stats when some series are pathologically hot). The value
+    * column doubles as the salt source; pass a unique id column to
+    * [[saltedAgg]] directly when values are heavily repeated.
     */
   def saltedStats(df: DataFrame, key: Column, value: Column, nSalts: Int = 16)
       : DataFrame =
-    saltedAgg(df, key, nSalts)(
+    saltedAgg(df, key, value, nSalts)(
       Seq(
         sum(value.cast(graft.U.Dec)).as("__psum"),
         count(lit(1)).as("__pcnt")),

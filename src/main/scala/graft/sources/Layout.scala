@@ -86,11 +86,25 @@ object Layout {
     val df = spark.read.parquet(partDir)
       .repartition(nOut)
       .sortWithinPartitions(col(seriesCol), col(tsCol))
-    // write to a sibling tmp dir, then atomically swap
-    val tmpDir = s"$rootDir/.compact_tmp_event_date=$eventDate"
-    df.write.mode(SaveMode.Overwrite).parquet(tmpDir)
-    fs.delete(path, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), path)
+    // Swap via two renames, each checked: write tmp, move live aside, move
+    // tmp in, drop the old copy. A crash between the renames leaves the old
+    // data intact in `.compact_old_...` (recoverable by renaming back) —
+    // never deleted-before-replaced. True atomicity (concurrent readers
+    // during the swap window) needs a transactional table format
+    // (Delta/Iceberg); this is the best a bare-parquet layout can do.
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      s"$rootDir/.compact_tmp_event_date=$eventDate")
+    val oldPath = new org.apache.hadoop.fs.Path(
+      s"$rootDir/.compact_old_event_date=$eventDate")
+    df.write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    fs.delete(oldPath, true) // leftover from a previous crashed run
+    if (!fs.rename(path, oldPath))
+      throw new java.io.IOException(s"compact: failed to move $path aside")
+    if (!fs.rename(tmpPath, path)) {
+      fs.rename(oldPath, path) // roll back so the partition stays readable
+      throw new java.io.IOException(s"compact: failed to install $tmpPath")
+    }
+    fs.delete(oldPath, true)
     (before.length, parquetFiles().length)
   }
 

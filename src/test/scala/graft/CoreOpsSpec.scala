@@ -95,7 +95,7 @@ class CoreOpsSpec extends SparkSpec {
       .withColumn(
         "roc",
         FaultRules.rateOfChangeFlag(
-          telemetry, col("timeseries_id"), col("timestamp"), col("value"),
+          col("timeseries_id"), col("timestamp"), col("value"),
           col("value"), 0.4))
       .filter(col("roc") === 1)
       .collect()

@@ -36,7 +36,7 @@ class SkewSpec extends SparkSpec {
 
   test("the hot key spreads over multiple salt shards in the partial stage") {
     val shards = skewed
-      .withColumn("__salt", (rand(seed = 7) * 16).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col("v")), lit(16L)))
       .filter(col("k") === "hot")
       .select("__salt").distinct().count()
     assert(shards > 8, s"hot key landed on only $shards of 16 shards")
