@@ -60,6 +60,83 @@ object JoinOps {
         .orderBy("o_orderpriority")
     },
 
+    // TPC-H Q3 shape: 3-table join + filter + agg + top-k revenue. Exercises
+    // the optimizer end to end — filters push to all three scans, the join
+    // order and broadcast/shuffle mix is Catalyst's choice, top-k plans as
+    // TakeOrderedAndProject.
+    Q(
+      "q_tpch_q3",
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val cutoff = lit("1997-03-15 00:00:00").cast("timestamp")
+        U.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(
+            U.orders(s, d).filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(
+            U.lineitem(s, d).filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(
+            round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+          .select(
+            col("l_orderkey"),
+            col("revenue"),
+            unix_micros(col("o_orderdate")).as("orderdate_us"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("orderdate_us"), col("l_orderkey"))
+          .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-table star join (fact chain + three broadcast dims)
+    // with a region filter and a date-range filter — the canonical mixed
+    // broadcast/shuffle plan.
+    Q(
+      "q_tpch_q5",
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(
+          U.orders(s, d).filter(
+            col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(U.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(
+          U.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(U.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(U.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("n_name")
+    },
+
     // Left outer join preserving customers with no orders.
     Q(
       "q_join_left",
