@@ -34,7 +34,7 @@ class DedupSimSpec extends SparkSpec {
 
   test("exact dedup canonical ids: one row per distinct text, copies sum to corpus size") {
     val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
-    val total = out.agg(sum("n_copies")).head.getLong(0)
+    val total = out.agg(sum("n_copies")).head().getLong(0)
     val corpus = U.documents(spark, sfDir).count()
     assert(total === corpus)
     assert(out.select("text_md5").distinct().count() === out.count())

@@ -27,7 +27,7 @@ class EdgeCaseSpec extends SparkSpec {
   test("aggregation over an empty frame yields zero rows grouped, one row global") {
     val empty = Seq.empty[(Long, Double)].toDF("k", "v")
     assert(empty.groupBy("k").agg(sum("v")).count() === 0)
-    val global = empty.agg(count(lit(1)).as("n"), sum("v").as("s")).head
+    val global = empty.agg(count(lit(1)).as("n"), sum("v").as("s")).head()
     assert(global.getLong(0) === 0 && global.isNullAt(1))
   }
 
@@ -54,28 +54,28 @@ class EdgeCaseSpec extends SparkSpec {
       List("a\tb", "c d", "e", "f", "g"))
     tricky.foreach { w =>
       val df = Seq(Tuple1(w)).toDF("w")
-      val got = df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+      val got = df.select(Shingles.shingles(col("w"), 3)).head().getSeq[String](0)
       val want = df.select(
         array_distinct(transform(
           sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ",
             element_at(col("w"), i),
             element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2))))).head.getSeq[String](0)
+            element_at(col("w"), i + 2))))).head().getSeq[String](0)
       assert(got === want, s"tokens $w")
     }
   }
 
   test("SimHash64 on an empty token array is deterministic (all-negative votes)") {
     val df = Seq(Tuple1(List.empty[String])).toDF("w")
-    val h = df.select(SimHash64.simhash64(col("w"))).head.getLong(0)
+    val h = df.select(SimHash64.simhash64(col("w"))).head().getLong(0)
     assert(h === 0L, "zero tokens -> every bit votes negative -> 0")
   }
 
   test("VecDot with extreme values stays IEEE-faithful (inf propagates)") {
     val big = Float.MaxValue
     val df = Seq((List(big, big), List(big, big))).toDF("a", "b")
-    val dot = df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0)
+    val dot = df.select(VecDot.vecDot(col("a"), col("b"))).head().getDouble(0)
     // float max squared overflows float but fits double: ~1.157e77, finite
     assert(!dot.isInfinite && dot > 1e76)
   }

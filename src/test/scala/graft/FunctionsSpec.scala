@@ -34,11 +34,11 @@ class FunctionsSpec extends SparkSpec {
   test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
     forAllSamples(vecPairGen) { case (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
-      val got = df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0)
+      val got = df.select(VecDot.vecDot(col("a"), col("b"))).head().getDouble(0)
       val want = df.select(
         aggregate(
           zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, z) => acc + z)).head.getDouble(0)
+          lit(0.0), (acc, z) => acc + z)).head().getDouble(0)
       assert(got === want) // exact: same IEEE summation order
     }
   }
@@ -54,7 +54,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("VecDot handles double arrays too") {
     val df = Seq((List(1.5, 2.0), List(2.0, 4.0))).toDF("a", "b")
-    assert(df.select(VecDot.vecDot(col("a"), col("b"))).head.getDouble(0) === 11.0)
+    assert(df.select(VecDot.vecDot(col("a"), col("b"))).head().getDouble(0) === 11.0)
   }
 
   private val tokensGen: Gen[List[String]] =
@@ -67,14 +67,14 @@ class FunctionsSpec extends SparkSpec {
     forAllSamples(tokensGen.suchThat(_.length >= 3)) { (w: List[String]) =>
       {
         val df = Seq(Tuple1(w)).toDF("w")
-        val got = df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+        val got = df.select(Shingles.shingles(col("w"), 3)).head().getSeq[String](0)
         val want = df.select(
           array_distinct(transform(
             sequence(lit(1), size(col("w")) - 2),
             i => concat_ws(" ",
               element_at(col("w"), i),
               element_at(col("w"), i + 1),
-              element_at(col("w"), i + 2))))).head.getSeq[String](0)
+              element_at(col("w"), i + 2))))).head().getSeq[String](0)
         assert(got === want)
       }
     }
@@ -82,9 +82,9 @@ class FunctionsSpec extends SparkSpec {
 
   test("Shingles: fewer tokens than n yields empty array; order is first-occurrence") {
     val df = Seq(Tuple1(List("a", "b"))).toDF("w")
-    assert(df.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0).isEmpty)
+    assert(df.select(Shingles.shingles(col("w"), 3)).head().getSeq[String](0).isEmpty)
     val df2 = Seq(Tuple1(List("a", "b", "a", "b", "a", "b"))).toDF("w")
-    assert(df2.select(Shingles.shingles(col("w"), 3)).head.getSeq[String](0)
+    assert(df2.select(Shingles.shingles(col("w"), 3)).head().getSeq[String](0)
       === Seq("a b a", "b a b"))
   }
 

@@ -61,7 +61,7 @@ class StreamingSpec extends SparkSpec {
     val w0 = streamed
       .filter(col("timeseries_id") === "id-a" &&
         col("window_start") === ts("2024-08-28 12:00:00"))
-      .head
+      .head()
     assert(w0.getAs[Long]("n_faults") === 2) // 0.96 and late 0.98
   }
 
