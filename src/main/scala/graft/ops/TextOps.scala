@@ -190,6 +190,74 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // End-to-end curation pipeline — the operators composed into the real
+    // LLM-training-data use case: score quality -> drop low-quality docs ->
+    // exact-dedup to canonical ids -> account the surviving token budget per
+    // (lang, source). One declarative plan: Catalyst fuses the scoring into
+    // the scan, the dedup is one hash-aggregate shuffle, the final rollup is
+    // a second small shuffle. At 100 TB this whole chain is two exchanges.
+    Q(
+      "q_pipeline_curate",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text,
+         |    string_split_regex(trim(text), '\\s+') AS w,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, source, text,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST((CAST(0.4 AS DECIMAL(2,1)) * CAST(round(n_alpha / n, 4) AS DECIMAL(18,6))
+         |        + CAST(0.3 AS DECIMAL(2,1)) * (1 - least(CAST(1 AS DECIMAL(18,6)),
+         |            abs(CAST(round(n_alpha / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) - 5) * CAST(0.2 AS DECIMAL(2,1))))
+         |        + CAST(0.3 AS DECIMAL(2,1)) * least(CAST(1 AS DECIMAL(18,6)),
+         |            CAST(round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) * 5)) * 100000000 AS BIGINT) AS q_e8
+         |  FROM t),
+         |kept AS (SELECT * FROM scored WHERE q_e8 >= 55000000),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+         |    min(source) AS source, min(n_tokens) AS n_tokens
+         |  FROM kept GROUP BY text)
+         |SELECT lang, source,
+         |  count(*) AS n_docs,
+         |  sum(n_tokens) AS total_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM canon GROUP BY lang, source ORDER BY lang, source""".stripMargin) {
+      (s, d) =>
+        val nAlpha =
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+        val n = length(col("text")).cast("long")
+        val ntok = size(words).cast("long")
+        val a4 = round(nAlpha / n, 4).cast(U.Dec)
+        val t4 = round(nAlpha / ntok, 4).cast(U.Dec)
+        val s4 = round(hits(words, StopEn) / ntok, 4).cast(U.Dec)
+        val small = org.apache.spark.sql.types.DecimalType(2, 1)
+        val one = lit(BigDecimal(1)).cast(U.Dec)
+        val qE8 =
+          ((lit(BigDecimal("0.4")).cast(small) * a4 +
+            lit(BigDecimal("0.3")).cast(small) *
+              (one - least(one, abs(t4 - 5) * lit(BigDecimal("0.2")).cast(small))) +
+            lit(BigDecimal("0.3")).cast(small) * least(one, s4 * 5)) * 100000000L)
+            .cast("long")
+        U.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"), col("source"), col("text"),
+            ntok.as("n_tokens"), qE8.as("q_e8"))
+          .filter(col("q_e8") >= 55000000L)
+          .groupBy(col("text"))
+          .agg(
+            min(col("doc_id")).as("doc_id"),
+            min(col("lang")).as("lang"),
+            min(col("source")).as("source"),
+            min(col("n_tokens")).as("n_tokens"))
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("lang", "source")
+    },
+
     // Rolling polynomial hash over the token stream (order-sensitive
     // document fingerprint; same fold in both engines).
     Q(
