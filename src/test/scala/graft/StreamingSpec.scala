@@ -76,6 +76,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("timeseries_id") === "id-a").count() === 2)
   }
 
+  test("append mode: watermark finalizes windows and DROPS data later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tele]
+    val q = Streams.faultCounts(
+      mem.toDF(), threshold = 0.95, windowLen = "5 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    def t(s: String, v: Double) = Tele("Sa_FanSpeed", ts(s), v, None, "id-a")
+    // b1: one fault in the 12:00 window
+    mem.addData(Seq(t("2024-08-28 12:01:00", 0.99)))
+    q.processAllAvailable()
+    // b2: event at 13:00 -> after this batch the watermark is 12:50
+    mem.addData(Seq(t("2024-08-28 13:00:00", 0.10)))
+    q.processAllAvailable()
+    // b3: another batch lets the finalized 12:00 window emit
+    mem.addData(Seq(t("2024-08-28 13:01:00", 0.10)))
+    q.processAllAvailable()
+    val emitted = spark.table("wm_drop")
+      .filter(col("window_start") === ts("2024-08-28 12:00:00")).collect()
+    assert(emitted.length === 1 && emitted.head.getAs[Long]("n_rows") === 1)
+    // b4: a row for the already-finalized 12:00 window, far behind the
+    // watermark -> dropped, the emitted window must NOT change or re-emit
+    mem.addData(Seq(t("2024-08-28 12:02:00", 0.99)))
+    q.processAllAvailable()
+    mem.addData(Seq(t("2024-08-28 13:02:00", 0.10)))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("wm_drop")
+      .filter(col("window_start") === ts("2024-08-28 12:00:00")).collect()
+    assert(after.length === 1, "finalized window must not re-emit for a too-late row")
+    assert(after.head.getAs[Long]("n_rows") === 1,
+      "too-late row must be dropped, not merged into the finalized window")
+  }
+
   test("faultFlags is stateless and batch-identical") {
     // stateless transform: apply to batch frame both ways
     val flagged = Streams.faultFlags(rows.toDF(), 0.95)
