@@ -18,12 +18,16 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            false
+        }
+      // -1 sentinel: a failed query must not masquerade in the JSON as a
+      // fast success
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,6 +33,59 @@ object TextOps {
     s"CAST(len(list_filter(w, x -> list_contains([$lst], x))) AS BIGINT)"
   }
 
+  // ---- shared quality score (q_text_quality + q_pipeline_curate) ----
+  //
+  // The composite is exact decimal arithmetic (scale 8) over the 4-dp-
+  // rounded components, emitted as the integer quality * 10^8 so the scaled
+  // value is exactly integral and every cross-engine cast quirk is moot.
+  // Each cheaper alternative fails: ROUND(x,4) lands on half boundaries
+  // where Spark (HALF_UP) and DuckDB disagree; decimal->double casts differ
+  // by 1 ulp (DuckDB multiplies by the reciprocal scale); DuckDB
+  // floor(DECIMAL) detours through double (exact 5590.0 -> 5589); and on
+  // fractional decimals DuckDB's decimal->int cast rounds while Spark's
+  // truncates. Literal BigDecimals would infer DecimalType(38,18) in Spark
+  // (precision-loss rounding in products) — pinned to DECIMAL(2,1).
+  // Zero denominators (empty text / zero tokens) yield NULL in BOTH engines
+  // (guarded division) — unguarded, Spark's 0/0 is NULL but DuckDB's is NaN,
+  // whose DECIMAL cast aborts the whole oracle query.
+
+  private val SmallDec = org.apache.spark.sql.types.DecimalType(2, 1)
+  private def decLit(v: String): Column = lit(BigDecimal(v)).cast(SmallDec)
+  private def oneDec: Column = lit(BigDecimal(1)).cast(U.Dec)
+
+  private def nAlphaCol: Column =
+    length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+  private def nCharsCol: Column = length(col("text")).cast("long")
+  private def ntokCol: Column = size(words).cast("long")
+  private def nullSafe(c: Column): Column = when(c > 0, c)
+
+  /** 4-dp components as exact decimals, null on zero denominators. */
+  private def a4Col: Column =
+    round(nAlphaCol / nullSafe(nCharsCol), 4).cast(U.Dec)
+  private def t4Col: Column =
+    round(nAlphaCol / nullSafe(ntokCol), 4).cast(U.Dec)
+  private def s4Col: Column =
+    round(hits(words, StopEn) / nullSafe(ntokCol), 4).cast(U.Dec)
+
+  /** quality * 10^8 as BIGINT (null when the text is unscorable). */
+  private def qualityE8Col: Column =
+    ((decLit("0.4") * a4Col +
+      decLit("0.3") * (oneDec - least(oneDec, abs(t4Col - 5) * decLit("0.2"))) +
+      decLit("0.3") * least(oneDec, s4Col * 5)) * 100000000L).cast("long")
+
+  /** SQL mirror of the components; requires `w`, `n_alpha`, `n` in scope. */
+  private def sqlA4 = "CAST(round(n_alpha / NULLIF(n, 0), 4) AS DECIMAL(18,6))"
+  private def sqlT4 =
+    "CAST(round(n_alpha / NULLIF(CAST(len(w) AS BIGINT), 0), 4) AS DECIMAL(18,6))"
+  private def sqlS4 =
+    s"CAST(round(${sqlHits(StopEn)} / NULLIF(CAST(len(w) AS BIGINT), 0), 4) AS DECIMAL(18,6))"
+
+  /** SQL mirror of the composite; requires `a4`, `t4`, `s4` in scope. */
+  private val sqlQualityE8: String =
+    """CAST((CAST(0.4 AS DECIMAL(2,1)) * a4
+      |      + CAST(0.3 AS DECIMAL(2,1)) * (1 - least(CAST(1 AS DECIMAL(18,6)), abs(t4 - 5) * CAST(0.2 AS DECIMAL(2,1))))
+      |      + CAST(0.3 AS DECIMAL(2,1)) * least(CAST(1 AS DECIMAL(18,6)), s4 * 5)) * 100000000 AS BIGINT)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // Corpus stats per language label.
     Q(
@@ -101,11 +154,8 @@ object TextOps {
     },
 
     // Quality scoring: alphabetic ratio, token-length shape, stopword
-    // density. The composite score is computed in DECIMAL from the
-    // already-rounded components: composing the raw double ratios in IEEE
-    // arithmetic lands rows on 4-dp rounding boundaries where Spark and
-    // DuckDB disagree by 1 ulp (observed at sf0.1); decimal arithmetic is
-    // exact and engine-independent.
+    // density. Score arithmetic shared with q_pipeline_curate — see the
+    // "shared quality score" helpers above for the cross-engine rationale.
     Q(
       "q_text_quality",
       s"""WITH t AS (
@@ -117,57 +167,27 @@ object TextOps {
          |  FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    CAST(round(n_alpha / n, 4) AS DECIMAL(18,6)) AS a4,
-         |    round(n_digit / n, 4) AS digit_ratio,
-         |    CAST(round(n_alpha / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) AS t4,
-         |    CAST(round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) AS s4
+         |    $sqlA4 AS a4,
+         |    round(n_digit / NULLIF(n, 0), 4) AS digit_ratio,
+         |    $sqlT4 AS t4,
+         |    $sqlS4 AS s4
          |  FROM t)
          |SELECT doc_id,
          |  CAST(a4 AS DOUBLE) AS alpha_ratio,
          |  digit_ratio,
          |  CAST(t4 AS DOUBLE) AS avg_token_len,
          |  CAST(s4 AS DOUBLE) AS stop_ratio,
-         |  CAST((CAST(0.4 AS DECIMAL(2,1)) * a4
-         |      + CAST(0.3 AS DECIMAL(2,1)) * (1 - least(CAST(1 AS DECIMAL(18,6)), abs(t4 - 5) * CAST(0.2 AS DECIMAL(2,1))))
-         |      + CAST(0.3 AS DECIMAL(2,1)) * least(CAST(1 AS DECIMAL(18,6)), s4 * 5)) * 100000000 AS BIGINT) AS quality_e8
+         |  $sqlQualityE8 AS quality_e8
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nAlpha =
-        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
       val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
-      val n = length(col("text")).cast("long")
-      val ntok = size(words).cast("long")
-      val stopHits = hits(words, StopEn)
-      val a4 = round(nAlpha / n, 4).cast(U.Dec)
-      val t4 = round(nAlpha / ntok, 4).cast(U.Dec)
-      val s4 = round(stopHits / ntok, 4).cast(U.Dec)
-      // Literal BigDecimals infer DecimalType(38,18) in Spark, which blows
-      // the 38-digit budget in products and silently rounds (precision
-      // loss); pin them to minimal types so every product stays exact.
-      val small = org.apache.spark.sql.types.DecimalType(2, 1)
-      val w04 = lit(BigDecimal("0.4")).cast(small)
-      val w03 = lit(BigDecimal("0.3")).cast(small)
-      val w02 = lit(BigDecimal("0.2")).cast(small)
-      val one = lit(BigDecimal(1)).cast(U.Dec)
-      // The composite is exact decimal arithmetic (scale 8), emitted as the
-      // integer quality * 10^8 so the scaled value is exactly integral and
-      // every cross-engine cast quirk is moot. Each cheaper alternative
-      // fails: ROUND(x,4) lands on half boundaries where Spark (HALF_UP)
-      // and DuckDB disagree; decimal->double casts differ by 1 ulp (DuckDB
-      // multiplies by the reciprocal scale); DuckDB floor(DECIMAL) detours
-      // through double (exact 5590.0 -> 5589); and on fractional decimals
-      // DuckDB's decimal->int cast rounds while Spark's truncates.
-      val quality =
-        w04 * a4 +
-          w03 * (one - least(one, abs(t4 - 5) * w02)) +
-          w03 * least(one, s4 * 5)
       U.documents(s, d)
         .select(
           col("doc_id"),
-          a4.cast("double").as("alpha_ratio"),
-          round(nDigit / n, 4).as("digit_ratio"),
-          t4.cast("double").as("avg_token_len"),
-          s4.cast("double").as("stop_ratio"),
-          (quality * 100000000L).cast("long").as("quality_e8"))
+          a4Col.cast("double").as("alpha_ratio"),
+          round(nDigit / nullSafe(nCharsCol), 4).as("digit_ratio"),
+          t4Col.cast("double").as("avg_token_len"),
+          s4Col.cast("double").as("stop_ratio"),
+          qualityE8Col.as("quality_e8"))
         .orderBy("doc_id")
     },
 
@@ -204,15 +224,15 @@ object TextOps {
          |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
          |    CAST(length(text) AS BIGINT) AS n
          |  FROM documents),
-         |scored AS (
+         |c AS (
          |  SELECT doc_id, lang, source, text,
          |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    CAST((CAST(0.4 AS DECIMAL(2,1)) * CAST(round(n_alpha / n, 4) AS DECIMAL(18,6))
-         |        + CAST(0.3 AS DECIMAL(2,1)) * (1 - least(CAST(1 AS DECIMAL(18,6)),
-         |            abs(CAST(round(n_alpha / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) - 5) * CAST(0.2 AS DECIMAL(2,1))))
-         |        + CAST(0.3 AS DECIMAL(2,1)) * least(CAST(1 AS DECIMAL(18,6)),
-         |            CAST(round(${sqlHits(StopEn)} / CAST(len(w) AS BIGINT), 4) AS DECIMAL(18,6)) * 5)) * 100000000 AS BIGINT) AS q_e8
+         |    $sqlA4 AS a4, $sqlT4 AS t4, $sqlS4 AS s4
          |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, lang, source, text, n_tokens,
+         |    $sqlQualityE8 AS q_e8
+         |  FROM c),
          |kept AS (SELECT * FROM scored WHERE q_e8 >= 55000000),
          |canon AS (
          |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
@@ -224,25 +244,10 @@ object TextOps {
          |  min(doc_id) AS first_doc
          |FROM canon GROUP BY lang, source ORDER BY lang, source""".stripMargin) {
       (s, d) =>
-        val nAlpha =
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
-        val n = length(col("text")).cast("long")
-        val ntok = size(words).cast("long")
-        val a4 = round(nAlpha / n, 4).cast(U.Dec)
-        val t4 = round(nAlpha / ntok, 4).cast(U.Dec)
-        val s4 = round(hits(words, StopEn) / ntok, 4).cast(U.Dec)
-        val small = org.apache.spark.sql.types.DecimalType(2, 1)
-        val one = lit(BigDecimal(1)).cast(U.Dec)
-        val qE8 =
-          ((lit(BigDecimal("0.4")).cast(small) * a4 +
-            lit(BigDecimal("0.3")).cast(small) *
-              (one - least(one, abs(t4 - 5) * lit(BigDecimal("0.2")).cast(small))) +
-            lit(BigDecimal("0.3")).cast(small) * least(one, s4 * 5)) * 100000000L)
-            .cast("long")
         U.documents(s, d)
           .select(
             col("doc_id"), col("lang"), col("source"), col("text"),
-            ntok.as("n_tokens"), qE8.as("q_e8"))
+            ntokCol.as("n_tokens"), qualityE8Col.as("q_e8"))
           .filter(col("q_e8") >= 55000000L)
           .groupBy(col("text"))
           .agg(

@@ -78,29 +78,31 @@ class LayoutSpec extends SparkSpec {
 
   test("bucketed tables join on the series key with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val ev = U.events(spark, sfDir)
     Layout.writeTelemetryBucketed(ev, "tele_a", nBuckets = 4)
     Layout.writeTelemetryBucketed(ev, "tele_b", nBuckets = 4)
-    val joined = spark.table("tele_a").as("a")
-      .join(spark.table("tele_b").as("b"), "user_id")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"))
-    joined.collect()
-    val plan = joined.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // AQE off (QueryStageExec leaves would hide exchanges from collect) AND
+    // broadcast off (tiny test tables would broadcast-join, which is
+    // shuffle-free regardless of bucketing — proving nothing); with both
+    // disabled, zero exchanges is attributable only to bucket alignment.
+    withPlanShapeConf(disableBroadcast = true) {
+      val joined = spark.table("tele_a").as("a")
+        .join(spark.table("tele_b").as("b"), "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val plan = executedPlan(joined)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected the non-broadcast join path, got:\n$plan")
+      val joinShuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(joinShuffles.isEmpty,
+        s"expected shuffle-free bucketed join, found ${joinShuffles.length} exchanges")
+      // and the result is still correct
+      val direct = ev.as("a").join(ev.as("b"), "user_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy("user_id").collect()
+      assert(joined.orderBy("user_id").collect().toSeq === direct.toSeq)
     }
-    val joinShuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    // bucket-aligned scan satisfies the join AND the groupBy distribution:
-    // the only permissible exchange is none at all
-    assert(joinShuffles.isEmpty,
-      s"expected shuffle-free bucketed join, found ${joinShuffles.length} exchanges")
-    // and the result is still correct
-    val direct = ev.as("a").join(ev.as("b"), "user_id")
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .orderBy("user_id").collect()
-    assert(joined.orderBy("user_id").collect().toSeq === direct.toSeq)
   }
 
   test("pruned range query returns exactly the brute-force rows") {

@@ -18,23 +18,14 @@ class PlanSpec extends SparkSpec {
     * plan-shape tests run with AQE off (results are unaffected — the
     * oracle gate runs with AQE on).
     */
-  private def executed(df: DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
+  /** Build AND execute inside the conf scope — QueryExecution reads the
+    * session conf lazily at action time, so both must happen with AQE off.
+    */
+  private def executed(df: => DataFrame): SparkPlan =
+    withPlanShapeConf()(executedPlan(df))
 
-  private def q(name: String) = {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+  private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
-  }
-
-  override def afterAll(): Unit = {
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    super.afterAll()
-  }
 
   test("q_select_by_id_range: series AND time-range predicates reach the parquet scan") {
     val scan = executed(q("q_select_by_id_range"))
@@ -73,11 +64,13 @@ class PlanSpec extends SparkSpec {
       s"expected SortMergeJoin in:\n$plan")
   }
 
-  test("q_join_asof is a window pass: zero join operators in the plan") {
+  test("q_join_asof is a window pass: zero join operators of ANY kind in the plan") {
+    import org.apache.spark.sql.execution.joins.{
+      BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     val plan = executed(q("q_join_asof"))
     val joins = plan.collect {
-      case j: BroadcastHashJoinExec => j
-      case j: SortMergeJoinExec => j
+      case j: BaseJoinExec => j // covers BHJ/SMJ/SHJ/BNLJ
+      case j: CartesianProductExec => j
     }
     assert(joins.isEmpty, s"as-of must not plan a join, found ${joins.length}")
   }
