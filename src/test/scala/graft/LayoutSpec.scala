@@ -80,6 +80,15 @@ class LayoutSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val ev = U.events(spark, sfDir)
+    // a previous JVM's warehouse dirs survive under target/ while the
+    // in-memory catalog starts empty -> CTAS location collision; clear both
+    for (t <- Seq("tele_a", "tele_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     Layout.writeTelemetryBucketed(ev, "tele_a", nBuckets = 4)
     Layout.writeTelemetryBucketed(ev, "tele_b", nBuckets = 4)
     // AQE off (QueryStageExec leaves would hide exchanges from collect) AND
