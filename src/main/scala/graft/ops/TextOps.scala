@@ -240,7 +240,7 @@ object TextOps {
          |  FROM kept GROUP BY text)
          |SELECT lang, source,
          |  count(*) AS n_docs,
-         |  sum(n_tokens) AS total_tokens,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS first_doc
          |FROM canon GROUP BY lang, source ORDER BY lang, source""".stripMargin) {
       (s, d) =>

@@ -39,12 +39,31 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            want = con.sql(sql).df()
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            want_rel = con.sql(sql)
+            got, want = got_rel.df(), want_rel.df()
+            # Dtype-strict gate: the driver hashes typed values, so a DuckDB
+            # HUGEINT (e.g. un-cast sum(BIGINT)) vs Spark BIGINT must FAIL
+            # here even though the Python ints compare equal below.
+            def typemap(rel):
+                # Collapse tz-ness of timestamps (value compare already
+                # normalizes it); keep integer/decimal widths strict.
+                return {
+                    c: ("TIMESTAMP" if str(t).startswith("TIMESTAMP") else str(t))
+                    for c, t in zip(rel.columns, rel.types)
+                }
+            g_types, w_types = typemap(got_rel), typemap(want_rel)
             g, w = normalize(got), normalize(want)
             if list(g.columns) != list(w.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                n_fail += 1
+                continue
+            type_diff = {
+                c: (g_types[c], w_types[c])
+                for c in g.columns if g_types[c] != w_types[c]
+            }
+            if type_diff:
+                print(f"FAIL {name}: dtype mismatch (spark vs duckdb): {type_diff}")
                 n_fail += 1
                 continue
             if len(g) != len(w):
