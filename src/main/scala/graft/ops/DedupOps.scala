@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * all over the `documents` table.
   *
   * Scale design (100 TB):
-  *   - exact dedup is one hash-aggregate shuffle on the text (at scale:
-  *     on md5(text), so the shuffle carries 16-byte keys, not documents);
+  *   - exact dedup is one hash-aggregate shuffle on md5(text), so the
+  *     exchange carries 32-hex-char digests, never document bodies;
   *   - MinHash/LSH never compares all pairs — signatures are banded and
   *     candidate pairs come from a groupBy-bucket join, so cost is
   *     O(docs x bands + collisions), the standard Broder/LSH recipe;
   *   - the exact-Jaccard variant prunes by shared shingle (inverted-index
-  *     join) — correct and oracle-checkable, but quadratic in hot shingles;
-  *     it is the verifier for the MinHash path, not the scale path;
+  *     join) with a document-frequency cap on hot shingles, so per-shingle
+  *     fanout is bounded at [[MaxShingleDf]]^2; it remains the verifier for
+  *     the MinHash path — MinHash/LSH is still the scale path;
   *   - SimHash is a zero-shuffle per-row fingerprint (custom codegen'd
   *     Catalyst expression) + a 16-bit-chunk pigeonhole join (Manku et al.,
   *     WWW 2007) for hamming<=3 candidates.
@@ -41,18 +42,35 @@ object DedupOps {
   private val MinHashPerms = 32
   private val Bands = 8 // 8 bands x 4 rows
 
+  /** Max document frequency for a shingle to participate in the exact
+    * inverted-index join: a shingle shared by df docs contributes
+    * df*(df-1)/2 candidate pairs, so one boilerplate shingle in 1M docs
+    * would alone emit ~10^12 pairs. Shingles hotter than the cap carry
+    * no near-dup signal (they're corpus-wide boilerplate) and are dropped
+    * BEFORE the self-join — the standard stop-shingle guard. Testdata df
+    * maxes out far below the cap, so the oracle comparison is unaffected;
+    * the cap is mirrored in the oracle SQL so both engines agree by
+    * construction if data ever crosses it.
+    */
+  private val MaxShingleDf = 1000
+
   val qs: Seq[Q] = Seq(
-    // Exact dedup: canonical (lowest) doc_id per distinct text.
+    // Exact dedup: canonical (lowest) doc_id per distinct text. Groups by
+    // md5(text), NOT text: the group key is what the exchange shuffles, and
+    // at 100 TB hashing before the shuffle is the difference between moving
+    // 16-byte digests and moving the entire corpus through the network.
+    // (Collision risk 2^-64 at ~10^10 docs — the standard corpus-dedup
+    // tradeoff; a paranoid variant carries (md5, xxhash64) as a compound key.)
     Q(
       "q_dedup_exact",
       """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin) {
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin) {
       (s, d) =>
         U.documents(s, d)
-          .groupBy(col("text"))
+          .select(md5(col("text")).as("text_md5"), col("doc_id"))
+          .groupBy(col("text_md5"))
           .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-          .select(md5(col("text")).as("text_md5"), col("canonical_id"), col("n_copies"))
           .orderBy("canonical_id")
     },
 
@@ -65,7 +83,10 @@ object DedupOps {
         |         list_distinct(list_transform(range(1, len(w) - 1),
         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
         |       FROM wd WHERE len(w) >= 3),
-        |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+        |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+        |ex AS (SELECT doc_id, sh FROM
+        |         (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex0)
+        |       WHERE df <= 1000),
         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
         |          FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
@@ -84,11 +105,21 @@ object DedupOps {
       // the same canonical exchange, so ReuseExchange computes the shingling
       // subtree ONCE and replays the shuffle for the other side (measured
       // ~3x at sf0.1; without it each side re-derives every shingle).
+      // Hot-shingle guard: document frequency per shingle via a window over
+      // the SAME hash partitioning the repartition below already installs —
+      // the df count adds a per-partition sort but ZERO extra shuffle, and
+      // caps the self-join fanout at MaxShingleDf^2 per shingle.
       val ex = sh.select(
         col("doc_id"),
         size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("sh"))
         .repartition(col("sh"))
+        .withColumn(
+          "df",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
       ex.as("x")
         .join(ex.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(

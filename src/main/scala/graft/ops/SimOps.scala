@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * a map-side TopK (TakeOrderedAndProject) — linear scan, no shuffle of the
   * vectors; the LSH variant prunes candidates to matching/adjacent hyperplane
   * buckets so the scan becomes a bucket-pruned fraction of the corpus. The
-  * all-pairs variant is the oracle-checkable verifier, not the scale path —
-  * at scale, near-dup pairs come from the same LSH bucketing.
+  * all-pairs variant is the oracle-checkable verifier for the multi-table
+  * LSH production path ([[embedLshPairs]], `q_dedup_embed_lsh`), which
+  * finds the same pairs from bucket collisions instead of O(n²) comparison.
   */
 object SimOps {
 
@@ -29,28 +30,98 @@ object SimOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** 8 deterministic random hyperplanes (seed 42) for 64-dim embeddings. */
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
-  }
-
   private val PlaneDim = 64
 
-  private def bucketOf(emb: Column): Column = {
-    val bits = planes.zipWithIndex
+  /** 8 deterministic random hyperplanes (seed 42) for 64-dim embeddings
+    * (query-time ANN buckets, [[qs]] `q_sim_ann_lsh`). */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
+  }
+
+  /** Multi-table LSH geometry for PAIR near-dup ([[embedLshPairs]]):
+    * `LshTables` independent tables of `LshBits` hyperplanes each. A pair
+    * with angle θ agrees on one plane with p = 1 - θ/π (Charikar 2002), so
+    * per-pair recall is 1 - (1 - p^LshBits)^LshTables: ~99.7% at cosine
+    * 0.97, ~93% at 0.9 — while a random pair (p ≈ 0.5) collides in only
+    * ~LshTables/2^LshBits ≈ 3% of table-buckets, which is the candidate
+    * pruning. Raise LshTables for more recall, LshBits for more pruning.
+    */
+  private val LshTables = 8
+  private val LshBits = 8
+
+  /** LshTables*LshBits deterministic hyperplanes (seed 1234), disjoint per
+    * table. */
+  private lazy val pairPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(LshTables * LshBits)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket of `emb` against `ps` (bit i = plane i side). Fails
+    * fast on a dimension mismatch: VecDot yields null there, and silently
+    * mapping null to bucket 0 would collapse the whole corpus into one
+    * bucket — the "LSH-pruned" scan would quietly degrade to brute force
+    * with no error anywhere.
+    */
+  private def hyperplaneBucket(emb: Column, ps: Seq[Seq[Double]]): Column = {
+    val bits = ps.zipWithIndex
       .map { case (p, i) =>
         when(dot(emb, typedlit(p)) > 0, lit(1 << i)).otherwise(lit(0))
       }
       .reduce(_ + _)
-    // Fail fast on a dimension mismatch: VecDot yields null there, and
-    // silently mapping null to bucket 0 would collapse the whole corpus
-    // into one bucket — the "LSH-pruned" scan would quietly degrade to
-    // brute force with no error anywhere.
     when(size(emb) === PlaneDim, bits).otherwise(
       raise_error(concat(
-        lit(s"q_sim_ann_lsh: embedding dim "), size(emb),
+        lit(s"embedding dim "), size(emb),
         lit(s" != hyperplane dim $PlaneDim"))))
+  }
+
+  private def bucketOf(emb: Column): Column = hyperplaneBucket(emb, planes)
+
+  /** Production-scale embedding near-dup: all pairs with cosine >= `minCos`,
+    * candidates from [[LshTables]] hyperplane-LSH bucket joins (never all
+    * pairs), exact cosine re-rank on candidates only. Mirrors the MinHash
+    * banding plan shape: buckets shuffle (vec_id, table, bucket) triples —
+    * NOT vectors — through one canonical exchange shared by both self-join
+    * sides (ReuseExchange); vectors join back in only for the surviving
+    * candidate pairs. Cost is O(n·L + collisions) vs the verifier's O(n²);
+    * recall per the [[LshTables]] formula is a tunable, not a hope — the
+    * ScalaTest twin (DedupSimSpec) measures it against planted near-dups.
+    */
+  def embedLshPairs(s: SparkSession, d: String, minCos: Double): DataFrame = {
+    val n = U
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val tableBuckets = (0 until LshTables).map { t =>
+      hyperplaneBucket(
+        col("embedding"),
+        pairPlanes.slice(t * LshBits, (t + 1) * LshBits))
+    }
+    val bucketed = n
+      .select(col("vec_id"), posexplode(array(tableBuckets: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+      // canonical exchange shared by both self-join sides => the 64 plane
+      // dot-products per vector run once (ReuseExchange), not per side
+      .repartition(col("tbl"), col("bucket"))
+    val cand = bucketed
+      .as("x")
+      .join(
+        bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val cos = round(
+      dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+    cand
+      .join(n.select(
+        col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
+      .join(n.select(
+        col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
+      .filter(cos >= minCos)
+      .select(col("a"), col("b"), cos.as("cos_sim"))
+      .orderBy("a", "b")
   }
 
   val qs: Seq[Q] = Seq(
@@ -103,6 +174,12 @@ object SimOps {
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), cos.as("cos_sim"))
         .orderBy("a", "b")
     },
+
+    // LSH-bucketed embedding near-dup — the scale path q_dedup_embed_cosine
+    // verifies for. Hash-dependent (recall < 1 by design) => no SQL oracle;
+    // DedupSimSpec asserts precision=1 vs the exact all-pairs twin on
+    // testdata and >= 90% recall on planted cosine-0.97 near-dups.
+    Q.noOracle("q_dedup_embed_lsh") { (s, d) => embedLshPairs(s, d, 0.35) },
 
     // LSH-bucketed approximate top-k: candidates restricted to the query's
     // hyperplane bucket plus hamming-1 probes, then exact cosine on the

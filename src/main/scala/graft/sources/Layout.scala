@@ -67,6 +67,43 @@ object Layout {
     *
     * Returns (filesBefore, filesAfter).
     */
+  private def swapPaths(rootDir: String, eventDate: String) = (
+    new org.apache.hadoop.fs.Path(s"$rootDir/event_date=$eventDate"),
+    new org.apache.hadoop.fs.Path(s"$rootDir/.compact_tmp_event_date=$eventDate"),
+    new org.apache.hadoop.fs.Path(s"$rootDir/.compact_old_event_date=$eventDate"))
+
+  /** Heal a partition left mid-swap by a crashed [[compactPartition]].
+    * The swap's invariant is that a complete copy of the data always exists
+    * under exactly one of (live, old): a crash in the window between the two
+    * renames leaves live MISSING and the data in `.compact_old_...`. Rolls
+    * that rename back (and drops the unreferenced tmp dir); after a crash
+    * anywhere else the live dir is intact and only stale side dirs need
+    * sweeping. Returns true iff a rollback was performed. Idempotent; also
+    * invoked at the start of every [[compactPartition]], so a crashed
+    * compaction self-heals on retry.
+    */
+  def recoverPartition(
+      spark: SparkSession,
+      rootDir: String,
+      eventDate: String): Boolean = {
+    val (path, tmpPath, oldPath) = swapPaths(rootDir, eventDate)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path.toString), spark.sparkContext.hadoopConfiguration)
+    val rolledBack =
+      if (!fs.exists(path) && fs.exists(oldPath)) {
+        if (!fs.rename(oldPath, path))
+          throw new java.io.IOException(s"recover: failed to restore $oldPath")
+        true
+      } else {
+        // live dir intact: any old copy is stale (crash after the second
+        // rename, before cleanup) and safe to drop
+        fs.delete(oldPath, true)
+        false
+      }
+    fs.delete(tmpPath, true) // tmp output is never the only copy
+    rolledBack
+  }
+
   def compactPartition(
       spark: SparkSession,
       rootDir: String,
@@ -74,10 +111,14 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024,
       seriesCol: String = "user_id",
       tsCol: String = "ts"): (Int, Int) = {
-    val partDir = s"$rootDir/event_date=$eventDate"
+    // Heal any previous crashed swap FIRST: the live dir must exist (and the
+    // .compact_old_ slot must hold no sole surviving copy) before we list
+    // input files or delete anything.
+    recoverPartition(spark, rootDir, eventDate)
+    val (path, tmpPath, oldPath) = swapPaths(rootDir, eventDate)
+    val partDir = path.toString
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(partDir), spark.sparkContext.hadoopConfiguration)
-    val path = new org.apache.hadoop.fs.Path(partDir)
     def parquetFiles() =
       fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles()
@@ -88,16 +129,11 @@ object Layout {
       .sortWithinPartitions(col(seriesCol), col(tsCol))
     // Swap via two renames, each checked: write tmp, move live aside, move
     // tmp in, drop the old copy. A crash between the renames leaves the old
-    // data intact in `.compact_old_...` (recoverable by renaming back) —
-    // never deleted-before-replaced. True atomicity (concurrent readers
-    // during the swap window) needs a transactional table format
+    // data intact in `.compact_old_...` ([[recoverPartition]] rolls it
+    // back) — never deleted-before-replaced. True atomicity (concurrent
+    // readers during the swap window) needs a transactional table format
     // (Delta/Iceberg); this is the best a bare-parquet layout can do.
-    val tmpPath = new org.apache.hadoop.fs.Path(
-      s"$rootDir/.compact_tmp_event_date=$eventDate")
-    val oldPath = new org.apache.hadoop.fs.Path(
-      s"$rootDir/.compact_old_event_date=$eventDate")
     df.write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
-    fs.delete(oldPath, true) // leftover from a previous crashed run
     if (!fs.rename(path, oldPath))
       throw new java.io.IOException(s"compact: failed to move $path aside")
     if (!fs.rename(tmpPath, path)) {

@@ -136,33 +136,56 @@ object Streams {
     * is keyed state carried across micro-batches.
     *
     * Rows within a micro-batch are sorted by event time before folding, so
-    * in-batch ordering is deterministic; cross-batch late data is bounded by
-    * the upstream watermark in production pipelines. State is one int per
-    * live series; a production deployment bounds it with an event-time
-    * timeout (a processing-time timeout makes the no-data micro-batch loop
-    * spin continuously under the default 0 ms trigger — measured, not
-    * theorized — so silent-series eviction belongs with a real trigger
-    * interval, not in this transform).
+    * in-batch ordering is deterministic; `watermark` bounds late data.
+    *
+    * State is BOUNDED: one entry per series seen within `stateTtl` of the
+    * event-time watermark. A series that goes silent for `stateTtl` has its
+    * state evicted via `EventTimeTimeout` (a processing-time timeout would
+    * make the no-data micro-batch loop spin continuously under the default
+    * 0 ms trigger — measured, not theorized — while an event-time timeout
+    * only fires when the watermark actually advances). Without this, state
+    * grows monotonically with every series EVER seen — at 100× series
+    * cardinality that is the one scale-killer in an otherwise stateless
+    * pipeline. Semantics on eviction: the run-length resets, which is the
+    * right call — `stateTtl` of silence is itself "not a consecutive fault".
     */
   def faultRuns(
       telemetry: Dataset[Telemetry],
       threshold: Double,
-      minRun: Int): Dataset[FaultRunAlert] = {
+      minRun: Int,
+      watermark: String = "10 minutes",
+      stateTtlMinutes: Long = 60): Dataset[FaultRunAlert] = {
     import telemetry.sparkSession.implicits._
+    val ttlMs = stateTtlMinutes * 60000L
     telemetry
+      .withWatermark("timestamp", watermark)
       .groupByKey(_.timeseries_id)
       .flatMapGroupsWithState[RunState, FaultRunAlert](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (id, rows, state) =>
-          var run = state.getOption.map(_.runLength).getOrElse(0)
-          val alerts = scala.collection.mutable.ArrayBuffer.empty[FaultRunAlert]
-          rows.toSeq.sortBy(_.timestamp.getTime).foreach { r =>
-            run = if (r.value > threshold) run + 1 else 0
-            if (run == minRun)
-              alerts += FaultRunAlert(id, r.timestamp, run)
+          if (state.hasTimedOut) {
+            // the watermark passed this series' last event + TTL with no
+            // new data: drop the entry so state size tracks LIVE series
+            state.remove()
+            Iterator.empty
+          } else {
+            var run = state.getOption.map(_.runLength).getOrElse(0)
+            val alerts = scala.collection.mutable.ArrayBuffer.empty[FaultRunAlert]
+            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            sorted.foreach { r =>
+              run = if (r.value > threshold) run + 1 else 0
+              if (run == minRun)
+                alerts += FaultRunAlert(id, r.timestamp, run)
+            }
+            state.update(RunState(run))
+            // Evict once the watermark passes last-event + TTL. The timeout
+            // timestamp must be strictly ahead of the current watermark, so
+            // clamp for groups whose rows all arrived near the watermark.
+            val lastEventMs = sorted.map(_.timestamp.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            alerts.iterator
           }
-          state.update(RunState(run))
-          alerts.iterator
       }
   }
 

@@ -40,6 +40,62 @@ class DedupSimSpec extends SparkSpec {
     assert(out.select("text_md5").distinct().count() === out.count())
   }
 
+  test("embed LSH pairs are a strict subset of exact all-pairs with identical cosines") {
+    // precision = 1 by construction (exact cosine re-rank on candidates);
+    // this pins it: every LSH pair must appear in the exact twin's output
+    // with a bit-identical rounded cosine.
+    val exact = SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val lsh = SparkEntry.queries("q_dedup_embed_lsh")(spark, sfDir).collect()
+    assert(lsh.nonEmpty, "LSH must surface at least some of the exact pairs")
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(exact.contains(key), s"LSH emitted a non-pair $key")
+      assert(exact(key) === r.getAs[Double]("cos_sim"), s"cosine mismatch at $key")
+    }
+  }
+
+  test("embed LSH recall >= 90% on planted cosine-0.97 near-duplicates") {
+    // The testdata's random vectors only reach cosine ~0.48, where any LSH
+    // family is near-blind by geometry (the 0.35-vs-0.0 angular gap is
+    // small). Real near-dups live at cosine >= 0.9 — plant some and measure
+    // recall where the operator is actually specified to work.
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(150)(i => i.toLong -> vec())
+    val dups = Seq.tabulate(40) { i =>
+      val (srcId, src) = base(i * 3)
+      val jitter = src.map(x => x + 0.2f * rnd.nextGaussian().toFloat)
+      (1000L + srcId, jitter)
+    }
+    val all = base ++ dups
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    import spark.implicits._
+    all.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val want = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if cos(all(i)._2, all(j)._2) >= 0.9
+    } yield {
+      val (x, y) = (all(i)._1, all(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(want.size >= 30, s"expected ~40 planted pairs, got ${want.size}")
+    val got = graft.ops.SimOps.embedLshPairs(spark, dir, 0.9)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got.subsetOf(want), s"false positives: ${got -- want}")
+    val recall = got.size.toDouble / want.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${want.size})")
+  }
+
   test("ANN LSH top-k cosines are genuine cosines from the brute-force ranking") {
     val brute = SparkEntry.queries("q_sim_topk")(spark, sfDir)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap

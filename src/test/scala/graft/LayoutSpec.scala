@@ -76,6 +76,56 @@ class LayoutSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-01-05").count() === rowsBefore)
   }
 
+  test("crash between the compaction renames: recoverPartition rolls back, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val ev = U.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    val oneDay = ev.filter(col("event_date") === "2024-01-05").drop("event_date")
+    oneDay.repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/event_date=2024-01-05")
+    val rowsBefore = spark.read.parquet(dir).count()
+    // Simulate the crash window: tmp fully written, live moved aside, and
+    // the process died BEFORE tmp was installed — live dir missing, the only
+    // complete copy sitting in .compact_old_...
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/event_date=2024-01-05")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_tmp_event_date=2024-01-05")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/.compact_old_event_date=2024-01-05")
+    oneDay.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live) && fs.exists(old) && fs.exists(tmp))
+    // recovery restores the live dir and sweeps both side dirs
+    assert(Layout.recoverPartition(spark, dir, "2024-01-05") === true)
+    assert(fs.exists(live) && !fs.exists(old) && !fs.exists(tmp))
+    assert(spark.read.parquet(dir).count() === rowsBefore,
+      "rollback must restore every row")
+    // a second call is a no-op (idempotent)
+    assert(Layout.recoverPartition(spark, dir, "2024-01-05") === false)
+    assert(spark.read.parquet(dir).count() === rowsBefore)
+  }
+
+  test("compactPartition self-heals a crashed previous swap, then compacts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash2").toString
+    val ev = U.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    val oneDay = ev.filter(col("event_date") === "2024-01-05").drop("event_date")
+    oneDay.repartition(5).write.mode("overwrite")
+      .parquet(s"$dir/event_date=2024-01-05")
+    val rowsBefore = spark.read.parquet(dir).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/event_date=2024-01-05")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/.compact_old_event_date=2024-01-05")
+    assert(fs.rename(live, old)) // crashed mid-swap, live missing
+    val (before, after) = Layout.compactPartition(
+      spark, dir, "2024-01-05", targetFileBytes = 1L << 30)
+    assert(before === 5, "retry must see the rolled-back input files")
+    assert(after === 1)
+    assert(spark.read.parquet(dir).count() === rowsBefore)
+    assert(!fs.exists(old), "completed compaction must leave no old copy")
+  }
+
   test("bucketed tables join on the series key with zero shuffle exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

@@ -81,4 +81,41 @@ class PlanSpec extends SparkSpec {
     val aggs = plan.collect { case a: HashAggregateExec => a }
     assert(aggs.length >= 2, s"expected partial+final HashAggregate, got ${aggs.length}")
   }
+
+  test("q_dedup_exact: every exchange carries md5 digests, never document bodies") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_dedup_exact"))
+    // at 100 TB the exchange payload IS the cost: the group key must be the
+    // 32-hex-char digest computed BEFORE the shuffle, not the raw text
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least the aggregation exchange")
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"exchange shuffles raw document text: ${e.output.map(_.name)}")
+    }
+    val aggs = plan.collect { case a: HashAggregateExec => a }
+    assert(aggs.nonEmpty &&
+      aggs.forall(_.groupingExpressions.forall(_.name == "text_md5")),
+      s"grouping must be on the digest: ${aggs.map(_.groupingExpressions)}")
+  }
+
+  test("q_tpch_q5 with broadcast forced off (100x-stats stand-in) plans sort-merge, no nested loops") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // At 1000-executor scale the dimension tables may stop fitting the
+    // broadcast threshold; the plan must then flip to sort-merge on every
+    // join, never degrade to a nested-loop/cartesian path.
+    val plan = withPlanShapeConf(disableBroadcast = true)(
+      executedPlan(q("q_tpch_q5")))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      s"expected SortMergeJoin under -1 broadcast threshold:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "broadcast joins must disappear when the threshold forbids them")
+    val degenerate = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(degenerate.isEmpty, s"found non-equi fallback joins: $degenerate")
+  }
 }

@@ -170,6 +170,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(("id-a", 3)), s"got ${out.toSeq}")
   }
 
+  test("faultRuns: a silent series' state is EVICTED once the watermark passes its TTL") {
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    // TTL 30 min: id-old's state must be gone once the watermark passes
+    // last-event(12:01) + 30 min = 12:31
+    val alerts = Streams.faultRuns(
+      mem.toDS(), threshold = 0.95, minRun = 3,
+      watermark = "10 minutes", stateTtlMinutes = 30)
+    val q = alerts.writeStream.format("memory").queryName("fault_runs_ttl")
+      .outputMode("append").start()
+    def t(s: String, v: Double, id: String) = Telemetry("S", ts(s), v, None, id)
+    // b1: id-old reaches run=2 (one fault short of an alert)
+    mem.addData(Seq(
+      t("2024-08-28 12:00:00", 0.97, "id-old"),
+      t("2024-08-28 12:01:00", 0.98, "id-old")))
+    q.processAllAvailable()
+    // b2: only id-live traffic; watermark advances to 12:50 > 12:31
+    mem.addData(Seq(t("2024-08-28 13:00:00", 0.10, "id-live")))
+    q.processAllAvailable()
+    // b3: another id-live batch lets the id-old timeout actually fire
+    mem.addData(Seq(t("2024-08-28 13:01:00", 0.10, "id-live")))
+    q.processAllAvailable()
+    // b4: id-old returns with ONE fault. If the run=2 state had survived the
+    // silence this would be run=3 -> alert; eviction means it restarts at 1.
+    mem.addData(Seq(t("2024-08-28 13:30:00", 0.99, "id-old")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("fault_runs_ttl").count() === 0,
+      "state for the silent series must be dropped, not resumed")
+  }
+
   test("ingestFiles: JSON-lines dir lands as day-partitioned parquet, exactly once") {
     val in = java.nio.file.Files.createTempDirectory("graft_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
