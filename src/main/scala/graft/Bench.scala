@@ -14,7 +14,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").trim.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,9 +58,17 @@ object Bench {
     val results = queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A failed query (-1 sentinel) must make the headline number WORSE, not
+    // better: report total=-1 plus the failed list so the gate can't read a
+    // breakage as a speedup.
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val total =
+      if (failed.nonEmpty) -1.0
+      else if (results.nonEmpty) results.map(_._2).sum
+      else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
+          .mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

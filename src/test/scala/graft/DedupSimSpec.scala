@@ -83,7 +83,9 @@ class DedupSimSpec extends SparkSpec {
     }
     val want = (for {
       i <- all.indices; j <- (i + 1) until all.length
-      if cos(all(i)._2, all(j)._2) >= 0.9
+      // same round-to-4-then-threshold semantics as embedLshPairs, so a
+      // boundary cosine in [0.89995, 0.9) can't appear on one side only
+      if math.rint(cos(all(i)._2, all(j)._2) * 1e4) / 1e4 >= 0.9
     } yield {
       val (x, y) = (all(i)._1, all(j)._1)
       (math.min(x, y), math.max(x, y))
