@@ -177,6 +177,73 @@ object AggOps {
             |FROM graft_lineitem_gs
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
             |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // Relational PIVOT: one row per user, one count column per event_type.
+    // Spark's pivot() compiles to exactly the conditional aggregation the
+    // oracle spells out — a single partial+final hash aggregate, no extra
+    // shuffle vs a plain groupBy. Values are enumerated explicitly: with an
+    // inferred value set Spark must run a separate distinct job first, and
+    // the output schema would depend on the data (both wrong at 100 TB).
+    Q(
+      "q_pivot",
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      U.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        // pivot yields NULL (not 0) for a (user, type) with no rows; the
+        // oracle's conditional count yields 0 — normalize to 0
+        .select(
+          col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+
+    // Fixed-width histogram over a double measure: floor-bucket then count.
+    // Pure double arithmetic (no decimal detours — floor(double/const) is
+    // bit-identical across engines); one partial-aggregated shuffle keyed
+    // by bucket, so cardinality is bounded by the bucket count at any SF.
+    Q(
+      "q_agg_histogram",
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_val
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      U.events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(U.dsum(col("value")), 2).as("sum_val"))
+        .orderBy("bucket")
+    },
+
+    // Grouped mode (most frequent user per event_type), deterministic
+    // tie-break on the smaller user_id: count-then-rank — two shuffles,
+    // both partial-aggregated / bounded by group cardinality.
+    Q(
+      "q_agg_mode",
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS BIGINT) AS rn
+        |      FROM c)
+        |SELECT event_type, user_id AS mode_user, n FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      U.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("user_id").as("mode_user"), col("n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, U}
 import graft.faults.FaultRules
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 groups A (reference-parity core) and B (scan / projection /
@@ -178,6 +179,31 @@ object CoreOps {
           col("l_returnflag"),
           col("l_linestatus"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // B: stratified systematic sampling — every 20th row per event_type
+    // stratum in deterministic (event_id) order. Unlike rand()-based
+    // TABLESAMPLE this is reproducible across engines and runs, which is
+    // what a training-data pipeline needs for audit/repro; cost is one
+    // window shuffle by stratum (at 100 TB: sample AFTER pushdown filters,
+    // so the window sees only surviving rows).
+    Q(
+      "q_sample_systematic",
+      """WITH s AS (SELECT event_id, user_id, event_type, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, value, rn
+        |FROM s WHERE rn % 20 = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("event_type"),
+          col("value"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") % 20 === 1)
+        .orderBy("event_id")
     }
   )
 }

@@ -120,6 +120,30 @@ object FnOps {
             .as("l2_norm"),
           size(filter(col("embedding"), x => x > 0.1)).cast("long").as("n_big"))
         .orderBy("vec_id")
+    },
+
+    // Regex family: capture-group extraction + boolean match. The pattern
+    // set stays in the RE2 ∩ java.util.regex common dialect (classes,
+    // groups, alternation, anchors) so Spark and the DuckDB oracle agree;
+    // pure codegen'd per-row scan, zero shuffle.
+    Q(
+      "q_fn_regex",
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2) AS prio_word,
+        |  regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot
+        |FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        U.orders(s, d)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"),
+            regexp_extract(col("o_orderpriority"), "([0-9])-([A-Z]+)", 1)
+              .as("prio_num"),
+            regexp_extract(col("o_orderpriority"), "([0-9])-([A-Z]+)", 2)
+              .as("prio_word"),
+            col("o_orderpriority").rlike("URGENT|HIGH").as("is_hot"))
+          .orderBy("o_orderkey")
     }
   )
 }

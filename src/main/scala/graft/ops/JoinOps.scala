@@ -127,8 +127,13 @@ object JoinOps {
           U.supplier(s, d),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(U.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(U.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        // no broadcast() hint on the dims: a hint overrides the size
+        // threshold unconditionally, which would pin the broadcast even at
+        // 1000-executor stats where nation/region replicas stop being free.
+        // Catalyst broadcasts them from stats anyway at every tested SF, and
+        // PlanSpec asserts the plan flips to sort-merge when stats forbid it.
+        .join(U.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(U.region(s, d), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(
@@ -234,6 +239,85 @@ object JoinOps {
             unix_micros(col("ts")).as("ts_us"),
             col("signup_event_id"))
           .orderBy("event_id")
+    },
+
+    // Skew-mitigating salted join: the fact side gets a deterministic salt
+    // in [0, SaltBuckets); the dim side replicates each row across all
+    // salts, so a hot join key fans out over SaltBuckets reducers instead
+    // of melting one. Same result as the unsalted join (the oracle IS the
+    // plain join) — salting only changes the partitioning. At 100 TB this
+    // is the manual fallback when AQE's skew-join split can't help (e.g.
+    // the skew is in the build side of a shuffled hash join). The `merge`
+    // hint pins the shuffle path for the same reason as q_join_shuffle.
+    Q(
+      "q_join_salted",
+      """SELECT o_orderpriority, l_returnflag, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_returnflag
+        |ORDER BY o_orderpriority, l_returnflag""".stripMargin) { (s, d) =>
+      val SaltBuckets = 8
+      val fact = U.lineitem(s, d).withColumn(
+        "fsalt",
+        pmod(col("l_partkey") + col("l_linenumber"), lit(SaltBuckets)))
+      val dim = U.orders(s, d).withColumn(
+        "dsalt",
+        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+      fact
+        .hint("merge")
+        .join(
+          dim,
+          col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    },
+
+    // CDC upsert merge (SCD type 1): a per-order revenue delta keyed on
+    // l_orderkey*2 (so ~half the keys update existing orders and half are
+    // inserts beyond the key range) merged into `orders` via one full-outer
+    // join — matched rows take the delta price, unmatched keep/insert.
+    // This is MERGE INTO re-expressed as a join: one shuffle on the key,
+    // AQE-planned, no driver-side state; at 100 TB the delta side is
+    // typically small enough to broadcast, flipping the plan for free.
+    // Prices are emitted as exactly-integral micro-units (BIGINT): the
+    // delta side is an exact decimal sum scaled by 10^6, the kept side is
+    // floor(x*10^6 + 0.5) — both bit-identical across engines, where a
+    // round-to-2dp double hits half boundaries (observed at sf0.01).
+    Q(
+      "q_merge_upsert",
+      """WITH delta AS (
+        |  SELECT l_orderkey * 2 AS key,
+        |    CAST(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS d_micro
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT coalesce(o.o_orderkey, d.key) AS o_orderkey,
+        |  coalesce(d.d_micro, CAST(floor(o.o_totalprice * 1000000 + 0.5) AS BIGINT)) AS price_micro,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN d.key IS NULL THEN 'keep'
+        |       ELSE 'update' END AS op
+        |FROM orders o FULL OUTER JOIN delta d ON o.o_orderkey = d.key
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val delta = U.lineitem(s, d)
+        .groupBy((col("l_orderkey") * 2).as("key"))
+        .agg(
+          (sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(U.Dec))
+            .cast(U.Dec) * 1000000).cast("long").as("d_micro"))
+      U.orders(s, d)
+        .join(delta, col("o_orderkey") === col("key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("key")).as("o_orderkey"),
+          coalesce(
+            col("d_micro"),
+            floor(col("o_totalprice") * 1000000 + 0.5).cast("long"))
+            .as("price_micro"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("key").isNull, "keep")
+            .otherwise("update")
+            .as("op"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -284,6 +284,31 @@ object TextOps {
           aggregate(vals, lit(0L), (h, x) => (h * 31 + x) % 1000000007L)
             .as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // PII-style scrubbing: count and redact every match of a word-boundary
+    // regex. The synthetic corpus has no real PII (no digits/emails), so the
+    // pattern targets the determiner tokens as a stand-in — the OPERATOR is
+    // the deliverable: regex hit-count + global replace, pure codegen'd
+    // per-row scan, zero shuffle, linear at any corpus size. Swapping in a
+    // real SSN/email pattern is a one-string change.
+    Q(
+      "q_text_pii_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(a|the)\b')) AS BIGINT) AS n_hits,
+        |  CAST(length(regexp_replace(text, '\b(a|the)\b', '<PII>', 'g')) AS BIGINT) AS redacted_len,
+        |  substring(regexp_replace(text, '\b(a|the)\b', '<PII>', 'g'), 1, 40) AS redacted_head
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pat = "\\b(a|the)\\b"
+      val redacted = regexp_replace(col("text"), pat, "<PII>")
+      U.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_hits"),
+          length(redacted).cast("long").as("redacted_len"),
+          substring(redacted, 1, 40).as("redacted_head"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -161,6 +161,48 @@ object TsOps {
             min(unix_micros(col("ts"))).as("start_us"),
             max(unix_micros(col("ts"))).as("end_us"))
           .orderBy("user_id", "session_id")
+    },
+
+    // Time-weighted average per series (left-constant interpolation): each
+    // sample holds its value until the next one, so TWA = Σ v_i·Δt_i / Σ Δt_i
+    // over consecutive-sample segments. The irregular-sampling analogue of a
+    // plain avg — THE canonical time-series aggregate the row-count average
+    // gets wrong. One window shuffle by series key, then one tiny aggregate;
+    // weights are epoch-micro BIGINTs and values go through DECIMAL so the
+    // Σ v·Δt accumulation is exact and order-independent in both engines.
+    Q(
+      "q_ts_twa",
+      """WITH t AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value FROM events),
+        |seg AS (SELECT user_id,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS v0,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt
+        |  FROM t)
+        |SELECT user_id, CAST(sum(dt) AS BIGINT) AS dur_us,
+        |  round(CAST(sum(CAST(v0 AS DECIMAL(18,6)) * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT), 6) AS twa
+        |FROM seg WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val wUs = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        U.events(s, d)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("value"))
+          .select(
+            col("user_id"),
+            lag(col("value"), 1).over(wUs).as("v0"),
+            (col("ts_us") - lag(col("ts_us"), 1).over(wUs)).as("dt"))
+          .filter(col("dt").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(col("dt")).as("dur_us"),
+            round(
+              sum(col("v0").cast(U.Dec) * col("dt")).cast("double") /
+                sum(col("dt")),
+              6).as("twa"))
+          .orderBy("user_id")
     }
   )
 }

@@ -124,6 +124,39 @@ object WindowOps {
           row_number().over(wVal).cast("long").as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("user_id", "rn")
+    },
+
+    // Distribution windows: quartile bucket, percent_rank, cume_dist (by
+    // value within series) plus first/last event over the full frame.
+    // percent_rank/cume_dist are integer-ratio doubles — IEEE division is
+    // exactly rounded, so the raw doubles are bit-identical across engines
+    // (no rounding needed). Still exactly one shuffle by the series key.
+    Q(
+      "q_win_ntile",
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(event_id) OVER w2 AS first_eid,
+        |  last_value(event_id) OVER w2 AS last_eid
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+        |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val wv = wUser.orderBy(col("value"), col("event_id"))
+      val full = wOrdered
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          ntile(4).over(wv).cast("long").as("tile"),
+          percent_rank().over(wv).as("pct_rank"),
+          cume_dist().over(wv).as("cdist"),
+          first(col("event_id")).over(full).as("first_eid"),
+          last(col("event_id")).over(full).as("last_eid"))
+        .orderBy("event_id")
     }
   )
 }

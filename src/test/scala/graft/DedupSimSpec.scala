@@ -111,6 +111,21 @@ class DedupSimSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("ANN IVF top-k cosines are genuine cosines from the brute-force ranking") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.length === 10)
+    // exact re-rank: any IVF result that brute force also ranked must carry
+    // the bit-identical rounded cosine
+    ivf.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(c => assert(math.abs(c - r.getAs[Double]("cos_sim")) < 1e-9))
+    }
+    // cells are genuine codebook cells
+    ivf.foreach(r => assert((1L to 16L).contains(r.getAs[Long]("cell"))))
+  }
+
   test("approx quantiles bracket the exact quantiles") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
       .collect()
