@@ -244,6 +244,36 @@ object AggOps {
         .filter(col("rn") === 1)
         .select(col("event_type"), col("user_id").as("mode_user"), col("n"))
         .orderBy("event_type")
+    },
+
+    // Exact interpolating percentiles per group. Values are milli-scaled to
+    // integers first: with integer inputs and quarter fractions (exact
+    // binary: 0.25/0.5/0.75), every term of the interpolation
+    // lo + g*(hi - lo) is exactly representable, so BOTH engines produce
+    // bit-identical doubles regardless of their internal formula order —
+    // p95-style fractions would not survive this (0.95 is inexact in
+    // binary, making formula association visible). Requires a per-group
+    // sort, the honest cost of exact percentiles; the 100 TB path is
+    // q_agg_approx_quantile (KLL/GK sketch, no sort).
+    Q(
+      "q_agg_percentile",
+      """WITH v AS (SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  quantile_cont(vm, 0.25) AS p25,
+        |  quantile_cont(vm, 0.50) AS p50,
+        |  quantile_cont(vm, 0.75) AS p75
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      U.events(s, d)
+        .select(
+          col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vm"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(vm, 0.25)").as("p25"),
+          expr("percentile(vm, 0.50)").as("p50"),
+          expr("percentile(vm, 0.75)").as("p75"))
+        .orderBy("event_type")
     }
   )
 }

@@ -144,6 +144,40 @@ object FnOps {
               .as("prio_word"),
             col("o_orderpriority").rlike("URGENT|HIGH").as("is_hot"))
           .orderBy("o_orderkey")
+    },
+
+    // Edit distance (plain unweighted Levenshtein — identical definitions in
+    // Spark and DuckDB) over a bounded candidate set of short part names.
+    // Pairwise edit distance is O(|a|·|b|) per pair and O(n²) pairs, so at
+    // scale the candidate set ALWAYS comes from a blocking stage first
+    // (LSH buckets / shared tokens, as in the dedup family); this operator
+    // is the verifier that runs inside each small block.
+    Q(
+      "q_fn_levenshtein",
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey <= 60 AND b.p_partkey <= 60
+        |  AND levenshtein(a.p_name, b.p_name) <= 6
+        |ORDER BY pa, pb""".stripMargin) { (s, d) =>
+      val pa = U.part(s, d)
+        .filter(col("p_partkey") <= 60)
+        .select(col("p_partkey").as("pa"), col("p_name").as("name_a"))
+      val pb = U.part(s, d)
+        .filter(col("p_partkey") <= 60)
+        .select(col("p_partkey").as("pb"), col("p_name").as("name_b"))
+      pa.join(
+          broadcast(pb),
+          col("pa") < col("pb") &&
+            levenshtein(col("name_a"), col("name_b")) <= 6)
+        .select(
+          col("pa"),
+          col("pb"),
+          col("name_a"),
+          col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy("pa", "pb")
     }
   )
 }

@@ -1,0 +1,217 @@
+package graft.ops
+
+import graft.{Q, U}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for an LLM training-data pipeline (north
+  * star, `BASELINE.json:6`): deterministic train/valid/test splitting,
+  * context-window sequence packing, weighted domain mixing, benchmark
+  * contamination detection, and near-dup cluster resolution.
+  *
+  * Scale design (100 TB):
+  *   - the split is a pure per-row scan keyed on a content hash — stable
+  *     under re-ingest/re-partitioning, no shuffle at all;
+  *   - packing is one window pass per (lang) shard: cumulative token offsets
+  *     never materialize pack contents, only assignments;
+  *   - mixing replicates rows with `explode(sequence(...))` — map-side only,
+  *     output size = Σ weights, no shuffle;
+  *   - contamination joins corpus shingles against a BROADCAST eval-set
+  *     shingle dictionary (the eval set is benchmarks — thousands of docs,
+  *     not billions), so the corpus never shuffles;
+  *   - cluster resolution is iterative min-label propagation over the
+  *     near-dup pair graph with per-iteration `localCheckpoint` to truncate
+  *     lineage; near-dup components are dense little cliques (diameter ~2-3
+  *     at any corpus size — docs at Jaccard >= 0.8 of a common neighbor are
+  *     near each other too), so the loop converges in a handful of rounds.
+  */
+object PipelineOps {
+
+  private def words: Column = split(trim(col("text")), "\\s+")
+
+  /** doc_id + distinct 3-word shingles — same construction as
+    * [[DedupOps]] / its oracle (docs with >= 3 tokens).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    U.documents(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.functions.Shingles.shingles(col("w"), 3).as("shingles"))
+
+  /** Context-window size for sequence packing (tokens). */
+  private val PackWindow = 2048
+
+  val qs: Seq[Q] = Seq(
+    // Deterministic content-hash train/valid/test split (90/5/5): the split
+    // key is the first 16 bits of md5(text), so assignment is a pure
+    // function of document CONTENT — reproducible across runs, engines, and
+    // re-partitionings, and a re-ingested duplicate always lands in the
+    // same split (no eval leakage from shuffling row order). Zero shuffle.
+    Q(
+      "q_split_assign",
+      """WITH h AS (SELECT doc_id, ('0x' || substr(md5(text), 1, 4))::BIGINT AS h16 FROM documents)
+        |SELECT doc_id, h16,
+        |  CASE WHEN h16 % 100 < 90 THEN 'train'
+        |       WHEN h16 % 100 < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      U.documents(s, d)
+        .select(col("doc_id"), h16.as("h16"))
+        .withColumn(
+          "split",
+          when(col("h16") % 100 < 90, "train")
+            .when(col("h16") % 100 < 95, "valid")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: assign each document a pack (context window) id by
+    // its running token offset within a (lang) shard — the deterministic
+    // offset-based packing a distributed trainer uses to slice a shuffled-
+    // once corpus into fixed windows. One window shuffle per shard key;
+    // only (doc, offset) assignments materialize, never packed text.
+    Q(
+      "q_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, cum - n_tok AS tok_offset,
+        |  CAST(floor((cum - n_tok) / $PackWindow.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window
+        .partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      U.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(words).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_tok"),
+          (col("cum") - col("n_tok")).as("tok_offset"),
+          floor((col("cum") - col("n_tok")) / lit(PackWindow.toDouble))
+            .cast("long")
+            .as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // Weighted domain mixing by upsampling: each source gets a small integer
+    // repeat factor (here a deterministic function of the source id; in
+    // production a dimension table) and every doc is replicated weight
+    // times with a copy index. explode(sequence) is map-side only: no
+    // shuffle, output rows = sum of weights — the standard way to hit a
+    // target domain mixture without a sampling pass.
+    Q(
+      "q_mix_upsample",
+      """WITH w AS (SELECT doc_id, source,
+        |    CAST(substr(source, 4)::INT % 4 + 1 AS BIGINT) AS weight
+        |  FROM documents)
+        |SELECT doc_id, source, weight,
+        |  CAST(unnest(generate_series(1, weight)) AS BIGINT) AS copy_idx
+        |FROM w ORDER BY doc_id, copy_idx""".stripMargin) { (s, d) =>
+      U.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("source"),
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1)
+            .cast("long")
+            .as("weight"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("weight"),
+          explode(sequence(lit(1L), col("weight"))).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+
+    // Benchmark-contamination check: corpus docs sharing >= 1 3-gram shingle
+    // with the eval set (stand-in: doc_id < 10). The eval shingle dictionary
+    // is BROADCAST — benchmarks are small by construction — so the 100 TB
+    // corpus is a single map-side semi-join + one aggregation keyed by
+    // doc_id; the corpus text itself never shuffles.
+    Q(
+      "q_text_contamination",
+      """WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |       FROM wd WHERE len(w) >= 3),
+        |ev AS (SELECT DISTINCT sh, eval_id FROM
+        |         (SELECT unnest(shingles) AS sh, doc_id AS eval_id FROM sh WHERE doc_id < 10)),
+        |cx AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 10)
+        |SELECT cx.doc_id, count(DISTINCT cx.sh) AS n_shared,
+        |  count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM cx JOIN ev ON cx.sh = ev.sh
+        |GROUP BY cx.doc_id ORDER BY cx.doc_id""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val ev = sh
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("sh"))
+        .distinct()
+      val cx = sh
+        .filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      cx.join(broadcast(ev), "sh")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("sh")).as("n_shared"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
+    },
+
+    // Near-dup cluster resolution: connected components over the exact
+    // n-gram-Jaccard pair graph, as min-label propagation to fixpoint.
+    // Each iteration is one join + one aggregate (all shuffles on the node
+    // key); `localCheckpoint` truncates the growing lineage so iteration N
+    // doesn't recompute 1..N-1. Convergence is monitored by sum(label) —
+    // labels only ever decrease, so an unchanged sum IS the fixpoint.
+    // Graph-dependent iteration count => no single SQL oracle; ScalaTest
+    // verifies against a driver-side union-find on the same pairs.
+    Q.noOracle("q_dedup_clusters") { (s, d) =>
+      val pairs = graft.Registry
+        .byName("q_dedup_ngram_jaccard")
+        .fn(s, d)
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .union(pairs.select(col("b"), col("a")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      var labels = edges
+        .select(col("u").as("node"))
+        .distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node2"))
+          .agg(min(col("label")).as("nlab"))
+        labels = labels
+          .join(nbrMin, col("node") === col("node2"), "left")
+          .select(
+            col("node"),
+            least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+          .localCheckpoint()
+        val sumNow = labels.agg(sum(col("label"))).head().getLong(0)
+        converged = sumNow == prevSum
+        prevSum = sumNow
+        iter += 1
+      }
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }
+  )
+}

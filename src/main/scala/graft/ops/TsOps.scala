@@ -203,6 +203,131 @@ object TsOps {
                 sum(col("dt")),
               6).as("twa"))
           .orderBy("user_id")
+    },
+
+    // Linear-interpolation gap-fill: same hourly spine as q_ts_gapfill, but
+    // interior gaps are linearly interpolated between the surrounding
+    // observations instead of forward-filled. v0/t0 come from a backward
+    // IGNORE NULLS window, v1/t1 from a forward one — still exactly one
+    // shuffle by series key. The interpolation arithmetic is written
+    // IDENTICALLY in both engines (v0 + (v1-v0) * ((t-t0)/(t1-t0)), all
+    // IEEE double ops in the same order), so results are bit-identical.
+    Q(
+      "q_ts_interp_linear",
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bkt,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM b GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bkt FROM bounds),
+        |j AS (SELECT s.user_id, s.bkt, b.avg_v
+        |      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bkt = b.bkt),
+        |f AS (SELECT user_id, bkt, avg_v,
+        |    last_value(avg_v IGNORE NULLS) OVER wb AS v0,
+        |    last_value(CASE WHEN avg_v IS NOT NULL THEN bkt END IGNORE NULLS) OVER wb AS t0,
+        |    first_value(avg_v IGNORE NULLS) OVER wf AS v1,
+        |    first_value(CASE WHEN avg_v IS NOT NULL THEN bkt END IGNORE NULLS) OVER wf AS t1
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY bkt
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY bkt
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bkt,
+        |  CASE WHEN avg_v IS NOT NULL THEN avg_v
+        |       ELSE v0 + (v1 - v0) * ((bkt - t0) / (t1 - t0)) END AS interp
+        |FROM f ORDER BY user_id, bkt""".stripMargin) { (s, d) =>
+      val hourly = U
+        .events(s, d)
+        .groupBy(col("user_id"), bucket(3600).as("bkt"))
+        .agg(round(U.davg(col("value")), 4).as("avg_v"))
+      val spine = hourly
+        .groupBy(col("user_id"))
+        .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
+        .select(
+          col("user_id"),
+          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bkt"))
+      val wb = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsBkt = when(col("avg_v").isNotNull, col("bkt"))
+      spine
+        .join(hourly, Seq("user_id", "bkt"), "left")
+        .withColumn("v0", last(col("avg_v"), ignoreNulls = true).over(wb))
+        .withColumn("t0", last(obsBkt, ignoreNulls = true).over(wb))
+        .withColumn("v1", first(col("avg_v"), ignoreNulls = true).over(wf))
+        .withColumn("t1", first(obsBkt, ignoreNulls = true).over(wf))
+        .select(
+          col("user_id"),
+          col("bkt"),
+          when(col("avg_v").isNotNull, col("avg_v"))
+            .otherwise(
+              col("v0") + (col("v1") - col("v0")) *
+                ((col("bkt") - col("t0")) / (col("t1") - col("t0"))))
+            .as("interp"))
+        .orderBy("user_id", "bkt")
+    },
+
+    // Ordered-event funnel: signup -> first click at-or-after the signup ->
+    // first purchase at-or-after that click, per user. Three bounded
+    // aggregations joined on the series key (each one row per user, so the
+    // joins are between pre-aggregated frames that co-partition on user_id);
+    // timestamps compare as epoch micros. The canonical product-analytics
+    // query over an events stream.
+    Q(
+      "q_funnel",
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |cl AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |       FROM events e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= su.t_signup
+        |       GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |       FROM events e JOIN cl ON e.user_id = cl.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= cl.t_click
+        |       GROUP BY 1)
+        |SELECT su.user_id, su.t_signup, cl.t_click, pu.t_purchase,
+        |  CAST(CASE WHEN pu.user_id IS NOT NULL THEN 3
+        |            WHEN cl.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage
+        |FROM su LEFT JOIN cl ON su.user_id = cl.user_id
+        |LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id""".stripMargin) { (s, d) =>
+      val ev = U.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val su = ev
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t_signup"))
+      val cl = ev
+        .filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts_us") >= col("t_signup"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t_click"))
+      val pu = ev
+        .filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts_us") >= col("t_click"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t_purchase"))
+      su.join(cl, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          col("t_signup"),
+          col("t_click"),
+          col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .otherwise(1L)
+            .as("stage"))
+        .orderBy("user_id")
     }
   )
 }

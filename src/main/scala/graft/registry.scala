@@ -82,7 +82,8 @@ object Registry {
   def all: Seq[Q] =
     ops.CoreOps.qs ++ ops.JoinOps.qs ++ ops.AggOps.qs ++ ops.WindowOps.qs ++
       ops.SetOps.qs ++ ops.FnOps.qs ++ ops.TsOps.qs ++ ops.TextOps.qs ++
-      ops.DedupOps.qs ++ ops.SimOps.qs ++ ops.MultimodalOps.qs
+      ops.DedupOps.qs ++ ops.SimOps.qs ++ ops.MultimodalOps.qs ++
+      ops.PipelineOps.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

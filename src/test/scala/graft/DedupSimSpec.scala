@@ -32,6 +32,30 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
   }
 
+  test("dedup clusters equal driver-side union-find on the same pair graph") {
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find with path compression, canonical = min member
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got === want)
+  }
+
   test("exact dedup canonical ids: one row per distinct text, copies sum to corpus size") {
     val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
     val total = out.agg(sum("n_copies")).head().getLong(0)

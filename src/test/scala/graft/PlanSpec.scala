@@ -100,6 +100,41 @@ class PlanSpec extends SparkSpec {
       s"grouping must be on the digest: ${aggs.map(_.groupingExpressions)}")
   }
 
+  test("q_text_contamination: eval shingle dictionary is broadcast, corpus side never shuffles before the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_text_contamination"))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the eval-set join to broadcast:\n$plan")
+    // the corpus (streamed) side of the broadcast join must be shuffle-free:
+    // at 100 TB the whole point is that corpus shingles flow map-side only
+    bhj.foreach { j =>
+      // streamed side = the child with no BroadcastExchange in its subtree
+      val streamed = j.children
+        .filter(c => c.collect { case b: BroadcastExchangeExec => b }.isEmpty)
+      assert(streamed.nonEmpty)
+      val streamedShuffles =
+        streamed.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      assert(streamedShuffles.isEmpty,
+        s"corpus side shuffles before the contamination join:\n$streamed")
+    }
+  }
+
+  test("q_split_assign: content-hash split is a pure scan, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // global ORDER BY at the end is allowed (presentation only) — assert no
+    // exchange below the split projection by checking the plan has no
+    // hash-partitioned shuffle (the sort's range exchange is the only one)
+    val plan = executed(q("q_split_assign"))
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e
+    }
+    assert(hashExchanges.isEmpty,
+      s"split assignment must not hash-shuffle: $hashExchanges")
+  }
+
   test("q_tpch_q5 with broadcast forced off (100x-stats stand-in) plans sort-merge, no nested loops") {
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec}
