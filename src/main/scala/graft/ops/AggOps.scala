@@ -274,6 +274,40 @@ object AggOps {
           expr("percentile(vm, 0.50)").as("p50"),
           expr("percentile(vm, 0.75)").as("p75"))
         .orderBy("event_type")
+    },
+
+    // Incremental materialized-view refresh: a daily per-user rollup
+    // maintained as MERGEABLE partial aggregates. The "materialized" base
+    // (90% of events) and the delta batch (10%) are each pre-aggregated,
+    // then combined by SUMMING the partials — count is sum-mergeable and
+    // the value sum is exact DECIMAL (order-independent), so
+    // merge(agg(base), agg(delta)) == agg(base ∪ delta) EXACTLY, which is
+    // the property incremental view maintenance rests on. The oracle is the
+    // full recompute. At 100 TB the delta re-agg touches only new
+    // partitions; the base rollup (one row per user-day) never rescans.
+    Q(
+      "q_mv_incremental",
+      """SELECT user_id,
+        |  CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS day,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+        |FROM events GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) {
+      (s, d) =>
+        val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("user_id"), day.as("day"))
+            .agg(
+              count(lit(1)).as("pn"),
+              sum(col("value").cast(U.Dec)).as("psum"))
+        val base = partial(U.events(s, d).filter(col("event_id") % 10 =!= 9))
+        val delta = partial(U.events(s, d).filter(col("event_id") % 10 === 9))
+        base
+          .unionAll(delta)
+          .groupBy(col("user_id"), col("day"))
+          .agg(
+            sum(col("pn")).as("n"),
+            round(sum(col("psum")).cast("double"), 4).as("sum_val"))
+          .orderBy("user_id", "day")
     }
   )
 }

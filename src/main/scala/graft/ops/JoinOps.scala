@@ -241,6 +241,76 @@ object JoinOps {
           .orderBy("event_id")
     },
 
+    // TPC-H Q6 shape: the classic predicate-pushdown showcase — a single
+    // fact scan where ALL three filters reach parquet row-group stats, then
+    // one exact-decimal aggregate to a single row. At 100 TB this is the
+    // query where pushdown vs no-pushdown is a 100x scan-size difference.
+    Q(
+      "q_tpch_q6",
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      U.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          round(U.dsum(col("l_extendedprice") * col("l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q18 shape (large-volume customers): the HAVING subquery becomes
+    // a semi join against a pre-aggregated key set — the aggregate runs
+    // once, its exchange is reused by the semi join, and only qualifying
+    // orders flow into the 3-table join. Top-k plans as
+    // TakeOrderedAndProject; prices emit as exactly-integral micro units.
+    Q(
+      "q_tpch_q18",
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |             GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        |  CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS totalprice_micro,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_micro DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        val big = U.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(U.Dec)).as("q"))
+          .filter(col("q") > 250)
+          .select(col("l_orderkey").as("big_orderkey"))
+        U.orders(s, d)
+          .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(U.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(U.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(
+            col("c_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate"),
+            col("o_totalprice"))
+          .agg(sum(col("l_quantity").cast(U.Dec)).cast("long").as("sum_qty"))
+          .select(
+            col("c_custkey"),
+            col("o_orderkey"),
+            unix_micros(col("o_orderdate")).as("orderdate_us"),
+            floor(col("o_totalprice") * 1000000 + 0.5).cast("long")
+              .as("totalprice_micro"),
+            col("sum_qty"))
+          .orderBy(col("totalprice_micro").desc, col("o_orderkey"))
+          .limit(100)
+    },
+
     // Skew-mitigating salted join: the fact side gets a deterministic salt
     // in [0, SaltBuckets); the dim side replicates each row across all
     // salts, so a hot join key fans out over SaltBuckets reducers instead

@@ -328,6 +328,40 @@ object TsOps {
             .otherwise(1L)
             .as("stage"))
         .orderBy("user_id")
+    },
+
+    // Exponentially weighted moving average per series (alpha = 0.25, an
+    // exact power of two so every fold step is a clean IEEE op):
+    // e_0 = v_0; e_i = alpha*v_i + (1-alpha)*e_{i-1}. Inherently a
+    // sequential fold — not expressible as a frame-based SQL window — so
+    // this is the one typed-Dataset operator: groupByKey(series).mapGroups
+    // with an in-group sort. ONE shuffle by series key, per-group memory
+    // O(group size) — same cost envelope as any window query. Recursive
+    // semantics => no SQL oracle; ScalaTest folds the same rows on the
+    // driver and compares exactly.
+    Q.noOracle("q_ts_ewma") { (s, d) =>
+      import s.implicits._
+      val alpha = 0.25
+      U.events(s, d)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, rows) =>
+          var e = Double.NaN
+          var n = 0L
+          // sort by (ts, event_id) inside the group: deterministic fold order
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            e = if (n == 0L) r._4 else alpha * r._4 + (1 - alpha) * e
+            n += 1
+          }
+          (uid, n, math.rint(e * 1e6) / 1e6)
+        }
+        .toDF("user_id", "n", "ewma")
+        .orderBy("user_id")
     }
   )
 }

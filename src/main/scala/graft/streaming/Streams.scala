@@ -189,6 +189,34 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup — the streaming counterpart of batch
+    * `q_dedup_exact`: drop records whose content digest was already seen.
+    * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * streaming dropDuplicates keeps every key ever seen in state forever
+    * (the same unbounded-state failure mode `faultRuns` avoids with its
+    * TTL), while the watermark variant evicts a digest once the watermark
+    * passes it — state is bounded by the duplicate-arrival horizon. The
+    * dedup key is md5 over the CONTENT fields (16-byte state entries, same
+    * digest-not-body discipline as the batch operator); duplicates in a
+    * telemetry stream come from at-least-once upstream delivery, which
+    * re-sends within seconds-to-minutes, so a watermark-bounded horizon is
+    * the semantically right window (an exact global dedup is the batch
+    * operator's job downstream).
+    */
+  def dedupExact(
+      telemetry: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    telemetry
+      .withColumn(
+        "content_md5",
+        md5(concat_ws(
+          "|",
+          col("timeseries_id"),
+          col("timestamp").cast("long"),
+          col("value").cast("string"))))
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Session windows per series: a session closes after `gap` of event-time
     * silence. Streaming analog of batch `q_ts_session` (lag + cumulative sum).
     */

@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
       s"grouping must be on the digest: ${aggs.map(_.groupingExpressions)}")
   }
 
+  test("q_tpch_q6: all three predicates reach the parquet scan") {
+    val scan = executed(q("q_tpch_q6"))
+      .collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate,"), s"shipdate not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24"), s"quantity not pushed: $pushed")
+  }
+
   test("q_text_contamination: eval shingle dictionary is broadcast, corpus side never shuffles before the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executed(q("q_text_contamination"))

@@ -110,6 +110,36 @@ class StreamingSpec extends SparkSpec {
       "too-late row must be dropped, not merged into the finalized window")
   }
 
+  test("dedupExact drops at-least-once redelivery within the watermark, keeps distinct rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tele]
+    val q = Streams.dedupExact(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    val r1 = Tele("Sa_FanSpeed", ts("2024-08-28 12:00:10"), 0.96, None, "id-a")
+    val r2 = Tele("Sa_FanSpeed", ts("2024-08-28 12:01:00"), 0.50, None, "id-a")
+    mem.addData(Seq(r1, r2, r1)) // duplicate inside one micro-batch
+    q.processAllAvailable()
+    mem.addData(Seq(r1)) // redelivery in a LATER micro-batch (state hit)
+    q.processAllAvailable()
+    val r3 = r2.copy(timestamp = ts("2024-08-28 12:08:00")) // new content
+    mem.addData(Seq(r3))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream")
+    assert(out.count() === 3, "exactly one row per distinct content digest")
+    // batch equivalence: same distinct content set as a batch dedup
+    val batchKeys = Seq(r1, r2, r1, r1, r3).toDF()
+      .select(concat_ws("|", col("timeseries_id"), col("timestamp").cast("long"),
+        col("value").cast("string")).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val streamKeys = out
+      .select(concat_ws("|", col("timeseries_id"), col("timestamp").cast("long"),
+        col("value").cast("string")).as("k"))
+      .collect().map(_.getString(0)).toSet
+    assert(streamKeys === batchKeys)
+  }
+
   test("faultFlags is stateless and batch-identical") {
     // stateless transform: apply to batch frame both ways
     val flagged = Streams.faultFlags(rows.toDF(), 0.95)

@@ -13,6 +13,25 @@ class TsOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("EWMA equals a driver-side fold over the same rows in the same order") {
+    val got = SparkEntry.queries("q_ts_ewma")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n"), r.getAs[Double]("ewma"))))
+      .toMap
+    val rows = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = rows.groupBy(_._1).map { case (uid, rs) =>
+      var e = Double.NaN
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex.foreach { case (r, i) =>
+        e = if (i == 0) r._4 else 0.25 * r._4 + 0.75 * e
+      }
+      uid -> ((rs.length.toLong, math.rint(e * 1e6) / 1e6))
+    }
+    assert(got === want)
+  }
+
   test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
     // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
     val hourly = Seq(
