@@ -31,6 +31,38 @@ class FunctionsSpec extends SparkSpec {
         b <- Gen.listOfN(n, Gen.choose(-10f, 10f))
       } yield (a, b))
 
+  test("SQL registration: vec_dot/shingles/minhash_sig/simhash64 callable from spark.sql") {
+    GraftFunctions.register(spark)
+    assert(
+      spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0) === 11.0)
+    val sh = spark
+      .sql("SELECT shingles(array('a','b','c','d'), 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    // SQL path must agree with the Column API path on the same input
+    import spark.implicits._
+    val toks = Seq(Tuple1(Seq("x", "y", "z", "x"))).toDF("t")
+    toks.createOrReplaceTempView("graft_fn_t")
+    val sqlSig = spark.sql("SELECT minhash_sig(t, 8) AS sig, simhash64(t) AS f FROM graft_fn_t").head()
+    val apiSig = toks.select(
+      graft.functions.MinHashSig.minhashSig(col("t"), 8).as("sig"),
+      graft.functions.SimHash64.simhash64(col("t")).as("f")).head()
+    assert(sqlSig.getSeq[Long](0) === apiSig.getSeq[Long](0))
+    assert(sqlSig.getLong(1) === apiSig.getLong(1))
+    // non-literal codegen parameter is rejected at analysis with a clear error
+    val err = intercept[Exception](
+      spark.sql("SELECT shingles(array('a','b'), CAST(rand()*3 AS INT)) AS s").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("GraftExtensions injects the same function set (spark.sql.extensions hook)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders are shared
+    assert(GraftFunctions.all.map(_._1.funcName).sorted ===
+      Seq("minhash_sig", "shingles", "simhash64", "vec_dot"))
+  }
+
   test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
     forAllSamples(vecPairGen) { case (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
