@@ -74,6 +74,29 @@ object DedupOps {
           .orderBy("canonical_id")
     },
 
+    // Normalized ("fuzzy-exact") dedup: lowercase, strip punctuation,
+    // collapse whitespace, THEN hash-group — catches trivially-reformatted
+    // copies that byte-exact dedup misses (the C4/CCNet preprocessing
+    // convention). Same 16-byte-digest shuffle discipline as q_dedup_exact;
+    // normalization is a pure codegen'd scan stage.
+    Q(
+      "q_dedup_normalized",
+      """WITH n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |        ' +', ' ', 'g'))) AS norm_md5
+        |  FROM documents)
+        |SELECT norm_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM n GROUP BY norm_md5 ORDER BY canonical_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      U.documents(s, d)
+        .select(md5(norm).as("norm_md5"), col("doc_id"))
+        .groupBy(col("norm_md5"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id")
+    },
+
     // Exact n-gram Jaccard near-dup: candidate pairs share >= 1 shingle
     // (inverted-index join), exact |A∩B| / |A∪B| >= 0.8.
     Q(

@@ -286,6 +286,37 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Top terms per document by term frequency (the integer core of TF-IDF:
+    // tf and df are emitted exactly; the float idf multiply is left to the
+    // consumer because ln() is libm-dependent and would break cross-engine
+    // hashing). Ranking is fully deterministic: tf desc, then corpus df
+    // asc (rarer term wins), then term. Two bounded shuffles — term-count
+    // agg, then a top-k window per doc; df rides a broadcast-sized dict.
+    Q(
+      "q_text_topterms",
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rk
+        |      FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val w = U.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df"), col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("rk", row_number().over(wk).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
     // PII-style scrubbing: count and redact every match of a word-boundary
     // regex. The synthetic corpus has no real PII (no digits/emails), so the
     // pattern targets the determiner tokens as a stand-in — the OPERATOR is

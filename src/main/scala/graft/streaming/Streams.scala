@@ -189,6 +189,45 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: pair each left-stream event with the
+    * right-stream events for the same series arriving within `maxDelay`
+    * AFTER it (ad-tech click-attribution shape, telemetry-flavored: e.g.
+    * command stream ⋈ response stream). BOTH sides carry a watermark and
+    * the join condition bounds event time in both directions — that is
+    * what lets Spark evict buffered rows once the watermark passes
+    * `l_ts + maxDelay`; an unbounded condition would buffer both streams
+    * forever (the stream-stream analogue of the dropDuplicates state leak).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxDelay: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left
+      .withWatermark("timestamp", watermark)
+      .select(
+        col("timeseries_id"),
+        col("timestamp").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right
+      .withWatermark("timestamp", watermark)
+      .select(
+        col("timeseries_id").as("r_id"),
+        col("timestamp").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(
+        r,
+        col("timeseries_id") === col("r_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(
+        col("timeseries_id"),
+        col("l_ts"),
+        col("r_ts"),
+        col("l_value"),
+        col("r_value"))
+  }
+
   /** Streaming exact dedup — the streaming counterpart of batch
     * `q_dedup_exact`: drop records whose content digest was already seen.
     * Uses `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain

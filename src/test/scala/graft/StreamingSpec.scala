@@ -140,6 +140,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamKeys === batchKeys)
   }
 
+  test("intervalJoin stream-stream == batch join on same rows; outside-window rows unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Tele]
+    val rMem = MemoryStream[Tele]
+    val q = Streams.intervalJoin(lMem.toDF(), rMem.toDF(), maxDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    val lRows = Seq(
+      Tele("cmd", ts("2024-08-28 12:00:00"), 1.0, None, "id-a"),
+      Tele("cmd", ts("2024-08-28 12:20:00"), 2.0, None, "id-a"))
+    val rRows = Seq(
+      Tele("rsp", ts("2024-08-28 12:05:00"), 10.0, None, "id-a"), // matches 12:00
+      Tele("rsp", ts("2024-08-28 12:15:00"), 20.0, None, "id-a"), // matches nothing (>10m after 12:00, before 12:20)
+      Tele("rsp", ts("2024-08-28 12:25:00"), 30.0, None, "id-a"), // matches 12:20
+      Tele("rsp", ts("2024-08-28 12:05:00"), 40.0, None, "id-b")) // wrong series
+    lMem.addData(lRows)
+    rMem.addData(rRows)
+    q.processAllAvailable()
+    // advance both watermarks so buffered state can flush deterministically
+    lMem.addData(Seq(Tele("cmd", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")))
+    rMem.addData(Seq(Tele("rsp", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_stream")
+      .select("timeseries_id", "l_value", "r_value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = Streams.intervalJoin(
+        (lRows :+ Tele("cmd", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")).toDF(),
+        (rRows :+ Tele("rsp", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")).toDF())
+      .select("timeseries_id", "l_value", "r_value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got === Set(("id-a", 1.0, 10.0), ("id-a", 2.0, 30.0), ("id-z", 0.0, 0.0)))
+  }
+
   test("faultFlags is stateless and batch-identical") {
     // stateless transform: apply to batch frame both ways
     val flagged = Streams.faultFlags(rows.toDF(), 0.95)
