@@ -276,6 +276,55 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // Pearson correlation per group with EXACT moments: built-in corr()
+    // accumulates IEEE doubles in partition order (non-deterministic across
+    // engines AND across retries), so the five moments are exact DECIMAL
+    // sums instead — order-independent — and only the final closed-form
+    // formula runs in doubles, written identically in both engines so the
+    // result is bit-identical. Same partial+final agg shape as any sum.
+    Q(
+      "q_agg_corr",
+      // the (20,6)x(18,6) asymmetric product is deliberate: width > 18
+      // forces DuckDB onto HUGEINT decimal storage (an 18x18 product
+      // overflows its INT64 path at runtime), and 20+18 stays within both
+      // engines' 38-digit cap so the moments are exact in BOTH
+      """WITH m AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val x = col("l_quantity").cast(U.Dec)
+      val y = col("l_extendedprice").cast(U.Dec)
+      val x20 = col("l_quantity").cast(Dec20)
+      val y20 = col("l_extendedprice").cast(Dec20)
+      U.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x20 * x).cast("double").as("sxx"),
+          sum(y20 * y).cast("double").as("syy"),
+          sum(x20 * y).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+            6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Incremental materialized-view refresh: a daily per-user rollup
     // maintained as MERGEABLE partial aggregates. The "materialized" base
     // (90% of events) and the delta batch (10%) are each pre-aggregated,

@@ -146,6 +146,33 @@ object FnOps {
           .orderBy("o_orderkey")
     },
 
+    // Bitwise family: and/or/xor/shifts/popcount on BIGINT keys — the
+    // primitives behind hash partitioning, bloom probes, and bitmap
+    // indexes. Pure codegen'd scan, zero shuffle.
+    Q(
+      "q_fn_bitwise",
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+        |  CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+        |  CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS k_xor,
+        |  CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+        |  CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS k_pop
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin) {
+      (s, d) =>
+        U.orders(s, d)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(255).as("k_and"),
+            col("o_orderkey").bitwiseOR(4096).as("k_or"),
+            col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+            shiftleft(col("o_orderkey"), 3).as("k_shl"),
+            shiftright(col("o_orderkey"), 2).as("k_shr"),
+            bit_count(col("o_orderkey")).cast("long").as("k_pop"))
+          .orderBy("o_orderkey")
+    },
+
     // Edit distance (plain unweighted Levenshtein — identical definitions in
     // Spark and DuckDB) over a bounded candidate set of short part names.
     // Pairwise edit distance is O(|a|·|b|) per pair and O(n²) pairs, so at
