@@ -311,6 +311,88 @@ object JoinOps {
           .limit(100)
     },
 
+    // Interval-overlap join, bucketized: user sessions x incident windows
+    // (±5 min around error events) that OVERLAP in time. The naive plan is
+    // a per-user cross product with a range filter; instead both interval
+    // sets explode onto a fixed 1-hour time grid and equi-join on
+    // (user, bucket) — the manual form of the bin-based range-join
+    // optimization — so candidate pairs are only those sharing a grid
+    // cell; the exact overlap predicate then filters, and distinct()
+    // removes multi-bucket double-matches. The oracle IS the naive
+    // non-equi join: bucketization is physical, not semantic.
+    Q(
+      "q_join_interval_overlap",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS s0,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS s1
+        |  FROM t GROUP BY user_id, session_id),
+        |inc AS (
+        |  SELECT user_id, event_id AS incident_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) - 300 AS i0,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS i1
+        |  FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id, i.incident_id,
+        |  greatest(s.s0, i.i0) AS ov_start, least(s.s1, i.i1) AS ov_end
+        |FROM sess s JOIN inc i
+        |  ON s.user_id = i.user_id AND s.s0 <= i.i1 AND i.i0 <= s.s1
+        |ORDER BY s.user_id, s.session_id, i.incident_id""".stripMargin) { (s, d) =>
+      val W = 3600L
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val epochS = unix_timestamp(col("ts"))
+      val gap = epochS - lag(epochS, 1).over(wOrd)
+      val sess = U.events(s, d)
+        .withColumn("new_s", when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+        .withColumn(
+          "session_id",
+          sum(col("new_s")).over(wOrd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(epochS).as("s0"), max(epochS).as("s1"))
+      val inc = U.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(
+          col("user_id").as("i_user"),
+          col("event_id").as("incident_id"),
+          (unix_timestamp(col("ts")) - 300).as("i0"),
+          (unix_timestamp(col("ts")) + 300).as("i1"))
+      val sessB = sess.withColumn(
+        "bkt",
+        explode(sequence(floor(col("s0") / W).cast("long"), floor(col("s1") / W).cast("long"))))
+      val incB = inc.withColumn(
+        "bkt",
+        explode(sequence(floor(col("i0") / W).cast("long"), floor(col("i1") / W).cast("long"))))
+      sessB
+        .join(
+          incB,
+          col("user_id") === col("i_user") && sessB("bkt") === incB("bkt") &&
+            col("s0") <= col("i1") && col("i0") <= col("s1"))
+        .select(
+          col("user_id"),
+          col("session_id"),
+          col("incident_id"),
+          greatest(col("s0"), col("i0")).as("ov_start"),
+          least(col("s1"), col("i1")).as("ov_end"))
+        .distinct()
+        .orderBy("user_id", "session_id", "incident_id")
+    },
+
     // Skew-mitigating salted join: the fact side gets a deterministic salt
     // in [0, SaltBuckets); the dim side replicates each row across all
     // salts, so a hot join key fans out over SaltBuckets reducers instead

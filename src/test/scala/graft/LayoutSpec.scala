@@ -76,6 +76,32 @@ class LayoutSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-01-05").count() === rowsBefore)
   }
 
+  test("schema evolution: a later partition with an added column reads under mergeSchema, old rows null-filled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // day 1 written with the v1 schema
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+      .transform(df => { graft.sources.Layout.writeTelemetry(df, dir); df })
+    // day 2 written with an added column (append, not overwrite)
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-06 10:00:00"), 2.0, "siteA"))
+      .toDF("user_id", "ts", "value", "site")
+      .transform(df => {
+        graft.sources.Layout
+          .writeTelemetry(df, dir, mode = org.apache.spark.sql.SaveMode.Append)
+        df
+      })
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("user_id", "ts", "value", "site", "event_date"))
+    val rows = merged.orderBy("user_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("site") === null, "v1 rows read as null for the new column")
+    assert(rows(1).getAs[String]("site") === "siteA")
+    // day-partition pruning still works on the merged schema
+    val pruned = merged.filter(col("event_date") === "2024-01-06")
+    assert(pruned.count() === 1)
+  }
+
   test("crash between the compaction renames: recoverPartition rolls back, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
     val ev = U.events(spark, sfDir)
