@@ -40,6 +40,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable companion: how each no-oracle key IS verified
+    val propJson = Registry.propertyVerification
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(
+      Paths.get(s"$outDir/no_oracle_verification.json"), propJson)
     spark.stop()
   }
 }

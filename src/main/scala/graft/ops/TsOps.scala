@@ -330,6 +330,48 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Per-series z-score anomaly detection — the statistical generalization
+    // of the reference's fixed-threshold fault rule (main.rs:384-406):
+    // flag readings more than 3 population-σ from the series mean. The
+    // moments (n, Σv, Σv²) accumulate as exact decimals (same recipe as
+    // q_agg_corr, order-independent), the z arithmetic runs in doubles
+    // written identically in both engines. One agg shuffle for the
+    // per-series stats, then a stats⋈events join on the series key —
+    // Catalyst broadcasts the stats side while it fits, co-partitioned
+    // shuffle join beyond that.
+    Q(
+      "q_ts_anomaly_zscore",
+      """WITH m AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us, e.value,
+        |  round((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS z
+        |FROM events e JOIN m ON e.user_id = m.user_id
+        |WHERE abs((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
+        |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val stats = U.events(s, d)
+        .groupBy(col("user_id").as("m_user"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(U.Dec)).cast("double").as("sx"),
+          sum(col("value").cast(Dec20) * col("value").cast(U.Dec))
+            .cast("double").as("sxx"))
+      val mean = col("sx") / col("n")
+      val z = (col("value") - mean) / sqrt(col("sxx") / col("n") - mean * mean)
+      U.events(s, d)
+        .join(stats, col("user_id") === col("m_user"))
+        .filter(abs(z) > 3.0)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          round(z, 4).as("z"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Exponentially weighted moving average per series (alpha = 0.25, an
     // exact power of two so every fold step is a clean IEEE op):
     // e_0 = v_0; e_i = alpha*v_i + (1-alpha)*e_{i-1}. Inherently a

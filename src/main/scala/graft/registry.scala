@@ -86,4 +86,32 @@ object Registry {
       ops.PipelineOps.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  /** For every no-oracle key: the exact counterpart it is verified against
+    * and the ScalaTest that does it. Written by Verify as
+    * `no_oracle_verification.json` so a `no_oracle` row in the driver's
+    * correctness report is self-describing, not silently untested.
+    * RegistrySpec asserts this map covers exactly the no-oracle keys.
+    */
+  val propertyVerification: Map[String, String] = Map(
+    "q_agg_approx_distinct" ->
+      "vs exact count(DISTINCT) — DedupSimSpec 'approx_count_distinct within rsd bound of exact'",
+    "q_agg_approx_quantile" ->
+      "vs exact quantiles — DedupSimSpec 'approx quantiles bracket the exact quantiles'",
+    "q_dedup_near_minhash" ->
+      "vs q_dedup_ngram_jaccard exact-Jaccard pairs — DedupSimSpec 'minhash near-dup pairs at 0.8 match exact n-gram Jaccard pairs at 0.8'",
+    "q_dedup_simhash" ->
+      "recomputed exact hamming per pair — DedupSimSpec 'simhash near-dup: hamming <= 3 and symmetric-free (a < b)'",
+    "q_dedup_embed_lsh" ->
+      "vs q_dedup_embed_cosine all-pairs — DedupSimSpec subset + recall >= 90% tests",
+    "q_sim_ann_lsh" ->
+      "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN LSH top-k cosines are genuine cosines from the brute-force ranking'",
+    "q_sim_ann_ivf" ->
+      "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN IVF top-k cosines are genuine cosines from the brute-force ranking'",
+    "q_mm_decode_stub" ->
+      "vs exact per-row byte statistics + partitioning invariance — MultimodalSpec",
+    "q_dedup_clusters" ->
+      "vs driver-side union-find on the same pair graph — DedupSimSpec",
+    "q_ts_ewma" ->
+      "vs driver-side sequential fold over identically-ordered rows — TsOpsSpec")
 }

@@ -20,6 +20,13 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every no-oracle key has a declared property-verification twin, and only those") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(Registry.propertyVerification.keySet === noOracle,
+      s"missing: ${noOracle -- Registry.propertyVerification.keySet}; " +
+        s"stale: ${Registry.propertyVerification.keySet -- noOracle}")
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val a = q.fn(spark, sfDir).collect()
