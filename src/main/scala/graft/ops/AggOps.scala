@@ -325,6 +325,51 @@ object AggOps {
         .orderBy("l_returnflag")
     },
 
+    // Population skewness per group from exact first/second/third moments
+    // (events.value is exactly 3-decimal, so the DECIMAL(12,3) cube chain
+    // is exact in both engines: (12,3)² -> scale 6, ×(12,3) -> scale 9,
+    // within the 38-digit cap). Only the closed-form finish runs in
+    // doubles; the denominator is sqrt(v)*v, NOT pow(v,1.5) — pow is libm
+    // (engine-dependent), sqrt is IEEE exactly-rounded.
+    Q(
+      "q_agg_skewness",
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS sxxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(sx / n, 6) AS mean,
+        |  round(sxx / n - (sx / n) * (sx / n), 6) AS variance,
+        |  round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n)) /
+        |        (sqrt(sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))), 6) AS skewness
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val Dec123 = org.apache.spark.sql.types.DecimalType(12, 3)
+      val v = col("value")
+      val stats = U.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(v.cast(U.Dec)).cast("double").as("sx"),
+          sum(v.cast(Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
+          sum(v.cast(Dec123) * v.cast(Dec123) * v.cast(Dec123))
+            .cast("double").as("sxxx"))
+      val mu = col("sx") / col("n")
+      val va = col("sxx") / col("n") - mu * mu
+      stats
+        .select(
+          col("event_type"),
+          col("n"),
+          round(mu, 6).as("mean"),
+          round(va, 6).as("variance"),
+          round(
+            (col("sxxx") / col("n") - lit(3) * mu * (col("sxx") / col("n")) +
+              lit(2) * mu * mu * mu) / (sqrt(va) * va),
+            6).as("skewness"))
+        .orderBy("event_type")
+    },
+
     // Incremental materialized-view refresh: a daily per-user rollup
     // maintained as MERGEABLE partial aggregates. The "materialized" base
     // (90% of events) and the delta batch (10%) are each pre-aggregated,

@@ -311,6 +311,49 @@ object JoinOps {
           .limit(100)
     },
 
+    // TPC-H Q10 shape (returned-item revenue by customer): 3-table fact
+    // chain + broadcast nation dim, quarter date filter on orders and
+    // return-flag filter on lineitem both pushed to their scans, top-20 by
+    // rounded revenue (identical doubles both engines) with a key tie-break.
+    Q(
+      "q_tpch_q10",
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) AS acctbal_micro,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(
+          U.orders(s, d).filter(
+            col("o_orderdate") >= lit("1996-10-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(
+          U.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(U.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(
+          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("revenue"),
+          floor(col("c_acctbal") * 1000000 + 0.5).cast("long").as("acctbal_micro"),
+          col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Interval-overlap join, bucketized: user sessions x incident windows
     // (±5 min around error events) that OVERLAP in time. The naive plan is
     // a per-user cross product with a range filter; instead both interval
