@@ -168,6 +168,72 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // End-to-end training-manifest pipeline: exact-dedup (keep canonical) →
+    // min-length filter → content-hash split → per-split sequence packing.
+    // The macro composition a training-data job actually runs; every stage
+    // reuses the scale design of its standalone operator (digest-keyed
+    // dedup shuffle, zero-shuffle split, one window pass per split).
+    Q(
+      "q_pipeline_train_manifest",
+      s"""WITH t AS (SELECT doc_id, lang, text,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |d AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY md5(text)),
+        |k AS (SELECT t.doc_id, t.lang, t.text, t.n_tok
+        |      FROM t JOIN d ON t.doc_id = d.doc_id WHERE t.n_tok >= 3),
+        |s AS (SELECT doc_id, lang, n_tok,
+        |    ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS h
+        |  FROM k),
+        |sp AS (SELECT doc_id, lang, n_tok,
+        |    CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'valid' ELSE 'test' END AS split
+        |  FROM s),
+        |c AS (SELECT doc_id, lang, n_tok, split,
+        |    CAST(sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sp)
+        |SELECT doc_id, lang, split, n_tok, cum - n_tok AS tok_offset,
+        |  CAST(floor((cum - n_tok) / $PackWindow.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = U.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("text"),
+          size(words).cast("long").as("n_tok"))
+      val canonical = base
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = base
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .filter(col("n_tok") >= 3)
+      val split = kept
+        .withColumn(
+          "h",
+          conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+        .withColumn(
+          "split",
+          when(col("h") < 90, "train")
+            .when(col("h") < 95, "valid")
+            .otherwise("test"))
+      val w = Window
+        .partitionBy(col("split"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      split
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("split"),
+          col("n_tok"),
+          (col("cum") - col("n_tok")).as("tok_offset"),
+          floor((col("cum") - col("n_tok")) / lit(PackWindow.toDouble))
+            .cast("long")
+            .as("pack_id"))
+        .orderBy("doc_id")
+    },
+
     // Near-dup cluster resolution: connected components over the exact
     // n-gram-Jaccard pair graph, as min-label propagation to fixpoint.
     // Each iteration is one join + one aggregate (all shuffles on the node

@@ -330,6 +330,39 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Hopping (sliding) windows: 15-minute windows advancing every 5
+    // minutes, so each event lands in exactly 3 overlapping windows —
+    // batch analog of `window(ts, "15 minutes", "5 minutes")`, written as
+    // an explicit 3-way explode so the DuckDB oracle can mirror it
+    // verbatim. Map-side fan-out (x3) then ONE partial-aggregated shuffle
+    // keyed by (series, window) — the fan-out factor is len/hop, a
+    // constant, so cost scales linearly at any corpus size.
+    Q(
+      "q_ts_hopping",
+      """WITH h AS (SELECT user_id, value,
+        |    (CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) - CAST(unnest(generate_series(0, 2)) AS BIGINT)) * 300 AS w_start
+        |  FROM events)
+        |SELECT user_id, w_start, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |FROM h GROUP BY user_id, w_start ORDER BY user_id, w_start""".stripMargin) {
+      (s, d) =>
+        U.events(s, d)
+          .select(
+            col("user_id"),
+            col("value"),
+            floor(unix_timestamp(col("ts")) / 300).cast("long").as("hop"),
+            explode(sequence(lit(0L), lit(2L))).as("i"))
+          .select(
+            col("user_id"),
+            col("value"),
+            ((col("hop") - col("i")) * 300).as("w_start"))
+          .groupBy(col("user_id"), col("w_start"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(U.davg(col("value")), 4).as("avg_v"))
+          .orderBy("user_id", "w_start")
+    },
+
     // Per-series z-score anomaly detection — the statistical generalization
     // of the reference's fixed-threshold fault rule (main.rs:384-406):
     // flag readings more than 3 population-σ from the series mean. The
