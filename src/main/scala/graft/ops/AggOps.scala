@@ -276,6 +276,27 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // Two-stage salted aggregation (ops/Skew.saltedStats) exposed as a
+    // contract key: the hot-key mitigation for aggregations AQE's skew
+    // handling doesn't cover. The salt spreads each key over 16 reducers
+    // in stage 1; stage 2 finishes per key. Same answer as the plain
+    // group-by — the oracle IS the plain group-by — because every
+    // aggregate here is algebraic (decimal sum + count).
+    Q(
+      "q_agg_salted",
+      """SELECT user_id AS key,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin) { (s, d) =>
+      Skew
+        .saltedStats(U.events(s, d), col("user_id"), col("value"))
+        .select(
+          col("key"),
+          round(col("sum_value"), 4).as("sum_value"),
+          col("n_rows"))
+        .orderBy("key")
+    },
+
     // Pearson correlation per group with EXACT moments: built-in corr()
     // accumulates IEEE doubles in partition order (non-deterministic across
     // engines AND across retries), so the five moments are exact DECIMAL

@@ -181,6 +181,56 @@ object CoreOps {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // B: one-pass table profiling — per numeric column: row count, null
+    // count, exact distinct count, min/max. ONE scan computes every
+    // statistic (a single wide aggregate), then three projections of the
+    // 1-row result unpivot it; at 100 TB this is the data-quality job that
+    // runs after every ingest, and one-pass beats per-column scans 3:1.
+    Q(
+      "q_profile_table",
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(event_id) AS nn_eid, count(DISTINCT event_id) AS nd_eid,
+        |    CAST(min(event_id) AS DOUBLE) AS mn_eid, CAST(max(event_id) AS DOUBLE) AS mx_eid,
+        |    count(user_id) AS nn_uid, count(DISTINCT user_id) AS nd_uid,
+        |    CAST(min(user_id) AS DOUBLE) AS mn_uid, CAST(max(user_id) AS DOUBLE) AS mx_uid,
+        |    count(value) AS nn_val, count(DISTINCT value) AS nd_val,
+        |    min(value) AS mn_val, max(value) AS mx_val
+        |  FROM events)
+        |SELECT 'event_id' AS col_name, n, n - nn_eid AS n_null, nd_eid AS n_distinct, mn_eid AS min_v, mx_eid AS max_v FROM a
+        |UNION ALL
+        |SELECT 'user_id', n, n - nn_uid, nd_uid, mn_uid, mx_uid FROM a
+        |UNION ALL
+        |SELECT 'value', n, n - nn_val, nd_val, mn_val, mx_val FROM a
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val a = U.events(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("event_id")).as("nn_eid"),
+          countDistinct(col("event_id")).as("nd_eid"),
+          min(col("event_id")).cast("double").as("mn_eid"),
+          max(col("event_id")).cast("double").as("mx_eid"),
+          count(col("user_id")).as("nn_uid"),
+          countDistinct(col("user_id")).as("nd_uid"),
+          min(col("user_id")).cast("double").as("mn_uid"),
+          max(col("user_id")).cast("double").as("mx_uid"),
+          count(col("value")).as("nn_val"),
+          countDistinct(col("value")).as("nd_val"),
+          min(col("value")).as("mn_val"),
+          max(col("value")).as("mx_val"))
+      def row(name: String, nn: String, nd: String, mn: String, mx: String) =
+        a.select(
+          lit(name).as("col_name"),
+          col("n"),
+          (col("n") - col(nn)).as("n_null"),
+          col(nd).as("n_distinct"),
+          col(mn).as("min_v"),
+          col(mx).as("max_v"))
+      row("event_id", "nn_eid", "nd_eid", "mn_eid", "mx_eid")
+        .unionAll(row("user_id", "nn_uid", "nd_uid", "mn_uid", "mx_uid"))
+        .unionAll(row("value", "nn_val", "nd_val", "mn_val", "mx_val"))
+        .orderBy("col_name")
+    },
+
     // B: stratified systematic sampling — every 20th row per event_type
     // stratum in deterministic (event_id) order. Unlike rand()-based
     // TABLESAMPLE this is reproducible across engines and runs, which is
