@@ -276,6 +276,27 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // Misra-Gries heavy hitters over corpus terms via the typed mergeable
+    // Aggregator (functions/HeavyHitters): one pass, O(k) state per
+    // partition, O(k) merge — the 100 TB frequent-items path where exact
+    // counting would shuffle every distinct term. Sketch output depends on
+    // merge order => no SQL oracle; FunctionsSpec asserts the MG guarantee
+    // (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f)
+    // against exact counts.
+    Q.noOracle("q_agg_heavyhitters") { (s, d) =>
+      import s.implicits._
+      val terms = U.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .as[String]
+      val mg = new graft.functions.HeavyHitters.MisraGries(100)
+      terms
+        .select(mg.toColumn) // typed select — Dataset[Map[term, est]]
+        .toDF("hh")
+        .select(explode(col("hh")))
+        .toDF("term", "est")
+        .orderBy(col("est").desc, col("term"))
+    },
+
     // Two-stage salted aggregation (ops/Skew.saltedStats) exposed as a
     // contract key: the hot-key mitigation for aggregations AQE's skew
     // handling doesn't cover. The salt spreads each key over 16 reducers

@@ -113,5 +113,7 @@ object Registry {
     "q_dedup_clusters" ->
       "vs driver-side union-find on the same pair graph — DedupSimSpec",
     "q_ts_ewma" ->
-      "vs driver-side sequential fold over identically-ordered rows — TsOpsSpec")
+      "vs driver-side sequential fold over identically-ordered rows — TsOpsSpec",
+    "q_agg_heavyhitters" ->
+      "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec")
 }

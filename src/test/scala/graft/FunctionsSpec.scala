@@ -56,6 +56,30 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("Misra-Gries heavy hitters honors the MG guarantee against exact counts") {
+    val exact = U.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 100
+    val est = SparkEntry.queries("q_agg_heavyhitters")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    assert(est.size <= k)
+    val bound = n.toDouble / (k + 1)
+    // guarantee 1: every true heavy hitter (freq > n/(k+1)) is present
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(est.contains(t), s"missing heavy hitter $t (freq ${exact(t)}, bound $bound)")
+    }
+    // guarantee 2: estimates never exceed the true count and undershoot by
+    // at most n/(k+1)
+    est.foreach { case (t, e) =>
+      val f = exact.getOrElse(t, 0L)
+      assert(e <= f, s"$t overestimated: $e > $f")
+      assert(e >= f - bound, s"$t undershoots too far: $e < $f - $bound")
+    }
+  }
+
   test("GraftExtensions injects the same function set (spark.sql.extensions hook)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
