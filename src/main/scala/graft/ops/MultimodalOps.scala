@@ -82,6 +82,37 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // STUB resize: stride-k byte subsampling — the shape of an image/audio
+    // downsample (every k-th sample), with the payload staying a binary
+    // column end to end. Real resize drops into the same mapPartitions slot
+    // as the decode stub; this one is expressible as pure column ops so the
+    // oracle covers the plumbing (lengths + head bytes of the resized
+    // payload).
+    Q(
+      "q_mm_resize_stub",
+      """WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(payload) + 3) // 4 AS BIGINT) AS resized_bytes,
+        |  substr(text, 1, 1) AS b0,
+        |  substr(text, 5, 1) AS b1,
+        |  substr(text, 9, 1) AS b2
+        |FROM p JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val payload = encode(col("text"), "UTF-8")
+        val nBytes = length(payload).cast("long")
+        U.documents(s, d)
+          .select(
+            col("doc_id"),
+            nBytes.as("n_bytes"),
+            // ceil(n/4) in integer arithmetic, identical both engines
+            ((nBytes + 3) / 4).cast("long").as("resized_bytes"),
+            substring(col("text"), 1, 1).as("b0"),
+            substring(col("text"), 5, 1).as("b1"),
+            substring(col("text"), 9, 1).as("b2"))
+          .orderBy("doc_id")
+    },
+
     // Per-partition batch decode through the STUB codec: the real pattern —
     // binary column in, typed features out, one decoder per partition.
     // Deterministic but not SQL-expressible => ScalaTest-verified.
