@@ -247,37 +247,53 @@ object PipelineOps {
         .byName("q_dedup_ngram_jaccard")
         .fn(s, d)
         .select(col("a"), col("b"))
-      val edges = pairs
-        .union(pairs.select(col("b"), col("a")))
-        .toDF("u", "v")
-        .localCheckpoint()
-      var labels = edges
-        .select(col("u").as("node"))
-        .distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val nbrMin = edges
-          .join(labels.withColumnRenamed("node", "v"), "v")
-          .groupBy(col("u").as("node2"))
-          .agg(min(col("label")).as("nlab"))
-        labels = labels
-          .join(nbrMin, col("node") === col("node2"), "left")
-          .select(
-            col("node"),
-            least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-          .localCheckpoint()
-        val sumNow = labels.agg(sum(col("label"))).head().getLong(0)
-        converged = sumNow == prevSum
-        prevSum = sumNow
-        iter += 1
-      }
-      labels
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      connectedComponents(pairs)
+        .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
     }
   )
+
+  /** Connected components by min-label propagation: input is an undirected
+    * edge list (a, b); output one row per node with its component's minimum
+    * node id as the label. `localCheckpoint` truncates lineage each
+    * iteration; convergence is detected by the label sum (labels only ever
+    * decrease). Empty edge list => empty result (sum() over an empty frame
+    * is null — guarded, not NPE'd).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .toDF("a", "b")
+      .union(pairs.toDF("a", "b").select(col("b"), col("a")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges
+      .select(col("u").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    def labelSum(): Long = {
+      val r = labels.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum()
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node2"))
+        .agg(min(col("label")).as("nlab"))
+      labels = labels
+        .join(nbrMin, col("node") === col("node2"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sumNow = labelSum()
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iter += 1
+    }
+    labels.select(col("node"), col("label"))
+  }
 }

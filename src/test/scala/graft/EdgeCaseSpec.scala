@@ -80,6 +80,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!dot.isInfinite && dot > 1e76)
   }
 
+  test("connectedComponents: empty edge list yields empty result, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.PipelineOps.connectedComponents(empty).count() === 0)
+  }
+
+  test("connectedComponents: chain + triangle + isolate-pair resolve to min-id labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val got = graft.ops.PipelineOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got === want)
+  }
+
   test("set ops on disjoint inputs: intersect empty, except is identity") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(3L, 4L).toDF("k")
