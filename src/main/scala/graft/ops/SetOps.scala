@@ -72,6 +72,60 @@ object SetOps {
         .select(col("c_custkey").as("k"))
         .except(U.orders(s, d).select(col("o_custkey").as("k")))
         .orderBy("k")
+    },
+
+    // Bag semantics: INTERSECT ALL keeps min(multiplicity), EXCEPT ALL
+    // subtracts multiplicities — the SQL-standard ALL variants the distinct
+    // forms above don't cover. Aggregated to (k, n) so output is compact
+    // and deterministically ordered at any SF.
+    Q(
+      "q_intersect_all",
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS k FROM customer) t
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      U.orders(s, d)
+        .select(col("o_custkey").as("k"))
+        .intersectAll(U.customer(s, d).select(col("c_custkey").as("k")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+    Q(
+      "q_except_all",
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS k FROM customer) t
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      U.orders(s, d)
+        .select(col("o_custkey").as("k"))
+        .exceptAll(U.customer(s, d).select(col("c_custkey").as("k")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // Position-independent union: UNION ALL BY NAME aligns columns by NAME
+    // (schema-evolution-friendly append — the column-order bug in plain
+    // positional UNION simply can't happen). Missing columns null-fill via
+    // allowMissingColumns, mirrored by DuckDB's BY NAME semantics.
+    Q(
+      "q_union_byname",
+      """SELECT k, src, count(*) AS n FROM (
+        |  SELECT o_custkey AS k, 'o' AS src FROM orders
+        |  UNION ALL BY NAME
+        |  SELECT 'c' AS src, c_custkey AS k FROM customer) t
+        |GROUP BY k, src ORDER BY k, src""".stripMargin) { (s, d) =>
+      U.orders(s, d)
+        .select(col("o_custkey").as("k"), lit("o").as("src"))
+        .unionByName(
+          U.customer(s, d).select(lit("c").as("src"), col("c_custkey").as("k")),
+          allowMissingColumns = true)
+        .groupBy(col("k"), col("src"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k", "src")
     }
   )
 }
