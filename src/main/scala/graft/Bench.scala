@@ -58,12 +58,14 @@ object Bench {
     val results = queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // A failed query (-1 sentinel) must make the headline number WORSE, not
-    // better: report total=-1 plus the failed list so the gate can't read a
-    // breakage as a speedup.
+    // A failed query must make the headline number WORSE, not better, for a
+    // lower-is-better gate: a negative or zero total would trivially pass
+    // `value <= 2x baseline` on a fully broken build (fail-open). 1e9 s
+    // fails ANY latency threshold closed; the failed list carries the
+    // detail.
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
     val total =
-      if (failed.nonEmpty) -1.0
+      if (failed.nonEmpty) 1e9
       else if (results.nonEmpty) results.map(_._2).sum
       else 0.0
     println(

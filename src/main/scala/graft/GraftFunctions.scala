@@ -20,12 +20,15 @@ object GraftFunctions {
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    // bounds-check BEFORE narrowing: a silent toInt would wrap 2^33+3 to 3
+    // and bake the wrong loop bound into generated code
+    case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue =>
+      v.toInt
     case Literal(v: Short, _) => v.toInt
     case other =>
       throw new IllegalArgumentException(
-        s"$fn: parameter must be an integer literal (it is baked into " +
-          s"generated code), got $other")
+        s"$fn: parameter must be an integer literal within Int range (it " +
+          s"is baked into generated code), got $other")
   }
 
   /** (name, info, builder) triples in SparkSessionExtensions.injectFunction

@@ -25,19 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private def words: Column = split(trim(col("text")), "\\s+")
-
-  /** doc_id + distinct 3-word shingles (docs with >= 3 tokens). Codegen'd
-    * expression — see [[graft.functions.Shingles]] for why not
-    * `array_distinct(transform(...))`.
-    */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    U.documents(s, d)
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        graft.functions.Shingles.shingles(col("w"), 3).as("shingles"))
+  private def words: Column = U.words
+  private def shingled(s: SparkSession, d: String): DataFrame = U.shingled(s, d)
 
   private val MinHashPerms = 32
   private val Bands = 8 // 8 bands x 4 rows
@@ -128,22 +117,34 @@ object DedupOps {
       // doc pairs inside each group with codegen'd higher-order functions,
       // then count shared shingles per pair (shuffle 2). vs the classic
       // exchange-reusing self-join this removes the join build/probe AND the
-      // window sort that computed document frequency — the df cap is now a
-      // free `size(group) <= cap` filter on the collected group (measured
-      // 19.5s -> ~2s at sf0.1). Per-group state is bounded by the cap
-      // (<= MaxShingleDf 16-byte entries), so executor memory is safe at
-      // any corpus size; |A| and |B| ride inside the pair struct so no
-      // size-lookup joins ever happen.
+      // window sort that computed document frequency (measured 19.5s -> ~2s
+      // at sf0.1); |A| and |B| ride inside the pair struct so no size-lookup
+      // joins ever happen.
       val ex = sh.select(
         col("doc_id"),
         size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("sh"))
+      // Hot shingles are dropped BEFORE the posting lists are collected:
+      // collect_list materializes a group's whole posting list in one
+      // non-spillable aggregation buffer, so filtering on size AFTER
+      // collection would still build the 10M-entry array for a corpus-wide
+      // boilerplate shingle and OOM the executor. The df count is a cheap
+      // partial-aggregated pass (its exchange hashes on the same key as the
+      // collect, so the planner reuses one shuffle), and the hot list —
+      // shingles with df > cap are rare by definition — broadcasts into a
+      // map-side anti join; cold postings then collect into buffers that
+      // are <= MaxShingleDf entries BY CONSTRUCTION.
+      val hot = ex
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf)
+        .select(col("sh"))
       val byShingle = ex
+        .join(broadcast(hot), Seq("sh"), "left_anti")
         .groupBy(col("sh"))
         .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-        // 1-doc shingles pair with nothing; hot shingles (df > cap) carry no
-        // near-dup signal and would fan out O(df^2) — drop both pre-pairing
-        .filter(size(col("ds")).between(2, MaxShingleDf))
+        // 1-doc shingles pair with nothing
+        .filter(size(col("ds")) >= 2)
         .select(array_sort(col("ds")).as("ds")) // ascending doc_id => a < b
       val pairs = byShingle
         .select(explode(flatten(transform(

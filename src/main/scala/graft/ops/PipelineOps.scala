@@ -28,18 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
-  private def words: Column = split(trim(col("text")), "\\s+")
-
-  /** doc_id + distinct 3-word shingles — same construction as
-    * [[DedupOps]] / its oracle (docs with >= 3 tokens).
-    */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    U.documents(s, d)
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        graft.functions.Shingles.shingles(col("w"), 3).as("shingles"))
+  private def words: Column = U.words
+  private def shingled(s: SparkSession, d: String): DataFrame = U.shingled(s, d)
 
   /** Context-window size for sequence packing (tokens). */
   private val PackWindow = 2048
@@ -256,11 +246,22 @@ object PipelineOps {
   /** Connected components by min-label propagation: input is an undirected
     * edge list (a, b); output one row per node with its component's minimum
     * node id as the label. `localCheckpoint` truncates lineage each
-    * iteration; convergence is detected by the label sum (labels only ever
-    * decrease). Empty edge list => empty result (sum() over an empty frame
-    * is null — guarded, not NPE'd).
+    * iteration (the superseded iteration's blocks are unpersisted as soon
+    * as the next checkpoint materializes, so storage stays O(1) iterations,
+    * not O(all)); convergence is detected by the label sum (labels only
+    * ever decrease). Empty edge list => empty result (sum() over an empty
+    * frame is null — guarded, not NPE'd).
+    *
+    * Plain propagation moves the min label ONE hop per iteration, so the
+    * iteration count is the max eccentricity of a component's min-id node.
+    * Near-dup components are near-cliques (diameter 2-3); for general
+    * graphs `maxIters` bounds the loop and non-convergence THROWS rather
+    * than silently returning partial labels — a wrong cluster assignment
+    * must never look like a result. (For genuinely deep graphs use the
+    * alternating large-star/small-star algorithm, which converges in
+    * O(log n) rounds; not needed for the dedup workload this serves.)
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs
       .toDF("a", "b")
       .union(pairs.toDF("a", "b").select(col("b"), col("a")))
@@ -278,22 +279,43 @@ object PipelineOps {
     var prevSum = labelSum()
     var converged = labels.isEmpty
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "v"), "v")
         .groupBy(col("u").as("node2"))
         .agg(min(col("label")).as("nlab"))
-      labels = labels
+      val prev = labels
+      labels = prev
         .join(nbrMin, col("node") === col("node2"), "left")
         .select(
           col("node"),
           least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materializes before prev is dropped
+      unpersistCheckpoint(prev)
       val sumNow = labelSum()
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "component diameter exceeds the bound; raise maxIters or use an " +
+          "alternating-star implementation for deep graphs")
+    unpersistCheckpoint(edges)
     labels.select(col("node"), col("label"))
   }
+
+  /** Free a localCheckpoint'd DataFrame's storage blocks eagerly. The
+    * persisted RDD is the one captured inside the checkpoint's LogicalRDD
+    * node — `queryExecution.toRdd` would return a fresh projection wrapper
+    * whose unpersist is a no-op. Falls through silently if the plan isn't a
+    * checkpoint (then the ContextCleaner reclaims blocks on GC anyway).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

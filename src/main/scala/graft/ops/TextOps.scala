@@ -15,10 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization, identical in Spark and DuckDB
-    * (`string_split_regex(trim(text), '\s+')`).
-    */
-  private def words: Column = split(trim(col("text")), "\\s+")
+  private def words: Column = U.words // single shared definition
 
   private val StopEn = Seq("the", "a", "of", "and", "to")
   private val StopEs = Seq("el", "la", "de", "y", "que")
@@ -291,7 +288,11 @@ object TextOps {
     // consumer because ln() is libm-dependent and would break cross-engine
     // hashing). Ranking is fully deterministic: tf desc, then corpus df
     // asc (rarer term wins), then term. Two bounded shuffles — term-count
-    // agg, then a top-k window per doc; df rides a broadcast-sized dict.
+    // agg, then a top-k window per doc. The tf⋈df join is deliberately
+    // UN-hinted: a real corpus's term dictionary (URLs, typos, numerals)
+    // can be billions of entries, so whether it broadcasts must stay a
+    // stats decision — a broadcast() hint would pin it unconditionally
+    // (same rationale as dropping the q_tpch_q5 dim hints).
     Q(
       "q_text_topterms",
       """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
@@ -310,7 +311,7 @@ object TextOps {
       val wk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df"), col("term"))
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .withColumn("rk", row_number().over(wk).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))

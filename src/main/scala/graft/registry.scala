@@ -75,6 +75,27 @@ object U {
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings")
+
+  /** Whitespace tokenization of `text` — the ONE definition every text
+    * operator shares (DedupOps, TextOps, PipelineOps delegate here); the
+    * DuckDB oracle mirror is `string_split_regex(trim(text), '\s+')`. A
+    * change here must change every oracle in lockstep — that is the point
+    * of not having three copies.
+    */
+  def words: Column = split(trim(col("text")), "\\s+")
+
+  /** doc_id + distinct 3-word shingles (docs with >= 3 tokens) — shared by
+    * the dedup family and the contamination check so candidate generation
+    * and its oracle CTE stay consistent by construction. Codegen'd
+    * expression: see [[graft.functions.Shingles]].
+    */
+  def shingled(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.functions.Shingles.shingles(col("w"), 3).as("shingles"))
 }
 
 /** Aggregates every operator group into the driver contract maps. */

@@ -235,12 +235,16 @@ object Streams {
     * (the same unbounded-state failure mode `faultRuns` avoids with its
     * TTL), while the watermark variant evicts a digest once the watermark
     * passes it — state is bounded by the duplicate-arrival horizon. The
-    * dedup key is md5 over the CONTENT fields (16-byte state entries, same
-    * digest-not-body discipline as the batch operator); duplicates in a
-    * telemetry stream come from at-least-once upstream delivery, which
-    * re-sends within seconds-to-minutes, so a watermark-bounded horizon is
-    * the semantically right window (an exact global dedup is the batch
-    * operator's job downstream).
+    * dedup key is md5 over ALL the record's content fields at full
+    * event-time precision — micros, not a second-truncated cast, and
+    * including sensor_name and fc1_flag — so two genuinely distinct
+    * readings can never collapse into one digest (16-byte state entries,
+    * same digest-not-body discipline as the batch operator). A null flag
+    * digests as the marker "-" which no real flag value collides with.
+    * Duplicates in a telemetry stream come from at-least-once upstream
+    * delivery, which re-sends within seconds-to-minutes, so a
+    * watermark-bounded horizon is the semantically right window (an exact
+    * global dedup is the batch operator's job downstream).
     */
   def dedupExact(
       telemetry: DataFrame,
@@ -251,8 +255,12 @@ object Streams {
         md5(concat_ws(
           "|",
           col("timeseries_id"),
-          col("timestamp").cast("long"),
-          col("value").cast("string"))))
+          // concat_ws silently SKIPS nulls, which would conflate a null
+          // field with an absent one — null-mark every nullable field
+          coalesce(col("sensor_name"), lit("-")),
+          unix_micros(col("timestamp")),
+          col("value").cast("string"),
+          coalesce(col("fc1_flag").cast("string"), lit("-")))))
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 

@@ -56,6 +56,31 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("Misra-Gries decrement and merge-trim branches (small k) match hand-computed summaries") {
+    // The corpus-level test below never exercises eviction (31 distinct
+    // terms < k=100), so the overflow paths are pinned here directly.
+    val mg = new graft.functions.HeavyHitters.MisraGries(3)
+    // reduce with eviction: 20x "a" then 10 singletons on 3 counters
+    val items = Seq.fill(20)("a") ++ (1 to 10).map(i => s"x$i")
+    val est = mg.finish(items.foldLeft(mg.zero)(mg.reduce))
+    assert(est.size <= 3)
+    val n = items.size // 30
+    assert(est("a") === 17) // hand-folded: 3 decrement-all rounds hit "a"
+    assert(est("a") >= 20 - n / 4.0 && est("a") <= 20)
+    // merge with trim: two full disjoint buffers (6 keys onto 3 counters)
+    val l = Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c")
+    val r = Seq.fill(9)("d") ++ Seq.fill(4)("e") ++ Seq.fill(2)("f")
+    val merged = mg.finish(
+      mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce)))
+    // t = 4th-largest of (10,9,5,4,3,2) = 4; subtract and drop <= 0
+    assert(merged === Map("a" -> 6L, "d" -> 5L, "b" -> 1L))
+    // MG guarantee survives the merge: every f > n/(k+1) is present
+    val nTot = l.size + r.size
+    Seq("a" -> 10L, "d" -> 9L).foreach { case (t, f) =>
+      assert(f <= nTot / 4.0 || merged.contains(t))
+    }
+  }
+
   test("Misra-Gries heavy hitters honors the MG guarantee against exact counts") {
     val exact = U.documents(spark, sfDir)
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
