@@ -197,12 +197,18 @@ object Streams {
     * what lets Spark evict buffered rows once the watermark passes
     * `l_ts + maxDelay`; an unbounded condition would buffer both streams
     * forever (the stream-stream analogue of the dropDuplicates state leak).
+    *
+    * `joinType = "left_outer"` additionally emits left rows that found no
+    * match — but only AFTER the watermark closes their window (the match
+    * can't be ruled out earlier), which is exactly the state-eviction
+    * moment; StreamingSpec pins that timing.
     */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       maxDelay: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left
       .withWatermark("timestamp", watermark)
       .select(
@@ -219,7 +225,8 @@ object Streams {
         r,
         col("timeseries_id") === col("r_id") &&
           col("r_ts") >= col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+        joinType)
       .select(
         col("timeseries_id"),
         col("l_ts"),

@@ -175,6 +175,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(("id-a", 1.0, 10.0), ("id-a", 2.0, 30.0), ("id-z", 0.0, 0.0)))
   }
 
+  test("intervalJoin left_outer: unmatched left rows emit with null right side only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Tele]
+    val rMem = MemoryStream[Tele]
+    val q = Streams.intervalJoin(
+        lMem.toDF(), rMem.toDF(), maxDelay = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("loj_stream")
+      .outputMode("append").start()
+    val matched = Tele("cmd", ts("2024-08-28 12:00:00"), 1.0, None, "id-a")
+    val orphan = Tele("cmd", ts("2024-08-28 12:00:00"), 2.0, None, "id-b")
+    lMem.addData(Seq(matched, orphan))
+    rMem.addData(Seq(Tele("rsp", ts("2024-08-28 12:05:00"), 10.0, None, "id-a")))
+    q.processAllAvailable()
+    // watermark hasn't passed orphan's window yet: no null-padded row
+    assert(spark.table("loj_stream").filter(col("r_value").isNull).count() === 0)
+    // advance both watermarks far past 12:10 -> orphan's window closes
+    lMem.addData(Seq(Tele("cmd", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")))
+    rMem.addData(Seq(Tele("rsp", ts("2024-08-28 14:00:00"), 0.0, None, "id-z")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("loj_stream")
+      .select("timeseries_id", "l_value", "r_value")
+      .collect().map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)))).toSet
+    assert(out.contains(("id-a", 1.0, Some(10.0))), "matched pair")
+    assert(out.contains(("id-b", 2.0, None)), "orphan emitted null-padded after watermark")
+  }
+
   test("faultFlags is stateless and batch-identical") {
     // stateless transform: apply to batch frame both ways
     val flagged = Streams.faultFlags(rows.toDF(), 0.95)
