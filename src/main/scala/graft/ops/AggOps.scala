@@ -206,6 +206,75 @@ object AggOps {
         .orderBy("user_id")
     },
 
+    // UNPIVOT (melt) — the inverse of q_pivot: wide numeric columns to
+    // (key, col_name, val) rows. Map-side only (a Generate over each row),
+    // no shuffle until the presentation sort; the relational reshaping
+    // primitive feature-engineering pipelines use to normalize wide tables.
+    Q(
+      "q_unpivot",
+      """SELECT l_orderkey, l_linenumber, col_name, val FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |UNPIVOT (val FOR col_name IN (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, col_name""".stripMargin) { (s, d) =>
+      U.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity"),
+          col("l_extendedprice"),
+          col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "col_name",
+          "val")
+        .orderBy("l_orderkey", "l_linenumber", "col_name")
+    },
+
+    // TPC-H Q11 shape (important-stock cut re-expressed on the star we
+    // have): revenue per nation, keeping only nations above a fixed
+    // fraction of the GLOBAL total — the scalar-subquery pattern. Spark
+    // plans the global total as a 1-row broadcast (cross join of an
+    // aggregate), so the per-nation frame streams through one filter; no
+    // second scan of the fact table.
+    Q(
+      "q_tpch_q11",
+      """WITH nval AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS value
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name,
+        |  CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS value_micro
+        |FROM nval
+        |WHERE value > (SELECT CAST(sum(value) AS DECIMAL(28,6)) * CAST(0.05 AS DECIMAL(3,2)) FROM nval)
+        |ORDER BY value_micro DESC, n_name""".stripMargin) { (s, d) =>
+      val nval = U.lineitem(s, d)
+        .join(U.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(U.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(U.Dec))
+            .cast(U.Dec).as("value"))
+      val Dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val frac = lit(BigDecimal("0.05"))
+        .cast(org.apache.spark.sql.types.DecimalType(3, 2))
+      val threshold = nval
+        .agg((sum(col("value")).cast(Dec28) * frac).as("thr"))
+      nval
+        .crossJoin(broadcast(threshold))
+        .filter(col("value") > col("thr"))
+        .select(
+          col("n_name"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)) *
+            1000000).cast("long").as("value_micro"))
+        .orderBy(col("value_micro").desc, col("n_name"))
+    },
+
     // Fixed-width histogram over a double measure: floor-bucket then count.
     // Pure double arithmetic (no decimal detours — floor(double/const) is
     // bit-identical across engines); one partial-aggregated shuffle keyed
