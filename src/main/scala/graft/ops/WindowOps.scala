@@ -126,6 +126,78 @@ object WindowOps {
         .orderBy("user_id", "rn")
     },
 
+    // Rolling autocorrelation per series: corr(value, lag(value)) over a
+    // 20-row trailing frame — the quant/telemetry staple for detecting
+    // regime changes. Same exact-moment discipline as q_agg_corr but with
+    // WINDOW sums: the five moments are DECIMAL frame-sums (exact,
+    // order-independent), only the closed form runs in doubles written
+    // identically in both engines; degenerate frames (short, or zero
+    // variance) yield NULL by an explicit guard, not NaN. One shuffle by
+    // the series key.
+    Q(
+      "q_win_rolling_corr",
+      """WITH t AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value FROM events),
+        |p AS (SELECT user_id, event_id, ts_us, value AS x,
+        |        lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS y
+        |      FROM t),
+        |f AS (SELECT user_id, event_id, ts_us, x, y FROM p WHERE y IS NOT NULL),
+        |m AS (SELECT user_id, event_id,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(20,6)) * CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(20,6)) * CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x AS DECIMAL(20,6)) * CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, n,
+        |  CASE WHEN n >= 5 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN round((n * sxy - sx * sy) /
+        |                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |       END AS rcorr
+        |FROM m ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val wOrd = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val w = wOrd.rowsBetween(-19, Window.currentRow)
+      val base = U.events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").as("x"))
+        .withColumn("y", lag(col("x"), 1).over(wOrd))
+        .filter(col("y").isNotNull)
+      val m = base.select(
+        col("user_id"),
+        col("event_id"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x").cast(U.Dec)).over(w).cast("double").as("sx"),
+        sum(col("y").cast(U.Dec)).over(w).cast("double").as("sy"),
+        sum(col("x").cast(Dec20) * col("x").cast(U.Dec)).over(w)
+          .cast("double").as("sxx"),
+        sum(col("y").cast(Dec20) * col("y").cast(U.Dec)).over(w)
+          .cast("double").as("syy"),
+        sum(col("x").cast(Dec20) * col("y").cast(U.Dec)).over(w)
+          .cast("double").as("sxy"))
+      m.select(
+          col("user_id"),
+          col("event_id"),
+          col("n"),
+          when(
+            col("n") >= 5 &&
+              (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+              6)).as("rcorr"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Distribution windows: quartile bucket, percent_rank, cume_dist (by
     // value within series) plus first/last event over the full frame.
     // percent_rank/cume_dist are integer-ratio doubles — IEEE division is
