@@ -481,6 +481,58 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // Excess kurtosis per group, same exact-moment discipline as skewness
+    // one slot up: the 4th power chain squares the exact scale-6 square
+    // (narrowed losslessly to DECIMAL(15,6) — values ≤ 1e4 — so the
+    // (15,6)x(15,6) product stays inside both engines' 38-digit cap).
+    // g2 = m4/σ⁴ - 3 with every moment an exact decimal sum; σ⁴ = v*v,
+    // sqrt-free, so the only doubles are the identical closed-form trees.
+    Q(
+      "q_agg_kurtosis",
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS sxxx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(20,6))
+        |           * CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(15,6))) AS DOUBLE) AS sxxxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((sxxxx / n - 4 * (sx / n) * (sxxx / n) + 6 * (sx / n) * (sx / n) * (sxx / n)
+        |         - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n)) /
+        |        ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) - 3, 6) AS kurtosis
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
+      val Dec123 = org.apache.spark.sql.types.DecimalType(12, 3)
+      val Dec156 = org.apache.spark.sql.types.DecimalType(15, 6)
+      val v = col("value")
+      // asymmetric widths: >18 forces DuckDB's HUGEINT decimal path (an
+      // 18x18-or-narrower product multiplies INT64s and overflows at
+      // runtime — same trick as q_agg_corr), while 20+15 fits the cap
+      val x2w = (v.cast(Dec123) * v.cast(Dec123)).cast(Dec20)
+      val x2 = (v.cast(Dec123) * v.cast(Dec123)).cast(Dec156)
+      val stats = U.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(v.cast(U.Dec)).cast("double").as("sx"),
+          sum(v.cast(Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
+          sum(v.cast(Dec123) * v.cast(Dec123) * v.cast(Dec123))
+            .cast("double").as("sxxx"),
+          sum(x2w * x2).cast("double").as("sxxxx"))
+      val mu = col("sx") / col("n")
+      val va = col("sxx") / col("n") - mu * mu
+      stats
+        .select(
+          col("event_type"),
+          col("n"),
+          round(
+            (col("sxxxx") / col("n") - lit(4) * mu * (col("sxxx") / col("n")) +
+              lit(6) * mu * mu * (col("sxx") / col("n")) -
+              lit(3) * mu * mu * mu * mu) / (va * va) - 3,
+            6).as("kurtosis"))
+        .orderBy("event_type")
+    },
+
     // Incremental materialized-view refresh: a daily per-user rollup
     // maintained as MERGEABLE partial aggregates. The "materialized" base
     // (90% of events) and the delta batch (10%) are each pre-aggregated,

@@ -330,6 +330,53 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Seasonal decomposition (hour-of-day profile): seasonal = the series'
+    // mean at that hour of day, residual = value - seasonal — the
+    // first-order de-seasonalization any telemetry anomaly pipeline runs
+    // before thresholding (a fan running "hot" at 3am is an anomaly; at
+    // 3pm it's summer). One bounded agg on (series, hour) + a co-partitioned
+    // join back; the seasonal profile is 24 rows per series.
+    // Everything integral: the seasonal mean is floor(Σv·10⁶ / n) in exact
+    // integer arithmetic (the sum is a scale-6 decimal, so ×10⁶ is an
+    // exact BIGINT, and // is floor division in both engines) — a
+    // round(double,4) here landed on a .xxxx5 half boundary at sf0.1 where
+    // Spark (HALF_UP) and DuckDB disagree by 1e-4.
+    Q(
+      "q_ts_seasonal",
+      """WITH prof AS (
+        |  SELECT user_id, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) // count(*) AS BIGINT) AS seasonal_e6
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+        |  CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS value_e6,
+        |  p.seasonal_e6,
+        |  CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) - p.seasonal_e6 AS residual_e6
+        |FROM events e
+        |JOIN prof p ON e.user_id = p.user_id AND CAST(hour(e.ts) AS BIGINT) = p.hod
+        |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
+      val Dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val prof = U.events(s, d)
+        .groupBy(col("user_id").as("p_user"), hour(col("ts")).cast("long").as("hod"))
+        .agg(
+          expr(
+            "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) * 1000000 AS BIGINT) div count(*)")
+            .as("seasonal_e6"))
+      val valueE6 = floor(col("value") * 1000000 + 0.5).cast("long")
+      U.events(s, d)
+        .join(
+          prof,
+          col("user_id") === col("p_user") &&
+            hour(col("ts")).cast("long") === col("hod"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          valueE6.as("value_e6"),
+          col("seasonal_e6"),
+          (valueE6 - col("seasonal_e6")).as("residual_e6"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Hopping (sliding) windows: 15-minute windows advancing every 5
     // minutes, so each event lands in exactly 3 overlapping windows —
     // batch analog of `window(ts, "15 minutes", "5 minutes")`, written as
