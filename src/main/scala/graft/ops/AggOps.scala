@@ -345,6 +345,56 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // Set-valued aggregation: per series, the sorted distinct event types
+    // joined to one string (emitted as a string, not an array — array
+    // columns hash differently across parquet readers). collect_set is the
+    // mergeable small-set aggregate; sorting makes it deterministic.
+    Q(
+      "q_agg_collect",
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      U.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    },
+
+    // Median absolute deviation per group — the robust dispersion measure
+    // (outlier-insensitive, unlike stddev). Exact cross-engine because
+    // every interpolation happens at fraction 0.5 (exactly representable)
+    // over milli-scaled integers, so both medians are bit-identical
+    // half-sums; |x - med| values are then exact k or k.5 doubles and the
+    // second median is again exact. Two grouped sorts + one co-partitioned
+    // join — the honest cost of exact order statistics (approx sketch:
+    // q_agg_approx_quantile).
+    Q(
+      "q_agg_mad",
+      """WITH v AS (SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events),
+        |med AS (SELECT event_type, quantile_cont(vm, 0.5) AS med FROM v GROUP BY event_type)
+        |SELECT v.event_type, count(*) AS n, max(med) AS med,
+        |  quantile_cont(abs(v.vm - med), 0.5) AS mad
+        |FROM v JOIN med ON v.event_type = med.event_type
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin) { (s, d) =>
+      val v = U.events(s, d)
+        .select(
+          col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vm"))
+      val med = v
+        .groupBy(col("event_type").as("m_type"))
+        .agg(expr("percentile(vm, 0.5)").as("med"))
+      v.join(med, col("event_type") === col("m_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          expr("percentile(abs(vm - med), 0.5)").as("mad"))
+        .orderBy("event_type")
+    },
+
     // Misra-Gries heavy hitters over corpus terms via the typed mergeable
     // Aggregator (functions/HeavyHitters): one pass, O(k) state per
     // partition, O(k) merge — the 100 TB frequent-items path where exact
