@@ -461,11 +461,10 @@ object AggOps {
         |  round((n * sxy - sx * sy) /
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
       val x = col("l_quantity").cast(U.Dec)
       val y = col("l_extendedprice").cast(U.Dec)
-      val x20 = col("l_quantity").cast(Dec20)
-      val y20 = col("l_extendedprice").cast(Dec20)
+      val x20 = col("l_quantity").cast(U.Dec20)
+      val y20 = col("l_extendedprice").cast(U.Dec20)
       U.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -505,7 +504,6 @@ object AggOps {
         |  round((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n)) /
         |        (sqrt(sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))), 6) AS skewness
         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
-      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
       val Dec123 = org.apache.spark.sql.types.DecimalType(12, 3)
       val v = col("value")
       val stats = U.events(s, d)
@@ -513,7 +511,7 @@ object AggOps {
         .agg(
           count(lit(1)).as("n"),
           sum(v.cast(U.Dec)).cast("double").as("sx"),
-          sum(v.cast(Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
+          sum(v.cast(U.Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
           sum(v.cast(Dec123) * v.cast(Dec123) * v.cast(Dec123))
             .cast("double").as("sxxx"))
       val mu = col("sx") / col("n")
@@ -544,28 +542,32 @@ object AggOps {
         |    CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
         |    CAST(sum(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))) AS DOUBLE) AS sxxx,
         |    CAST(sum(CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(20,6))
-        |           * CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(15,6))) AS DOUBLE) AS sxxxx
+        |           * CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(17,6))) AS DOUBLE) AS sxxxx
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n,
         |  round((sxxxx / n - 4 * (sx / n) * (sxxx / n) + 6 * (sx / n) * (sx / n) * (sxx / n)
         |         - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n)) /
         |        ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) - 3, 6) AS kurtosis
         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
-      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
       val Dec123 = org.apache.spark.sql.types.DecimalType(12, 3)
-      val Dec156 = org.apache.spark.sql.types.DecimalType(15, 6)
+      val Dec176 = org.apache.spark.sql.types.DecimalType(17, 6)
       val v = col("value")
       // asymmetric widths: >18 forces DuckDB's HUGEINT decimal path (an
       // 18x18-or-narrower product multiplies INT64s and overflows at
-      // runtime — same trick as q_agg_corr), while 20+15 fits the cap
-      val x2w = (v.cast(Dec123) * v.cast(Dec123)).cast(Dec20)
-      val x2 = (v.cast(Dec123) * v.cast(Dec123)).cast(Dec156)
+      // runtime — same trick as q_agg_corr), while 20+17 fits both caps
+      val x2w = (v.cast(Dec123) * v.cast(Dec123)).cast(U.Dec20)
+      // (17,6) is the widest narrow side Spark's cap allows next to (20,6)
+      // (20+17+1 = 38, no precision-loss adjustment); it holds x^2 up to
+      // ~1e11, i.e. |value| <= ~316k — far beyond the data's range, and an
+      // out-of-range product would null out in Spark but ERROR in DuckDB,
+      // so the gate catches it rather than silently diverging
+      val x2 = (v.cast(Dec123) * v.cast(Dec123)).cast(Dec176)
       val stats = U.events(s, d)
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           sum(v.cast(U.Dec)).cast("double").as("sx"),
-          sum(v.cast(Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
+          sum(v.cast(U.Dec20) * v.cast(U.Dec)).cast("double").as("sxx"),
           sum(v.cast(Dec123) * v.cast(Dec123) * v.cast(Dec123))
             .cast("double").as("sxxx"),
           sum(x2w * x2).cast("double").as("sxxxx"))

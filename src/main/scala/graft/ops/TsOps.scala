@@ -338,7 +338,9 @@ object TsOps {
     // join back; the seasonal profile is 24 rows per series.
     // Everything integral: the seasonal mean is floor(Σv·10⁶ / n) in exact
     // integer arithmetic (the sum is a scale-6 decimal, so ×10⁶ is an
-    // exact BIGINT, and // is floor division in both engines) — a
+    // exact BIGINT, and // (DuckDB) == div (Spark) both TRUNCATE toward
+    // zero — identical engines-wise; equal to floor here because the
+    // operands are non-negative, but a signed measure would get trunc) — a
     // round(double,4) here landed on a .xxxx5 half boundary at sf0.1 where
     // Spark (HALF_UP) and DuckDB disagree by 1e-4.
     Q(
@@ -354,7 +356,6 @@ object TsOps {
         |FROM events e
         |JOIN prof p ON e.user_id = p.user_id AND CAST(hour(e.ts) AS BIGINT) = p.hod
         |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
-      val Dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
       val prof = U.events(s, d)
         .groupBy(col("user_id").as("p_user"), hour(col("ts")).cast("long").as("hod"))
         .agg(
@@ -430,13 +431,12 @@ object TsOps {
         |FROM events e JOIN m ON e.user_id = m.user_id
         |WHERE abs((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
         |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
-      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
       val stats = U.events(s, d)
         .groupBy(col("user_id").as("m_user"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast(U.Dec)).cast("double").as("sx"),
-          sum(col("value").cast(Dec20) * col("value").cast(U.Dec))
+          sum(col("value").cast(U.Dec20) * col("value").cast(U.Dec))
             .cast("double").as("sxx"))
       val mean = col("sx") / col("n")
       val z = (col("value") - mean) / sqrt(col("sxx") / col("n") - mean * mean)

@@ -157,7 +157,6 @@ object WindowOps {
         |                  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
         |       END AS rcorr
         |FROM m ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-      val Dec20 = org.apache.spark.sql.types.DecimalType(20, 6)
       val wOrd = Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
@@ -176,11 +175,11 @@ object WindowOps {
         count(lit(1)).over(w).as("n"),
         sum(col("x").cast(U.Dec)).over(w).cast("double").as("sx"),
         sum(col("y").cast(U.Dec)).over(w).cast("double").as("sy"),
-        sum(col("x").cast(Dec20) * col("x").cast(U.Dec)).over(w)
+        sum(col("x").cast(U.Dec20) * col("x").cast(U.Dec)).over(w)
           .cast("double").as("sxx"),
-        sum(col("y").cast(Dec20) * col("y").cast(U.Dec)).over(w)
+        sum(col("y").cast(U.Dec20) * col("y").cast(U.Dec)).over(w)
           .cast("double").as("syy"),
-        sum(col("x").cast(Dec20) * col("y").cast(U.Dec)).over(w)
+        sum(col("x").cast(U.Dec20) * col("y").cast(U.Dec)).over(w)
           .cast("double").as("sxy"))
       m.select(
           col("user_id"),

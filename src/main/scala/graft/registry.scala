@@ -33,6 +33,15 @@ object Q {
 object U {
   val Dec: DecimalType = DecimalType(18, 6)
 
+  /** The wide side of exact decimal products. The width pair encodes BOTH
+    * engines' constraints at once: one operand's width must exceed 18 or
+    * DuckDB multiplies INT64 representations and overflows at runtime
+    * (width > 18 forces its HUGEINT path), while Spark needs
+    * p1 + p2 + 1 <= 38 or its precision-loss adjustment silently rounds
+    * the product's low digits. (20,6) x (18,6)-or-narrower satisfies both.
+    */
+  val Dec20: DecimalType = DecimalType(20, 6)
+
   /** Order-independent exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 

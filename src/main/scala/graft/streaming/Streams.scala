@@ -209,6 +209,12 @@ object Streams {
       maxDelay: String = "10 minutes",
       watermark: String = "10 minutes",
       joinType: String = "inner"): DataFrame = {
+    // other types would be silently wrong here: right_outer loses the
+    // series id of null-padded rows (the key is projected from the left
+    // side), and semi/anti don't produce the right-side columns we select
+    require(
+      joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner and left_outer, got $joinType")
     val l = left
       .withWatermark("timestamp", watermark)
       .select(
