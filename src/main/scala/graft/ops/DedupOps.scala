@@ -63,6 +63,34 @@ object DedupOps {
           .orderBy("canonical_id")
     },
 
+    // Keep-latest compaction: one surviving row per (series, type) — the
+    // newest by event time with a unique-id tie-break. The batch form of
+    // upsert-log compaction (what q_merge_upsert does incrementally): the
+    // storage-engine staple for collapsing an append log into current
+    // state. One window shuffle on the compaction key.
+    Q(
+      "q_dedup_latest",
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      U.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .orderBy("user_id", "event_type")
+    },
+
     // Normalized ("fuzzy-exact") dedup: lowercase, strip punctuation,
     // collapse whitespace, THEN hash-group — catches trivially-reformatted
     // copies that byte-exact dedup misses (the C4/CCNet preprocessing

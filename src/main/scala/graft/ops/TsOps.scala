@@ -330,6 +330,56 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Counter-rate with reset detection (the monitoring-system staple —
+    // Prometheus `rate()` semantics): per series, sum consecutive deltas,
+    // but a NEGATIVE delta means the counter reset, so the post-reset
+    // absolute value is the true increase. All increments are milli-scaled
+    // BIGINTs (exact, order-independent sum); the final rate division is
+    // one identical double op. One window shuffle + one tiny aggregate.
+    Q(
+      "q_ts_rate",
+      """WITH t AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |d AS (SELECT user_id, ts_us, vm,
+        |    vm - lag(vm) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_m
+        |  FROM t)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN delta_m IS NULL THEN 0
+        |                WHEN delta_m < 0 THEN vm
+        |                ELSE delta_m END) AS BIGINT) AS increase_m,
+        |  CAST(count(*) FILTER (delta_m < 0) AS BIGINT) AS n_resets,
+        |  max(ts_us) - min(ts_us) AS dur_us,
+        |  (CAST(sum(CASE WHEN delta_m IS NULL THEN 0
+        |                 WHEN delta_m < 0 THEN vm
+        |                 ELSE delta_m END) AS BIGINT) / 1000.0) /
+        |    ((max(ts_us) - min(ts_us)) / 1000000.0) AS rate_per_s
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val wOrd = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val increase = sum(
+        when(col("delta_m").isNull, 0L)
+          .when(col("delta_m") < 0, col("vm"))
+          .otherwise(col("delta_m"))).cast("long")
+      val durUs = max(col("ts_us")) - min(col("ts_us"))
+      U.events(s, d)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("vm"))
+        .withColumn("delta_m", col("vm") - lag(col("vm"), 1).over(wOrd))
+        .groupBy(col("user_id"))
+        .agg(
+          increase.as("increase_m"),
+          count(when(col("delta_m") < 0, 1)).as("n_resets"),
+          durUs.as("dur_us"),
+          ((increase / 1000.0) / (durUs / 1000000.0)).as("rate_per_s"))
+        .orderBy("user_id")
+    },
+
     // Seasonal decomposition (hour-of-day profile): seasonal = the series'
     // mean at that hour of day, residual = value - seasonal — the
     // first-order de-seasonalization any telemetry anomaly pipeline runs
