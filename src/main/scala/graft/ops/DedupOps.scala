@@ -43,6 +43,97 @@ object DedupOps {
     */
   private val MaxShingleDf = 1000
 
+  /** Shared oracle CTE chain for exact n-gram Jaccard pairs; ends with a
+    * relation `jac(a, b, jaccard)` at threshold 0.8. Reused verbatim by
+    * every oracle that consumes the near-dup pair graph so the edge set is
+    * the same by construction. s-interpolated so the Spark-side
+    * MaxShingleDf and the oracle's cap are one constant.
+    */
+  private[ops] val NgramJacSqlCte: String =
+    s"""WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+       |       FROM wd WHERE len(w) >= 3),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+       |ex AS (SELECT doc_id, sh FROM
+       |         (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex0)
+       |       WHERE df <= $MaxShingleDf),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |          FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+       |        FROM pairs
+       |        JOIN sizes sa ON sa.doc_id = a
+       |        JOIN sizes sb ON sb.doc_id = b
+       |        WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8)""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= 0.8) — the
+    * Spark twin of [[NgramJacSqlCte]]'s `jac` relation; consumed by the
+    * q_dedup_ngram_jaccard key, cluster resolution, and graph analytics.
+    *
+    * Inverted index WITHOUT a self-join: group the postings by shingle
+    * (shuffle 1, carrying only (doc_id, |shingles|) pairs), emit ordered
+    * doc pairs inside each group with codegen'd higher-order functions,
+    * then count shared shingles per pair (shuffle 2). vs the classic
+    * exchange-reusing self-join this removes the join build/probe AND the
+    * window sort that computed document frequency (measured 19.5s -> ~2s
+    * at sf0.1); |A| and |B| ride inside the pair struct so no size-lookup
+    * joins ever happen.
+    *
+    * Hot shingles are dropped BEFORE the posting lists are collected:
+    * collect_list materializes a group's whole posting list in one
+    * non-spillable aggregation buffer, so filtering on size AFTER
+    * collection would still build the 10M-entry array for a corpus-wide
+    * boilerplate shingle and OOM the executor. The df count is a cheap
+    * partial-aggregated pass (its exchange hashes on the same key as the
+    * collect, so the planner reuses one shuffle), and the hot list —
+    * shingles with df > cap are rare by definition — broadcasts into a
+    * map-side anti join; cold postings then collect into buffers that
+    * are <= MaxShingleDf entries BY CONSTRUCTION.
+    */
+  private[ops] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(
+      col("doc_id"),
+      size(col("shingles")).cast("long").as("n"),
+      explode(col("shingles")).as("sh"))
+    val hot = ex
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("sh"))
+    val byShingle = ex
+      .join(broadcast(hot), Seq("sh"), "left_anti")
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      // 1-doc shingles pair with nothing
+      .filter(size(col("ds")) >= 2)
+      .select(array_sort(col("ds")).as("ds")) // ascending doc_id => a < b
+    val pairs = byShingle
+      .select(explode(flatten(transform(
+        col("ds"),
+        (x, i) =>
+          transform(
+            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y =>
+              struct(
+                x.getField("doc_id").as("a"),
+                y.getField("doc_id").as("b"),
+                x.getField("n").as("na"),
+                y.getField("n").as("nb")))))).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.na"), col("p.nb"))
+    pairs
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   val qs: Seq[Q] = Seq(
     // Exact dedup: canonical (lowest) doc_id per distinct text. Groups by
     // md5(text), NOT text: the group key is what the exchange shuffles, and
@@ -115,87 +206,47 @@ object DedupOps {
     },
 
     // Exact n-gram Jaccard near-dup: candidate pairs share >= 1 shingle
-    // (inverted-index join), exact |A∩B| / |A∪B| >= 0.8.
+    // (inverted-index join), exact |A∩B| / |A∪B| >= 0.8. Plan rationale on
+    // [[ngramJaccardPairs]].
     Q(
       "q_dedup_ngram_jaccard",
-      // s-interpolated so the Spark-side MaxShingleDf and the oracle's cap
-      // are the same constant by construction (can't silently diverge)
-      s"""WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct(list_transform(range(1, len(w) - 1),
-        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-        |       FROM wd WHERE len(w) >= 3),
-        |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
-        |ex AS (SELECT doc_id, sh FROM
-        |         (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex0)
-        |       WHERE df <= $MaxShingleDf),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |          FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = a
-        |JOIN sizes sb ON sb.doc_id = b
-        |WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8
-        |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val sh = shingled(s, d)
-      // Inverted index WITHOUT a self-join: group the postings by shingle
-      // (shuffle 1, carrying only (doc_id, |shingles|) pairs), emit ordered
-      // doc pairs inside each group with codegen'd higher-order functions,
-      // then count shared shingles per pair (shuffle 2). vs the classic
-      // exchange-reusing self-join this removes the join build/probe AND the
-      // window sort that computed document frequency (measured 19.5s -> ~2s
-      // at sf0.1); |A| and |B| ride inside the pair struct so no size-lookup
-      // joins ever happen.
-      val ex = sh.select(
-        col("doc_id"),
-        size(col("shingles")).cast("long").as("n"),
-        explode(col("shingles")).as("sh"))
-      // Hot shingles are dropped BEFORE the posting lists are collected:
-      // collect_list materializes a group's whole posting list in one
-      // non-spillable aggregation buffer, so filtering on size AFTER
-      // collection would still build the 10M-entry array for a corpus-wide
-      // boilerplate shingle and OOM the executor. The df count is a cheap
-      // partial-aggregated pass (its exchange hashes on the same key as the
-      // collect, so the planner reuses one shuffle), and the hot list —
-      // shingles with df > cap are rare by definition — broadcasts into a
-      // map-side anti join; cold postings then collect into buffers that
-      // are <= MaxShingleDf entries BY CONSTRUCTION.
-      val hot = ex
-        .groupBy(col("sh"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShingleDf)
-        .select(col("sh"))
-      val byShingle = ex
-        .join(broadcast(hot), Seq("sh"), "left_anti")
-        .groupBy(col("sh"))
-        .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-        // 1-doc shingles pair with nothing
-        .filter(size(col("ds")) >= 2)
-        .select(array_sort(col("ds")).as("ds")) // ascending doc_id => a < b
-      val pairs = byShingle
-        .select(explode(flatten(transform(
-          col("ds"),
-          (x, i) =>
-            transform(
-              slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-              y =>
-                struct(
-                  x.getField("doc_id").as("a"),
-                  y.getField("doc_id").as("b"),
-                  x.getField("n").as("na"),
-                  y.getField("n").as("nb")))))).as("p"))
-        .select(col("p.a"), col("p.b"), col("p.na"), col("p.nb"))
-      pairs
-        .groupBy(col("a"), col("b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn(
-          "jaccard",
-          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a"), col("b"), col("jaccard"))
-        .orderBy("a", "b")
+      s"""$NgramJacSqlCte
+        |SELECT a, b, jaccard FROM jac ORDER BY a, b""".stripMargin) { (s, d) =>
+      ngramJaccardPairs(s, d).orderBy("a", "b")
+    },
+
+    // Graph analytics over the near-dup pair graph: node/edge counts and
+    // triangle count — triangle density distinguishes genuine duplicate
+    // CLUSTERS (cliques => many triangles) from chains of borderline
+    // matches. The a<b edge orientation makes the classic 3-way self-join
+    // count each triangle exactly once, and bounds the join fanout by
+    // forward-degree (the standard distributed triangle-count trick).
+    Q(
+      "q_graph_triangles",
+      s"""$NgramJacSqlCte,
+        |e AS (SELECT a, b FROM jac),
+        |nodes AS (SELECT count(DISTINCT x) AS n_nodes FROM
+        |            (SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+        |edges AS (SELECT count(*) AS n_edges FROM e),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM nodes, edges, tri""".stripMargin) { (s, d) =>
+      val e = ngramJaccardPairs(s, d).select(col("a"), col("b"))
+      val nodes = e
+        .select(explode(array(col("a"), col("b"))).as("x"))
+        .agg(countDistinct(col("x")).as("n_nodes"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      val tri = e.toDF("a1", "b1")
+        .join(e.toDF("a2", "b2"), col("b1") === col("a2"))
+        .join(
+          e.toDF("a3", "b3"),
+          col("a3") === col("a1") && col("b3") === col("b2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nodes.crossJoin(edges).crossJoin(tri)
     },
 
     // MinHash + LSH banding (Broder 1997 resemblance sketch; banding per

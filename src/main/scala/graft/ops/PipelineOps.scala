@@ -233,10 +233,7 @@ object PipelineOps {
     // Graph-dependent iteration count => no single SQL oracle; ScalaTest
     // verifies against a driver-side union-find on the same pairs.
     Q.noOracle("q_dedup_clusters") { (s, d) =>
-      val pairs = graft.Registry
-        .byName("q_dedup_ngram_jaccard")
-        .fn(s, d)
-        .select(col("a"), col("b"))
+      val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
       connectedComponents(pairs)
         .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
