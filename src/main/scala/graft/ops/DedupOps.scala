@@ -235,7 +235,11 @@ object DedupOps {
         |  CAST(n_edges AS BIGINT) AS n_edges,
         |  CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM nodes, edges, tri""".stripMargin) { (s, d) =>
-      val e = ngramJaccardPairs(s, d).select(col("a"), col("b"))
+      // materialize the pair graph ONCE: the edge set is tiny (near-dup
+      // pairs), but its producing pipeline is the most expensive dedup
+      // plan — without the checkpoint each of the four consumers below
+      // (and each side of the 3-way self-join) would recompute it
+      val e = ngramJaccardPairs(s, d).select(col("a"), col("b")).localCheckpoint()
       val nodes = e
         .select(explode(array(col("a"), col("b"))).as("x"))
         .agg(countDistinct(col("x")).as("n_nodes"))

@@ -259,9 +259,12 @@ object PipelineOps {
     * O(log n) rounds; not needed for the dedup workload this serves.)
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
-      .toDF("a", "b")
-      .union(pairs.toDF("a", "b").select(col("b"), col("a")))
+    // checkpoint the INPUT first: the union below references it twice, and
+    // an expensive producing pipeline (e.g. the near-dup pair join) would
+    // otherwise run once per reference
+    val p = pairs.toDF("a", "b").localCheckpoint()
+    val edges = p
+      .union(p.select(col("b"), col("a")))
       .toDF("u", "v")
       .localCheckpoint()
     var labels = edges
@@ -300,6 +303,7 @@ object PipelineOps {
           "component diameter exceeds the bound; raise maxIters or use an " +
           "alternating-star implementation for deep graphs")
     unpersistCheckpoint(edges)
+    unpersistCheckpoint(p)
     labels.select(col("node"), col("label"))
   }
 
