@@ -1,13 +1,13 @@
 package graft
 
-import graft.functions.{MinHashSig, Shingles, SimHash64, VecDot}
+import graft.functions.{MaxShingleFreq, MinHashSig, Shingles, SimHash64, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL surface for the custom codegen'd expressions: `spark.sql` users get
-  * `vec_dot`, `shingles`, `minhash_sig`, `simhash64` as first-class
-  * functions, either per-session ([[GraftFunctions.register]]) or for every
+  * `vec_dot`, `shingles`, `minhash_sig`, `simhash64`, `max_shingle_freq` as
+  * first-class functions, either per-session ([[GraftFunctions.register]]) or for every
   * session via `spark.sql.extensions=graft.GraftExtensions` (the standard
   * library-installation hook — no Spark fork, no reflection).
   *
@@ -74,6 +74,16 @@ object GraftFunctions {
             case _ =>
               throw new IllegalArgumentException(
                 s"simhash64(tokens) takes 1 argument, got ${args.length}")
+          }),
+      (
+        FunctionIdentifier("max_shingle_freq"),
+        new ExpressionInfo(classOf[MaxShingleFreq].getName, "max_shingle_freq"),
+        (args: Seq[Expression]) =>
+          args match {
+            case Seq(a, n) => MaxShingleFreq(a, intArg(n, "max_shingle_freq"))
+            case _ =>
+              throw new IllegalArgumentException(
+                s"max_shingle_freq(words, n) takes 2 arguments, got ${args.length}")
           }))
 
   /** Register on an existing session (session-scoped, no config needed). */

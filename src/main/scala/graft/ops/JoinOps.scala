@@ -513,6 +513,75 @@ object JoinOps {
             .otherwise("update")
             .as("op"))
         .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q4 shape (order priority checking): EXISTS decorrelates into a
+    // LEFT SEMI join whose condition mixes the equi key with a non-equi
+    // residual (l_shipdate > o_orderdate — "shipped late"; the driver
+    // lineitem has no commitdate/receiptdate, so lateness is vs the order
+    // date). The semi join never materializes match multiplicity — an order
+    // with 7 late lines counts once, with no post-join distinct — and the
+    // quarter filter on orders is pushed to its scan. Exact integer counts.
+    Q(
+      "q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        U.orders(s, d)
+          .filter(
+            col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .join(
+            U.lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    // classic OR-of-ANDs query. Each disjunct pairs a part predicate with a
+    // lineitem predicate, so neither side's filter is implied by the WHERE
+    // clause alone — the manual fix (the same one Catalyst's
+    // join-condition-pushdown misses for complex disjunctions) is to
+    // STRENGTHEN with the implied union predicates: p_brand IN (the 3
+    // brands) prunes the part scan and l_quantity BETWEEN 1 AND 36 prunes
+    // lineitem row groups, before the (broadcast — part is a dim) join
+    // evaluates the exact disjunction. Revenue via exact decimal sum.
+    Q(
+      "q_tpch_q19",
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 16)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 26)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 36)""".stripMargin) {
+      (s, d) =>
+        val brands = Seq("Brand#12", "Brand#23", "Brand#21")
+        val part = U.part(s, d)
+          .filter(col("p_brand").isin(brands: _*) && col("p_size") >= 1)
+        val li = U.lineitem(s, d)
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 36)
+        val disjunct =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 16)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 26)) ||
+            (col("p_brand") === "Brand#21" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 36))
+        li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+          .filter(disjunct)
+          .agg(
+            round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_lines"))
     }
   )
 }

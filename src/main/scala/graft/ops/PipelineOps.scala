@@ -237,6 +237,63 @@ object PipelineOps {
       connectedComponents(pairs)
         .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")
+    },
+
+    // Stratified downsampling by content hash: per-language keep rates
+    // (en 50%, else 20% — corpus rebalancing toward the low-resource tail)
+    // decided by the SAME h16 content hash as q_split_assign, so the sample
+    // is a pure zero-shuffle scan, reproducible across runs/engines, and a
+    // re-ingested duplicate is kept or dropped consistently. The
+    // random()-based alternative is non-reproducible AND engine-divergent —
+    // content hashing is the only sampling a 100 TB pipeline can re-run.
+    Q(
+      "q_sample_stratified",
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS h10
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE h10 < (CASE WHEN lang = 'en' THEN 5 ELSE 2 END)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h10 =
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 10
+      U.documents(s, d)
+        .select(col("doc_id"), col("lang"), h10.as("h10"))
+        .filter(col("h10") < when(col("lang") === "en", 5).otherwise(2))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination, exact-match tier: drop every training doc
+    // whose NORMALIZED text (q_dedup_normalized's C4/CCNet convention)
+    // byte-matches an eval doc (stand-in: doc_id < 10, as in
+    // q_text_contamination, which is this operator's n-gram-overlap tier).
+    // The corpus side carries only (doc_id, 16-byte digest) into a LEFT
+    // ANTI join against the BROADCAST eval digest set — benchmarks are
+    // thousands of digests — so the 100 TB corpus never shuffles and the
+    // text never leaves its scan.
+    Q(
+      "q_dedup_decontaminate",
+      """WITH n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |        ' +', ' ', 'g'))) AS norm_md5
+        |  FROM documents)
+        |SELECT t.doc_id FROM n t
+        |WHERE t.doc_id >= 10 AND NOT EXISTS (
+        |  SELECT 1 FROM n e WHERE e.doc_id < 10 AND e.norm_md5 = t.norm_md5)
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+      val digests = U.documents(s, d)
+        .select(col("doc_id"), md5(norm).as("norm_md5"))
+      val eval = digests
+        .filter(col("doc_id") < 10)
+        .select(col("norm_md5").as("eval_md5"))
+      digests
+        .filter(col("doc_id") >= 10)
+        .join(broadcast(eval), col("norm_md5") === col("eval_md5"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }
   )
 

@@ -341,6 +341,53 @@ object TextOps {
           length(redacted).cast("long").as("redacted_len"),
           substring(redacted, 1, 40).as("redacted_head"))
         .orderBy("doc_id")
+    },
+
+    // Gopher/C4-style repetition signals per document: duplicate-token
+    // ratio and the fraction of bigram slots taken by the single most
+    // frequent bigram — the standard boilerplate/spam discriminators. The
+    // oracle computes max-bigram-count the declarative way (unnest all
+    // bigrams, GROUP BY, max), which at corpus scale would shuffle every
+    // bigram of every document; the Spark side instead calls the codegen'd
+    // [[graft.functions.MaxShingleFreq]] — a per-row hash-count inside
+    // whole-stage codegen — so the whole query is a ZERO-shuffle scan.
+    // Both ratios are single IEEE divisions of exact integers (exactly
+    // rounded, bit-identical across engines; same argument as q_win_ntile).
+    Q(
+      "q_text_repetition",
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |        list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bigrams
+        |      FROM w WHERE len(w) >= 2),
+        |b AS (SELECT doc_id, unnest(bigrams) AS bg FROM t),
+        |m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram FROM
+        |        (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |      GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tok, t.n_distinct,
+        |  1 - t.n_distinct / t.n_tok AS dup_token_ratio,
+        |  m.max_bigram,
+        |  m.max_bigram / (t.n_tok - 1) AS top_bigram_frac
+        |FROM t JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val nTok = size(col("w")).cast("long")
+      U.documents(s, d)
+        .select(col("doc_id"), U.words.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          graft.functions.MaxShingleFreq.maxShingleFreq(col("w"), 2)
+            .as("max_bigram"))
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          col("n_distinct"),
+          (lit(1) - col("n_distinct") / col("n_tok")).as("dup_token_ratio"),
+          col("max_bigram"),
+          (col("max_bigram") / (col("n_tok") - 1)).as("top_bigram_frac"))
+        .orderBy("doc_id")
     }
   )
 }

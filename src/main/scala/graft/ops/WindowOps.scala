@@ -228,6 +228,36 @@ object WindowOps {
           first(col("event_id")).over(full).as("first_eid"),
           last(col("event_id")).over(full).as("last_eid"))
         .orderBy("event_id")
+    },
+
+    // Running totals per series: cumulative exact-decimal sum, cumulative
+    // count, and running max over the unbounded-preceding frame — the
+    // telemetry "odometer" view (cumulative energy, cumulative faults).
+    // The cumulative sum goes through DECIMAL so Spark's running
+    // accumulation and DuckDB's segment-tree evaluation cannot drift; the
+    // emitted micro-unit BIGINT is exactly integral in both engines. Still
+    // the canonical single series-key shuffle + in-partition sort.
+    Q(
+      "q_win_cumsum",
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |    OVER w * 1000000 AS BIGINT) AS cum_micro,
+        |  CAST(count(*) OVER w AS BIGINT) AS cum_n,
+        |  round(max(value) OVER w, 6) AS run_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = wOrdered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          (sum(col("value").cast(U.Dec)).over(w) * 1000000).cast("long")
+            .as("cum_micro"),
+          count(lit(1)).over(w).as("cum_n"),
+          round(max(col("value")).over(w), 6).as("run_max"))
+        .orderBy("event_id")
     }
   )
 }
