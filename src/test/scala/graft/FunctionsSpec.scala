@@ -109,7 +109,7 @@ class FunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("minhash_sig", "shingles", "simhash64", "vec_dot"))
+      Seq("max_shingle_freq", "minhash_sig", "shingles", "simhash64", "vec_dot"))
   }
 
   test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
