@@ -215,19 +215,23 @@ object SimOps {
     // Symmetric int8 quantization per vector (embedding compression — 4x
     // smaller than float32 at ~1% cosine error, the standard serving-side
     // trade): q_i = round(x_i * 127 / max|x|), done as floor(v + 0.5) so
-    // both engines round identically. Pure per-row codegen'd scan, zero
-    // shuffle — at 100 TB this is the map stage before writing a compact
-    // ANN index.
+    // both engines round identically. An all-zero vector (amax = 0) would
+    // make the division 0/0 = NaN — Spark nulls it on cast while DuckDB
+    // ERRORS on CAST(NaN AS BIGINT) — so both sides pin q_i = 0 when
+    // amax = 0 (the correct quantization of the zero vector). Pure
+    // per-row codegen'd scan, zero shuffle — at 100 TB this is the map
+    // stage before writing a compact ANN index.
     Q(
       "q_embed_quantize",
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM n)
         |SELECT vec_id, round(amax, 6) AS amax,
-        |  CAST(floor(e[1] * 127.0 / amax + 0.5) AS BIGINT) AS q0,
-        |  CAST(floor(e[2] * 127.0 / amax + 0.5) AS BIGINT) AS q1,
-        |  CAST(floor(e[3] * 127.0 / amax + 0.5) AS BIGINT) AS q2,
-        |  list_reduce(list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)),
-        |              (a, b) -> a + b) AS q_sum
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(e[1] * 127.0 / amax + 0.5) AS BIGINT) END AS q0,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(e[2] * 127.0 / amax + 0.5) AS BIGINT) END AS q1,
+        |  CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(e[3] * 127.0 / amax + 0.5) AS BIGINT) END AS q2,
+        |  CASE WHEN amax = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(e, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)),
+        |                (a, b) -> a + b) END AS q_sum
         |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
       // the raw max must NOT share a name with the rounded output column:
       // lambda bodies resolve lazily, and Spark's lateral-column-alias pass
@@ -235,7 +239,9 @@ object SimOps {
       // sibling alias while the top-level q0..q2 keep the raw input — two
       // different divisors in one select, off-by-one on boundary elements
       def qz(x: Column): Column =
-        floor(x.cast("double") * 127.0 / col("amax_raw") + 0.5).cast("long")
+        when(col("amax_raw") === 0, 0L)
+          .otherwise(
+            floor(x.cast("double") * 127.0 / col("amax_raw") + 0.5).cast("long"))
       U.embeddings(s, d)
         .select(
           col("vec_id"),

@@ -388,11 +388,14 @@ object TsOps {
     // join back; the seasonal profile is 24 rows per series.
     // Everything integral: the seasonal mean is floor(Σv·10⁶ / n) in exact
     // integer arithmetic (the sum is a scale-6 decimal, so ×10⁶ is an
-    // exact BIGINT, and // (DuckDB) == div (Spark) both TRUNCATE toward
-    // zero — identical engines-wise; equal to floor here because the
-    // operands are non-negative, but a signed measure would get trunc) — a
-    // round(double,4) here landed on a .xxxx5 half boundary at sf0.1 where
-    // Spark (HALF_UP) and DuckDB disagree by 1e-4.
+    // exact BIGINT). CAUTION on the division: DuckDB `//` is FLOOR
+    // division but Spark `div` TRUNCATES toward zero — they coincide ONLY
+    // because the summed values here are non-negative. Reusing this shape
+    // for a signed measure requires a trunc-consistent formulation (e.g.
+    // sign(x)*( abs(x)//n )) or the engines silently diverge by one grid
+    // unit on negative sums. Also: a round(double,4) here landed on a
+    // .xxxx5 half boundary at sf0.1 where Spark (HALF_UP) and DuckDB
+    // disagree by 1e-4 — hence the integer grid.
     Q(
       "q_ts_seasonal",
       """WITH prof AS (
@@ -506,11 +509,14 @@ object TsOps {
     // exact power of two so every fold step is a clean IEEE op):
     // e_0 = v_0; e_i = alpha*v_i + (1-alpha)*e_{i-1}. Inherently a
     // sequential fold — not expressible as a frame-based SQL window — so
-    // this is the one typed-Dataset operator: groupByKey(series).mapGroups
-    // with an in-group sort. ONE shuffle by series key, per-group memory
-    // O(group size) — same cost envelope as any window query. Recursive
-    // semantics => no SQL oracle; ScalaTest folds the same rows on the
-    // driver and compares exactly.
+    // this is the one typed-Dataset operator, built as a SECONDARY SORT:
+    // repartition by series key, sortWithinPartitions(series, ts, event_id)
+    // (SortExec's UnsafeExternalSorter — spills to disk, unlike a
+    // mapGroups toSeq which pins the whole group on-heap), then a
+    // mapPartitions streaming fold holding O(1) state per group. ONE
+    // shuffle by series key; a year-long hot series costs disk, not an
+    // executor OOM. Recursive semantics => no SQL oracle; ScalaTest folds
+    // the same rows on the driver and compares exactly.
     Q.noOracle("q_ts_ewma") { (s, d) =>
       import s.implicits._
       val alpha = 0.25
@@ -520,17 +526,29 @@ object TsOps {
           unix_micros(col("ts")).as("ts_us"),
           col("event_id"),
           col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
         .as[(Long, Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (uid, rows) =>
-          var e = Double.NaN
-          var n = 0L
-          // sort by (ts, event_id) inside the group: deterministic fold order
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
-            e = if (n == 0L) r._4 else alpha * r._4 + (1 - alpha) * e
-            n += 1
+        .mapPartitions { it =>
+          // rows arrive grouped by user_id and (ts, event_id)-ordered;
+          // fold each run of equal keys without materializing it
+          new Iterator[(Long, Long, Double)] {
+            private var pending: (Long, Long, Long, Double) =
+              if (it.hasNext) it.next() else null
+            def hasNext: Boolean = pending != null
+            def next(): (Long, Long, Double) = {
+              val uid = pending._1
+              var e = pending._4
+              var n = 1L
+              pending = null
+              while (pending == null && it.hasNext) {
+                val r = it.next()
+                if (r._1 == uid) { e = alpha * r._4 + (1 - alpha) * e; n += 1 }
+                else pending = r
+              }
+              (uid, n, math.rint(e * 1e6) / 1e6)
+            }
           }
-          (uid, n, math.rint(e * 1e6) / 1e6)
         }
         .toDF("user_id", "n", "ewma")
         .orderBy("user_id")
