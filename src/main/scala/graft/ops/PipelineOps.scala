@@ -311,24 +311,37 @@ object PipelineOps {
     * Near-dup components are near-cliques (diameter 2-3); for general
     * graphs `maxIters` bounds the loop and non-convergence THROWS rather
     * than silently returning partial labels — a wrong cluster assignment
-    * must never look like a result. (For genuinely deep graphs use the
-    * alternating large-star/small-star algorithm, which converges in
-    * O(log n) rounds; not needed for the dedup workload this serves.)
+    * must never look like a result. (For genuinely deep graphs use
+    * [[connectedComponentsAlternating]], which converges in O(log n)
+    * rounds.)
+    *
+    * `checkpointDir`: by default iterations truncate lineage with
+    * `localCheckpoint` — blocks live on EXECUTORS, so on a real cluster an
+    * executor loss mid-loop kills the job (lineage is gone; Spark cannot
+    * recompute the lost blocks). Pass a reliable dir (HDFS/S3 on a
+    * cluster) to use `checkpoint()` instead: each iteration is written to
+    * fault-tolerant storage and the loop survives executor churn, at the
+    * cost of one distributed write per iteration. Checkpoint FILES are not
+    * deleted until application exit unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(pairs.sparkSession, checkpointDir)
     // checkpoint the INPUT first: the union below references it twice, and
     // an expensive producing pipeline (e.g. the near-dup pair join) would
     // otherwise run once per reference
-    val p = pairs.toDF("a", "b").localCheckpoint()
-    val edges = p
-      .union(p.select(col("b"), col("a")))
-      .toDF("u", "v")
-      .localCheckpoint()
-    var labels = edges
-      .select(col("u").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val p = ckpt(pairs.toDF("a", "b"))
+    val edges = ckpt(
+      p.union(p.select(col("b"), col("a")))
+        .toDF("u", "v"))
+    var labels = ckpt(
+      edges
+        .select(col("u").as("node"))
+        .distinct()
+        .withColumn("label", col("node")))
     def labelSum(): Long = {
       val r = labels.agg(sum(col("label"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -342,12 +355,12 @@ object PipelineOps {
         .groupBy(col("u").as("node2"))
         .agg(min(col("label")).as("nlab"))
       val prev = labels
-      labels = prev
-        .join(nbrMin, col("node") === col("node2"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-        .localCheckpoint() // eager: materializes before prev is dropped
+      labels = ckpt( // eager: materializes before prev is dropped
+        prev
+          .join(nbrMin, col("node") === col("node2"), "left")
+          .select(
+            col("node"),
+            least(col("label"), coalesce(col("nlab"), col("label"))).as("label")))
       unpersistCheckpoint(prev)
       val sumNow = labelSum()
       converged = sumNow == prevSum
@@ -363,6 +376,124 @@ object PipelineOps {
     unpersistCheckpoint(p)
     labels.select(col("node"), col("label"))
   }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — a published algorithm, re-expressed on DataFrames).
+    * Same contract as [[connectedComponents]] (undirected (a,b) edge list
+    * in, one (node, min-id label) row per node out, non-convergence
+    * THROWS), but where plain propagation moves the min label ONE hop per
+    * round — O(diameter) rounds, hopeless on a deep graph — the
+    * star operations REWIRE the graph toward stars and converge in
+    * O(log n) rounds on any topology:
+    *
+    *   - large-star: per node u, connect every strictly-larger neighbor to
+    *     m = min(N(u) ∪ {u}). Preserves connectivity, strictly shrinks
+    *     large-id-to-large-id edges.
+    *   - small-star: per node u (edges now oriented big→small), connect
+    *     every smaller-or-equal neighbor and u itself to m = min(N(u) ∪
+    *     {u}).
+    *
+    * At the fixpoint the edge set IS the answer: one (node, root) edge per
+    * non-root node. Each round is two join+agg rounds on the node key with
+    * a distinct to keep the edge multiset bounded by the input; lineage is
+    * truncated per round exactly as in [[connectedComponents]].
+    *
+    * Fixpoint detection compares (count, bit_xor(xxhash64(u,v))) across
+    * rounds — one tiny aggregate instead of an except().isEmpty job pair
+    * (xor, unlike sum, is order-independent AND cannot overflow under ANSI
+    * arithmetic); a false positive needs a 64-bit hash-xor collision
+    * between consecutive edge sets of equal size, and the result is still
+    * label-sound because the final labeling reads the converged star edges
+    * directly.
+    */
+  def connectedComponentsAlternating(
+      pairs: DataFrame,
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointer(pairs.sparkSession, checkpointDir)
+    val input = ckpt(
+      pairs.toDF("a", "b").filter(col("a") =!= col("b")).distinct())
+    if (input.isEmpty) {
+      unpersistCheckpoint(input)
+      return input.select(col("a").as("node"), col("b").as("label"))
+    }
+
+    // large-star over an arbitrary edge list: symmetrize, m(u) = min over
+    // N(u) ∪ {u}, emit (v, m) for v > u. Output oriented big→small.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star over big→small edges: m(u) = min(N(u)) (all neighbors are
+    // < u here), connect u and each non-min neighbor to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+      e.join(mins, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = ckpt(largeStar(input))
+    var prevSig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prev = edges
+      edges = ckpt(largeStar(smallStar(prev)))
+      unpersistCheckpoint(prev)
+      val sig = signature(edges)
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIters " +
+          "rounds — raise maxIters")
+    // converged star edges: (node, root) per non-root node; small-star's
+    // final form may leave root self-edges out, so roots label themselves
+    val labels = edges
+      .select(col("a").as("node"), col("b").as("label"))
+      .union(
+        edges.select(col("b")).distinct()
+          .select(col("b").as("node"), col("b").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    val out = labels.localCheckpoint()
+    unpersistCheckpoint(edges)
+    unpersistCheckpoint(input)
+    out
+  }
+
+  /** Lineage-truncation strategy for the iterative loops: executor-local
+    * by default (fast, but an executor loss loses blocks), reliable when a
+    * fault-tolerant `dir` is supplied — see [[connectedComponents]]'s
+    * Scaladoc for the tradeoff.
+    */
+  private def checkpointer(
+      spark: SparkSession,
+      dir: Option[String]): DataFrame => DataFrame =
+    dir match {
+      case Some(path) =>
+        spark.sparkContext.setCheckpointDir(path)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
 
   /** Free a localCheckpoint'd DataFrame's storage blocks eagerly. The
     * persisted RDD is the one captured inside the checkpoint's LogicalRDD

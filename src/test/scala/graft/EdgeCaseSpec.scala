@@ -102,6 +102,80 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint labels") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val dir = new java.io.File("target/test-cc-checkpoint").getAbsolutePath
+    val got = graft.ops.PipelineOps
+      .connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.PipelineOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // the reliable checkpoint actually wrote to the dir (that IS the
+    // executor-loss protection being bought)
+    assert(new java.io.File(dir).exists())
+  }
+
+  test("alternating-star CC converges on a 50-node path where min-label propagation throws") {
+    import spark.implicits._
+    // path graph 1-2-...-50: min-id eccentricity 49, so one-hop propagation
+    // needs 49 rounds — over the default 20 bound
+    val path = (1L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.ops.PipelineOps.connectedComponents(path).collect()
+    }
+    val got = graft.ops.PipelineOps.connectedComponentsAlternating(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 50L).map(_ -> 1L).toMap)
+  }
+
+  test("alternating-star CC equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    // deterministic LCG so the test is reproducible (no Random seed drift)
+    var s = 0xDEADBEEFL
+    def nextInt(bound: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % bound + bound) % bound).toInt
+    }
+    for (_ <- 1 to 3) {
+      val n = 30 + nextInt(40)
+      val nEdges = 20 + nextInt(60)
+      val edges = (1 to nEdges).map { _ =>
+        (nextInt(n).toLong, nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // driver union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.map(x => x -> find(x)).toMap
+      // normalize: component members -> min member id
+      val want = roots.map { case (x, r) =>
+        x -> nodes.filter(y => find(y) == r).min
+      }
+      val got = graft.ops.PipelineOps
+        .connectedComponentsAlternating(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
+  test("alternating-star CC: empty edge list yields empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.ops.PipelineOps.connectedComponentsAlternating(empty).count() === 0)
+  }
+
   test("set ops on disjoint inputs: intersect empty, except is identity") {
     val a = Seq(1L, 2L).toDF("k")
     val b = Seq(3L, 4L).toDF("k")
