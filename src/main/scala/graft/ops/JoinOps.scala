@@ -440,10 +440,15 @@ object JoinOps {
     // in [0, SaltBuckets); the dim side replicates each row across all
     // salts, so a hot join key fans out over SaltBuckets reducers instead
     // of melting one. Same result as the unsalted join (the oracle IS the
-    // plain join) — salting only changes the partitioning. At 100 TB this
-    // is the manual fallback when AQE's skew-join split can't help (e.g.
-    // the skew is in the build side of a shuffled hash join). The `merge`
-    // hint pins the shuffle path for the same reason as q_join_shuffle.
+    // plain join) — salting only changes the partitioning. For a plain
+    // shuffled equi JOIN, AQE's runtime skew split already handles a hot
+    // key unaided (PlanSpec "AQE skew-join splits a planted hot key"
+    // proves OptimizeSkewedJoin fires on exactly this shape), so the
+    // manual salt is the fallback for what AQE can't touch: skewed
+    // AGGREGATION keys (see q_agg_salted / Skew.saltedAgg), joins that
+    // must preserve a specific output partitioning, and build-side skew in
+    // a shuffled hash join. The `merge` hint pins the shuffle path for the
+    // same reason as q_join_shuffle.
     Q(
       "q_join_salted",
       """SELECT o_orderpriority, l_returnflag, count(*) AS n_lines,
@@ -582,6 +587,102 @@ object JoinOps {
             round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
               .as("revenue"),
             count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q7 shape (volume shipping between two nations): the classic
+    // two-sided disjunctive dim predicate — (supp_nation, cust_nation)
+    // must be (N1,N2) or (N2,N1). Both dim chains prune BEFORE touching
+    // the fact: supplier⋈nation and customer⋈nation each filter to the
+    // two nations (1/12.5 of each dim) and broadcast; once both sides are
+    // in {N1,N2} the OR pair collapses to supp_nation != cust_nation.
+    // The only big-big exchange is lineitem⋈orders on the order key —
+    // exactly the shuffle TPC-H Q7 cannot avoid; everything else rides
+    // broadcast. Exact decimal revenue per (supp, cust, ship-year).
+    Q(
+      "q_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(volume) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n = U.nation(s, d).filter(col("n_name").isin(pair: _*))
+      val supp = U.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = U.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      U.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(U.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(
+          col("supp_nation"),
+          col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          round(
+            U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q16 shape (supplier diversity per part class): the driver
+    // schema has no partsupp, so the part-supplier relation is lineitem's
+    // (l_partkey, l_suppkey) — same anti-join + grouped DISTINCT-count
+    // skeleton. "Complaint" suppliers (TPC-H's comment LIKE) stand in as
+    // negative account balance. Both dims broadcast: part (filtered) into
+    // the fact join, the complaint key set into a LEFT ANTI join — NOT IN
+    // is safe as an anti join because s_suppkey is a non-null key. The one
+    // exchange is the partial-distinct aggregate on (brand, size,
+    // suppkey) — Spark expands count(DISTINCT) into a two-phase
+    // partial-distinct plan, so the fact never shuffles raw rows twice.
+    Q(
+      "q_tpch_q16",
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin) { (s, d) =>
+      val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+      val part = U.part(s, d)
+        .filter(
+          col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val complaints = U.supplier(s, d)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      U.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(complaints), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
     }
   )
 }

@@ -162,4 +162,60 @@ class PlanSpec extends SparkSpec {
     }
     assert(degenerate.isEmpty, s"found non-equi fallback joins: $degenerate")
   }
+
+  test("AQE skew-join splits a planted hot key (OptimizeSkewedJoin fires)") {
+    // Establishes WHEN q_join_salted's manual salt is actually needed: for
+    // a plain shuffled equi join AQE's runtime skew split handles the hot
+    // key by itself (asserted here), so manual salting is only for the
+    // cases AQE can't touch — skewed AGGREGATION keys and joins that must
+    // keep a particular partitioning. Thresholds are lowered to make a
+    // test-sized hot key cross the same code path a 100 TB hot key crosses
+    // in production.
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      // left: one pathological key (0) with 60k rows over a 100-key tail;
+      // right: uniform 100 keys — the classic hot-fact⋈dim shuffle skew
+      val left = spark.range(60000).select(lit(0L).as("k"), col("id").as("lv"))
+        .union(spark.range(5000).select((col("id") % 100).as("k"), col("id").as("lv")))
+      val right = spark.range(20000).select((col("id") % 100).as("k"), col("id").as("rv"))
+      val joined = left.join(right, "k")
+      // row count must be exact regardless of how the skew split replicates
+      // partitions: 60000*200 (hot key) + 5000*200 (tail)
+      assert(joined.count() === 60000L * 200 + 5000L * 200)
+      // the executed plan nests the join inside (Result)QueryStageExec
+      // leaves — collect across stage boundaries
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def deepCollect(p: SparkPlan): Seq[SortMergeJoinExec] = {
+        val here = p match { case j: SortMergeJoinExec => Seq(j); case _ => Nil }
+        val kids = p.children ++ (p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        })
+        here ++ kids.flatMap(deepCollect)
+      }
+      val plan = executedPlan(joined)
+      val smj = deepCollect(plan)
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+      assert(smj.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin did not fire on the planted hot key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
