@@ -18,6 +18,30 @@ case class Telemetry(
 /** Keyed state carried across micro-batches by [[Streams.faultRuns]]. */
 case class RunState(runLength: Int)
 
+/** Keyed state carried across micro-batches by [[Streams.rates]]: the fold
+  * variables of the batch `q_ts_rate` kernel (milli-scaled last value,
+  * accumulated increase, reset count, first/last event time).
+  */
+case class RateState(
+    lastVm: Long,
+    increaseM: Long,
+    nResets: Long,
+    firstTsUs: Long,
+    lastTsUs: Long,
+    nLateDropped: Long)
+
+/** Per-series cumulative rate snapshot emitted by [[Streams.rates]] each
+  * micro-batch that touches the series. Field semantics match batch
+  * `q_ts_rate` exactly (increase_m / n_resets / dur_us / rate_per_s).
+  */
+case class RateSnapshot(
+    timeseries_id: String,
+    increase_m: Long,
+    n_resets: Long,
+    dur_us: Long,
+    rate_per_s: Double,
+    n_late_dropped: Long)
+
 /** Alert emitted when a series reaches `minRun` consecutive faults. */
 case class FaultRunAlert(
     timeseries_id: String,
@@ -171,6 +195,10 @@ object Streams {
           } else {
             var run = state.getOption.map(_.runLength).getOrElse(0)
             val alerts = scala.collection.mutable.ArrayBuffer.empty[FaultRunAlert]
+            // bounded buffer: `rows` is ONE series' slice of ONE
+            // micro-batch (trigger-interval-sized), not its full history —
+            // unlike a batch mapGroups, materializing it cannot OOM on a
+            // long series
             val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
             sorted.foreach { r =>
               run = if (r.value > threshold) run + 1 else 0
@@ -185,6 +213,84 @@ object Streams {
             state.setTimeoutTimestamp(
               math.max(lastEventMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             alerts.iterator
+          }
+      }
+  }
+
+  /** Streaming counter rate with reset detection — the streaming form of
+    * batch `q_ts_rate` (Prometheus `rate()` semantics): per series, each
+    * consecutive delta accumulates; a NEGATIVE delta is a counter reset,
+    * contributing the post-reset absolute value and bumping `n_resets`.
+    * The reference's soul is a periodic job over an append stream; this is
+    * that kernel event-time-native, with the fold variables as keyed state
+    * so a reset SPANNING a micro-batch boundary is detected against the
+    * carried `lastVm` — no rescan of history.
+    *
+    * Emits one cumulative [[RateSnapshot]] per series per micro-batch that
+    * touches it (a monitoring read model — the latest snapshot per series
+    * is the answer; StreamingSpec asserts the final snapshot equals the
+    * batch kernel on the same rows, including a mid-stream reset).
+    *
+    * Ordering: rows are folded in event-time order WITHIN a micro-batch
+    * (bounded sort, same argument as [[faultRuns]]); a row older than the
+    * carried `lastTsUs` — out-of-order ACROSS batches, inside the
+    * watermark — cannot be retro-folded into a running counter delta, so
+    * it is counted in `n_late_dropped` instead of silently corrupting the
+    * increase (rate over out-of-order counter samples is ill-defined;
+    * Prometheus drops them the same way). State is TTL-evicted via
+    * `EventTimeTimeout` exactly as in [[faultRuns]]; eviction restarts the
+    * series' rate window, which is the right semantic for a series that
+    * went silent.
+    */
+  def rates(
+      telemetry: Dataset[Telemetry],
+      watermark: String = "10 minutes",
+      stateTtlMinutes: Long = 60): Dataset[RateSnapshot] = {
+    import telemetry.sparkSession.implicits._
+    val ttlMs = stateTtlMinutes * 60000L
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.timeseries_id)
+      .flatMapGroupsWithState[RateState, RateSnapshot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // bounded buffer: one series' slice of one micro-batch
+            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            var st = state.getOption.orNull
+            sorted.foreach { r =>
+              val tsUs = r.timestamp.getTime * 1000L
+              // milli-scaled integer counter value, exactly as the batch
+              // kernel: floor(v*1000 + 0.5)
+              val vm = math.floor(r.value * 1000 + 0.5).toLong
+              if (st == null)
+                st = RateState(vm, 0L, 0L, tsUs, tsUs, 0L)
+              else if (tsUs < st.lastTsUs)
+                st = st.copy(nLateDropped = st.nLateDropped + 1)
+              else {
+                val delta = vm - st.lastVm
+                st =
+                  if (delta < 0)
+                    RateState(vm, st.increaseM + vm, st.nResets + 1,
+                      st.firstTsUs, tsUs, st.nLateDropped)
+                  else
+                    RateState(vm, st.increaseM + delta, st.nResets,
+                      st.firstTsUs, tsUs, st.nLateDropped)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsUs / 1000L + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            val durUs = st.lastTsUs - st.firstTsUs
+            // same IEEE expression as the batch kernel's rate division
+            Iterator.single(RateSnapshot(
+              id, st.increaseM, st.nResets, durUs,
+              (st.increaseM / 1000.0) / (durUs / 1000000.0),
+              st.nLateDropped))
           }
       }
   }

@@ -229,6 +229,45 @@ class StreamingSpec extends SparkSpec {
     assert(idb.length === 1 && idb.head.getAs[String]("equipment") == null)
   }
 
+  test("rates: counter reset across a micro-batch boundary; final snapshot == batch kernel") {
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    val q = Streams.rates(mem.toDS())
+      .writeStream.format("memory").queryName("rates_stream")
+      .outputMode("append").start()
+    def t(s: String, v: Double, id: String = "ctr-a") =
+      Telemetry("Counter", ts(s), v, None, id)
+    // micro-batch 1: monotone counter (deltas 1500, 1500 milli-units)
+    mem.addData(Seq(
+      t("2024-08-28 12:00:00", 1.000),
+      t("2024-08-28 12:01:00", 2.500),
+      t("2024-08-28 12:02:00", 4.000)))
+    q.processAllAvailable()
+    // micro-batch 2: the counter RESET (4.000 -> 0.500) spans the batch
+    // boundary — detectable only via carried state — plus one more
+    // increment and one out-of-order row older than the carried last ts
+    mem.addData(Seq(
+      t("2024-08-28 12:03:00", 0.500),
+      t("2024-08-28 12:04:00", 1.500),
+      t("2024-08-28 12:01:30", 9.999))) // across-batch late: dropped+counted
+    q.processAllAvailable()
+    q.stop()
+    // latest snapshot = the one with the max duration
+    val last = spark.table("rates_stream")
+      .orderBy(col("dur_us").desc).head()
+    assert(last.getAs[Long]("increase_m") === 1500L + 1500L + 500L + 1000L)
+    assert(last.getAs[Long]("n_resets") === 1L)
+    assert(last.getAs[Long]("dur_us") === 240L * 1000000L)
+    assert(last.getAs[Long]("n_late_dropped") === 1L)
+    // batch kernel on the same (non-dropped) rows: identical fold
+    val folded = Seq(1.000, 2.500, 4.000, 0.500, 1.500)
+      .map(v => math.floor(v * 1000 + 0.5).toLong)
+      .sliding(2).map { case Seq(a, b) => if (b - a < 0) b else b - a }.sum
+    assert(last.getAs[Long]("increase_m") === folded)
+    assert(last.getAs[Double]("rate_per_s") === (folded / 1000.0) / 240.0)
+  }
+
   test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {
     import graft.streaming.{FaultRunAlert, Telemetry}
     implicit val sqlCtx = spark.sqlContext
