@@ -683,6 +683,212 @@ object JoinOps {
         .groupBy(col("p_brand"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
+    // TPC-H Q12 shape (late-shipment priority split): the driver schema has
+    // no l_shipmode/l_commitdate, so "late" is l_shipdate more than 60 days
+    // after o_orderdate and the grouping key is l_linestatus. The shape is
+    // what matters: an equi join on the order key whose residual predicate
+    // is non-equi date arithmetic, then conditional counts per group. The
+    // orderkey shuffle is Q12's one unavoidable exchange; the two-year
+    // l_shipdate band is pushed to the lineitem scan so at 100 TB the fact
+    // read is row-group-pruned before the join. Counts via count(CASE) so
+    // both engines emit BIGINT (DuckDB sum(int) would be HUGEINT).
+    Q(
+      "q_tpch_q12",
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      U.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(U.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 shape (promo revenue share per ship month): conditional
+    // revenue over total revenue. Both sums are exact DECIMAL (order-
+    // independent partials merge associatively at any parallelism); only
+    // the final share is one double division + multiply + round, the same
+    // IEEE expression tree in both engines. Map-side partial aggregation
+    // means the one exchange carries 24 rows per task, not lines.
+    Q(
+      "q_tpch_q14",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS promo_revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 100, 4) AS promo_share
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val promoRev =
+        when(col("p_type") === "PROMO", rev).otherwise(lit(0))
+      val promoSum = U.dsum(promoRev)
+      val totalSum = U.dsum(rev)
+      U.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(U.part(s, d)), col("p_partkey") === col("l_partkey"))
+        .groupBy(
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          month(col("l_shipdate")).cast("long").as("l_month"))
+        .agg(
+          round(promoSum, 2).as("promo_revenue"),
+          round(totalSum, 2).as("total_revenue"),
+          round(promoSum / totalSum * 100, 4).as("promo_share"))
+        .orderBy("l_year", "l_month")
+    },
+
+    // TPC-H Q15 shape (top supplier by quarter revenue): per-supplier
+    // revenue, keep the supplier(s) equal to the global max — the classic
+    // view + scalar-max-subquery. The max rides a 1-row broadcast (same
+    // recipe as q_tpch_q11's scalar threshold), so the per-supplier frame
+    // is scanned once and never re-shuffled; equality is on EXACT decimal
+    // revenue, so a tie admits both suppliers in both engines instead of
+    // depending on float noise.
+    Q(
+      "q_tpch_q15",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = U.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(U.Dec))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev
+        .crossJoin(broadcast(top))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(
+          broadcast(U.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(
+          col("s_suppkey"),
+          col("s_name"),
+          round(col("total_rev").cast("double"), 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q22 shape (rich idle customers): global-average cut via scalar
+    // subquery + NOT EXISTS anti join, grouped by nation. The average is
+    // never divided: acctbal > avg is cross-multiplied to
+    // acctbal * n > sum in EXACT decimals (n > 0), so the cut is
+    // bit-identical in both engines with zero float boundaries. The 1-row
+    // (sum, n) frame broadcasts; the anti join on the customer key is the
+    // one required exchange pair.
+    Q(
+      "q_tpch_q22",
+      """WITH cut AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_sum, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer, cut
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val cust = U.customer(s, d)
+      val cut = cust
+        .filter(col("c_acctbal") > 0)
+        .agg(
+          sum(col("c_acctbal").cast(U.Dec)).as("bal_sum"),
+          count(lit(1)).as("n"))
+      cust
+        .crossJoin(broadcast(cut))
+        .filter(col("c_acctbal").cast(U.Dec) * col("n") > col("bal_sum"))
+        .join(
+          U.orders(s, d).select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          round(U.dsum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q2 shape (min-cost supplier per part): the driver schema has no
+    // partsupp, so the part-supplier cost relation is lineitem aggregated to
+    // min line price per (part, supplier). The correlated min-subquery is a
+    // window min over the part key. Order of operations is the scale story:
+    // the part filter broadcasts INTO the lineitem scan first, so the
+    // (part, supplier) aggregate and the window run on the pruned fact, not
+    // all of it; supplier attaches by broadcast at the end.
+    Q(
+      "q_tpch_q2",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,6))) AS cost
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'SMALL' AND p_size <= 5
+        |  GROUP BY l_partkey, l_suppkey),
+        |best AS (SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY l_partkey)
+        |SELECT p_partkey, p_brand, s_suppkey, s_name,
+        |  round(CAST(cost AS DOUBLE), 2) AS cost
+        |FROM ps
+        |JOIN best USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE cost = min_cost
+        |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
+      val smallPart = U.part(s, d)
+        .filter(col("p_type") === "SMALL" && col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"))
+      val ps = U.lineitem(s, d)
+        .join(broadcast(smallPart), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"), col("p_brand"))
+        .agg(min(col("l_extendedprice").cast(U.Dec)).as("cost"))
+      ps
+        .withColumn(
+          "min_cost",
+          min(col("cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("cost") === col("min_cost"))
+        .join(
+          broadcast(U.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(
+          col("p_partkey"),
+          col("p_brand"),
+          col("s_suppkey"),
+          col("s_name"),
+          round(col("cost").cast("double"), 2).as("cost"))
+        .orderBy("p_partkey", "s_suppkey")
     }
   )
 }

@@ -552,6 +552,41 @@ object TsOps {
         }
         .toDF("user_id", "n", "ewma")
         .orderBy("user_id")
+    },
+
+    // Weekly cohort retention: users grouped by first-activity week; count
+    // how many of each cohort are still active k weeks later — the standard
+    // product-analytics triangle. Week = floor(epoch-day / 7): positive
+    // day numbers, so Spark's trunc-division `div` and DuckDB's floor `//`
+    // agree (documented divergence for signed inputs — see q_ts_seasonal).
+    // Scale: events collapse to DISTINCT (user, week) at the first
+    // exchange (bounded by users × calendar weeks, not event volume); the
+    // cohort frame joins back co-partitioned on the user key.
+    Q(
+      "q_ts_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1)
+        |SELECT cohort_wk, act.wk - cohort_wk AS week_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val act = U.events(s, d)
+        .select(
+          col("user_id"),
+          expr(
+            "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7")
+            .as("wk"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      act
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     }
   )
 }

@@ -258,6 +258,50 @@ object WindowOps {
           count(lit(1)).over(w).as("cum_n"),
           round(max(col("value")).over(w), 6).as("run_max"))
         .orderBy("event_id")
+    },
+
+    // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per series —
+    // the classic streak query (user engagement, sensor uptime). Island key
+    // = day-number minus per-series row_number: constant within a
+    // consecutive run, strictly decreasing across a gap. All-integer
+    // arithmetic end to end. Scale: the distinct collapses each series to
+    // at most (calendar days) rows BEFORE the window — the window input is
+    // bounded by time, not by event volume, so a 100× event blow-up changes
+    // only the pre-aggregated first exchange.
+    Q(
+      "q_win_streak",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, dn,
+        |    dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days, count(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val days = U.events(s, d)
+        .select(
+          col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long")
+            .as("dn"))
+        .distinct()
+      val isl = days.withColumn(
+        "grp",
+        col("dn") - row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("dn"))))
+      isl
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("len")).as("longest_streak"),
+          sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
     }
   )
 }
