@@ -42,6 +42,26 @@ case class RateSnapshot(
     rate_per_s: Double,
     n_late_dropped: Long)
 
+/** Keyed state carried across micro-batches by [[Streams.ewma]]: the fold
+  * variables of the batch `q_ts_ewma` kernel (running EWMA, sample count,
+  * last event time for the across-batch order guard).
+  */
+case class EwmaState(
+    e: Double,
+    n: Long,
+    lastTsUs: Long,
+    nLateDropped: Long)
+
+/** Per-series cumulative EWMA snapshot emitted by [[Streams.ewma]] each
+  * micro-batch that touches the series; `ewma` is rounded to 1e-6 exactly
+  * as the batch kernel's output.
+  */
+case class EwmaSnapshot(
+    timeseries_id: String,
+    n: Long,
+    ewma: Double,
+    n_late_dropped: Long)
+
 /** Alert emitted when a series reaches `minRun` consecutive faults. */
 case class FaultRunAlert(
     timeseries_id: String,
@@ -291,6 +311,67 @@ object Streams {
               id, st.increaseM, st.nResets, durUs,
               (st.increaseM / 1000.0) / (durUs / 1000000.0),
               st.nLateDropped))
+          }
+      }
+  }
+
+  /** Streaming EWMA — the streaming form of batch `q_ts_ewma` (alpha
+    * defaults to 0.25, an exact power of two): per series,
+    * e_0 = v_0; e_i = alpha*v_i + (1-alpha)*e_{i-1}. The sequential fold
+    * that forces the batch kernel into a secondary-sort mapPartitions is
+    * exactly what keyed streaming state is FOR: the carried (e, n) IS the
+    * fold accumulator, so each micro-batch costs O(batch) regardless of
+    * history length — no rescan, which is the whole point over the
+    * reference's periodic full-file re-read.
+    *
+    * Ordering discipline matches [[rates]]: rows fold in event-time order
+    * WITHIN a micro-batch (bounded sort over one series' slice of one
+    * batch); a row older than the carried `lastTsUs` cannot be retro-folded
+    * into an order-sensitive recurrence, so it is dropped and counted in
+    * `n_late_dropped` rather than silently corrupting the average. State is
+    * TTL-evicted via `EventTimeTimeout`; eviction restarts the series'
+    * average, the right semantic for a series that went silent. StreamingSpec
+    * asserts the final snapshot equals the batch kernel's driver-fold twin,
+    * including a fold spanning a micro-batch boundary.
+    */
+  def ewma(
+      telemetry: Dataset[Telemetry],
+      alpha: Double = 0.25,
+      watermark: String = "10 minutes",
+      stateTtlMinutes: Long = 60): Dataset[EwmaSnapshot] = {
+    import telemetry.sparkSession.implicits._
+    val ttlMs = stateTtlMinutes * 60000L
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.timeseries_id)
+      .flatMapGroupsWithState[EwmaState, EwmaSnapshot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // bounded buffer: one series' slice of one micro-batch
+            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            var st = state.getOption.orNull
+            sorted.foreach { r =>
+              val tsUs = r.timestamp.getTime * 1000L
+              if (st == null)
+                st = EwmaState(r.value, 1L, tsUs, 0L)
+              else if (tsUs < st.lastTsUs)
+                st = st.copy(nLateDropped = st.nLateDropped + 1)
+              else
+                // same IEEE expression tree as the batch kernel's fold step
+                st = EwmaState(
+                  alpha * r.value + (1 - alpha) * st.e,
+                  st.n + 1, tsUs, st.nLateDropped)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsUs / 1000L + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.single(EwmaSnapshot(
+              id, st.n, math.rint(st.e * 1e6) / 1e6, st.nLateDropped))
           }
       }
   }

@@ -268,6 +268,44 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("rate_per_s") === (folded / 1000.0) / 240.0)
   }
 
+  test("ewma: fold spans a micro-batch boundary; final snapshot == batch kernel") {
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    val q = Streams.ewma(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    def t(s: String, v: Double, id: String = "ewma-a") =
+      Telemetry("Sensor", ts(s), v, None, id)
+    // micro-batch 1: three in-order samples
+    mem.addData(Seq(
+      t("2024-08-28 12:00:00", 1.0),
+      t("2024-08-28 12:01:00", 2.0),
+      t("2024-08-28 12:02:00", 4.0)))
+    q.processAllAvailable()
+    // micro-batch 2: the fold CONTINUES from carried state (e after batch 1
+    // must seed batch 2), plus one across-batch late row: dropped + counted
+    // because an order-sensitive recurrence cannot retro-fold
+    mem.addData(Seq(
+      t("2024-08-28 12:03:00", 8.0),
+      t("2024-08-28 12:04:00", 0.5),
+      t("2024-08-28 12:01:30", 99.9))) // late vs carried lastTs
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ewma_stream").orderBy(col("n").desc).head()
+    // driver-side twin of the batch q_ts_ewma kernel on the kept rows
+    val folded = Seq(2.0, 4.0, 8.0, 0.5)
+      .foldLeft(1.0)((e, v) => 0.25 * v + 0.75 * e)
+    assert(last.getAs[Long]("n") === 5L)
+    assert(last.getAs[Double]("ewma") === math.rint(folded * 1e6) / 1e6)
+    assert(last.getAs[Long]("n_late_dropped") === 1L)
+    // the batch-1 snapshot was itself the 3-row prefix fold
+    val first = spark.table("ewma_stream").orderBy(col("n").asc).head()
+    val prefix = Seq(2.0, 4.0).foldLeft(1.0)((e, v) => 0.25 * v + 0.75 * e)
+    assert(first.getAs[Long]("n") === 3L)
+    assert(first.getAs[Double]("ewma") === math.rint(prefix * 1e6) / 1e6)
+  }
+
   test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {
     import graft.streaming.{FaultRunAlert, Telemetry}
     implicit val sqlCtx = spark.sqlContext
