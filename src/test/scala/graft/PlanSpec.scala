@@ -218,4 +218,77 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q_tpch_q12: the two-year ship band reaches the lineitem scan; only the non-equi residual stays in the join") {
+    val scans = executed(q("q_tpch_q12"))
+      .collectLeaves().collect { case s: FileSourceScanExec => s }
+    val li = scans.find(_.requiredSchema.fieldNames.contains("l_shipdate")).get
+    val pushed = li.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"band start not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_shipdate,"),
+      s"band end not pushed: $pushed")
+  }
+
+  test("q_text_chunk: chunk explode is map-side only, zero hash exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // same contract as q_split_assign: the presentation sort's range
+    // exchange is the only shuffle allowed — the chunk fan-out itself must
+    // never move data
+    val plan = executed(q("q_text_chunk"))
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e
+    }
+    assert(hashExchanges.isEmpty,
+      s"chunking must not hash-shuffle: $hashExchanges")
+  }
+
+  test("q_tpch_q22: the 1-row average cut rides a broadcast, never a cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = executed(q("q_tpch_q22"))
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"expected the (sum, n) cut as a broadcast nested-loop:\n$plan")
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+      "the scalar cut must never plan a cartesian product")
+  }
+
+  test("runtime bloom filter from a selective dim reaches the fact side of a shuffle join") {
+    // The 100 TB posture check for non-broadcastable selective joins: with
+    // broadcast off, Spark's InjectRuntimeFilter should build a bloom
+    // filter over the filtered dim's join keys and apply might_contain on
+    // the fact side BEFORE the shuffle — a semi-join pushdown that prunes
+    // the fact scan without needing the dim to fit the broadcast
+    // threshold. Size thresholds are lowered so test-scale data crosses
+    // the same code path as production-scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions.col
+      val dim = U.supplier(spark, sfDir).filter(col("s_acctbal") < 0)
+      val fact = U.lineitem(spark, sfDir)
+      val joined = fact.join(dim, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_suppkey")).count()
+      val plan = executedPlan(joined)
+      assert(plan.toString.contains("might_contain"),
+        s"runtime bloom filter was not injected on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
