@@ -617,6 +617,42 @@ object AggOps {
             sum(col("pn")).as("n"),
             round(sum(col("psum")).cast("double"), 4).as("sum_val"))
           .orderBy("user_id", "day")
+    },
+
+    // Mergeable-sketch distinct counting — the property COUNT(DISTINCT)
+    // lacks: distinct-count partials are not sum-mergeable, so an
+    // incremental distinct MV at 100 TB needs a mergeable sketch. Daily
+    // Datasketches-HLL partials over the user key union-merge to the
+    // whole-range estimate; the direct whole-range sketch is computed
+    // alongside so the output itself witnesses merge == direct. Estimates
+    // are deterministic (a sketch is a deterministic function of the value
+    // SET — order and duplication invariant). At scale the daily partials
+    // are the stored MV: a new day appends one sketch row per group and
+    // the range query re-unions sketches, never rescans events. no_oracle:
+    // DuckDB's approx_distinct is a different sketch family; FunctionsSpec
+    // asserts merged == direct and brackets both against exact distinct.
+    Q.noOracle("q_agg_hll_mv") { (s, d) =>
+      val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+      val daily = U.events(s, d)
+        .groupBy(col("event_type"), day.as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      val merged = daily
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_est"),
+          count(lit(1)).as("n_days"))
+      val direct = U.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_est"))
+      merged
+        .join(direct, "event_type")
+        .select(
+          col("event_type"),
+          col("merged_est"),
+          col("direct_est"),
+          col("n_days"))
+        .orderBy("event_type")
     }
   )
 }

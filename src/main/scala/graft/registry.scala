@@ -142,8 +142,8 @@ object Registry {
       "vs exact per-row byte statistics + partitioning invariance — MultimodalSpec",
     "q_dedup_clusters" ->
       "vs driver-side union-find on the same pair graph — DedupSimSpec",
-    "q_ts_ewma" ->
-      "vs driver-side sequential fold over identically-ordered rows — TsOpsSpec",
     "q_agg_heavyhitters" ->
-      "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec")
+      "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec",
+    "q_agg_hll_mv" ->
+      "merged-vs-direct sketch estimate equality + exact-distinct bracket — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'")
 }

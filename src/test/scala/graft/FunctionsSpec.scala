@@ -105,6 +105,30 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("HLL daily sketches union-merge to the direct whole-range estimate") {
+    // the mergeability property q_agg_hll_mv rests on: union of per-day
+    // partial sketches estimates the same set as one direct sketch (both
+    // at the default lgK), and both bracket the exact distinct count
+    val out = SparkEntry.queries("q_agg_hll_mv")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val exact = U.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val m = r.getAs[Long]("merged_est")
+      val dir = r.getAs[Long]("direct_est")
+      assert(m === dir,
+        s"$et: merged sketch estimate $m != direct estimate $dir")
+      val ex = exact(et)
+      val tol = math.max(2L, math.ceil(ex * 0.05).toLong) // HLL lgK=12 rsd ~1.6%
+      assert(math.abs(m - ex) <= tol,
+        s"$et: estimate $m outside ±$tol of exact $ex")
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+  }
+
   test("GraftExtensions injects the same function set (spark.sql.extensions hook)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
