@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage layout for telemetry at 100 TB (SURVEY.md §1.3): replaces the
@@ -56,6 +56,60 @@ object Layout {
       .bucketBy(nBuckets, seriesCol)
       .sortBy(seriesCol, tsCol)
       .saveAsTable(table)
+
+  /** Bit-interleave of two 16-bit keys into a 32-bit Morton (Z-curve)
+    * value: bit k of `a` lands at position 2k, bit k of `b` at 2k+1. A
+    * pure Column expression tree (32 shift/mask/add terms) — codegen'd,
+    * no UDF.
+    */
+  private def interleave16(a: Column, b: Column): Column =
+    (0 until 16).map { k =>
+      shiftright(a, k).bitwiseAND(1) * lit(1L << (2 * k)) +
+        shiftright(b, k).bitwiseAND(1) * lit(1L << (2 * k + 1))
+    }.reduce(_ + _)
+
+  /** Z-order (Morton-curve) clustered parquet: rows are range-partitioned
+    * and sorted by the bit-interleave of the min-max-normalized (series,
+    * time) pair, so EVERY file covers a small rectangle of the
+    * (series, time) plane and min/max file stats stay tight on BOTH
+    * columns. The lexicographic (series, time) sort of [[writeTelemetry]]
+    * prunes only on its leading column — a time-band query with no series
+    * key touches every file; Z-order trades a little of the leading
+    * column's locality for file-level pruning on either dimension
+    * (~sqrt(n) of files per 1-D probe on a 2-D curve). The technique
+    * behind Delta/Iceberg OPTIMIZE ZORDER, as a plain-parquet writer.
+    *
+    * Normalization bounds come from one 1-row aggregate broadcast; the
+    * write is one range exchange on the z-value (the sort the layout
+    * exists to buy).
+    */
+  def writeTelemetryZOrdered(
+      df: DataFrame,
+      outDir: String,
+      seriesCol: String = "user_id",
+      tsCol: String = "ts",
+      nFiles: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val sLong = col(seriesCol).cast("long")
+    val tLong = unix_micros(col(tsCol))
+    val bounds = df.agg(
+      min(sLong).as("_s0"), max(sLong).as("_s1"),
+      min(tLong).as("_t0"), max(tLong).as("_t1"))
+    def norm(x: Column, lo: Column, hi: Column): Column =
+      floor((x - lo) * 65535.0 / greatest(hi - lo, lit(1L))).cast("long")
+    df.crossJoin(broadcast(bounds))
+      .withColumn(
+        "_zval",
+        interleave16(
+          norm(sLong, col("_s0"), col("_s1")),
+          norm(tLong, col("_t0"), col("_t1"))))
+      .repartitionByRange(nFiles, col("_zval"))
+      .sortWithinPartitions("_zval")
+      .drop("_zval", "_s0", "_s1", "_t0", "_t1")
+      .write
+      .mode(mode)
+      .parquet(outDir)
+  }
 
   /** Compact one date partition in place: streaming ingest appends a file
     * per micro-batch per partition, and at 100 TB the accumulated small

@@ -57,6 +57,56 @@ class LayoutSpec extends SparkSpec {
       s"ts range not pushed: $pushed")
   }
 
+  test("z-ordered layout: file stats prune BOTH dimensions; lexicographic sort prunes only its leading column") {
+    import org.apache.spark.sql.functions._
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    val events = U.events(spark, sfDir)
+    Layout.writeTelemetryZOrdered(events, zDir, nFiles = 16)
+    // lexicographic strawman: same file count, (series, time) sort
+    events.repartitionByRange(16, col("user_id"), col("ts"))
+      .sortWithinPartitions("user_id", "ts")
+      .write.mode("overwrite").parquet(lexDir)
+
+    // per-file min/max — exactly the stats a reader's file/row-group
+    // pruning consults
+    def fileStats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      .collect()
+    val z = fileStats(zDir)
+    val lex = fileStats(lexDir)
+    assert(z.length >= 8 && lex.length >= 8)
+
+    // probes: one mid-range series key; one ~3-day time band
+    val uProbe = 7L
+    val (tLo, tHi) = {
+      val r = events.agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (a + (b - a) / 2, a + (b - a) / 2 + (b - a) / 10)
+    }
+    def uCand(st: Array[org.apache.spark.sql.Row]) =
+      st.count(r => r.getAs[Long]("u0") <= uProbe && uProbe <= r.getAs[Long]("u1"))
+    def tCand(st: Array[org.apache.spark.sql.Row]) =
+      st.count(r => r.getAs[Long]("t0") <= tHi && tLo <= r.getAs[Long]("t1"))
+
+    // lexicographic: series (leading) prunes, but the time band sees ~all
+    // files — each file spans the full time range of its series slice
+    assert(tCand(lex) >= (lex.length * 0.9).toInt,
+      s"expected the lex layout NOT to prune time: ${tCand(lex)}/${lex.length}")
+    // z-order: BOTH 1-D probes prune to a strict subset of files
+    assert(uCand(z) <= (z.length * 0.75).toInt,
+      s"z-order failed to prune on series: ${uCand(z)}/${z.length}")
+    assert(tCand(z) <= (z.length * 0.75).toInt,
+      s"z-order failed to prune on time: ${tCand(z)}/${z.length}")
+    // and the data round-trips intact
+    assert(spark.read.parquet(zDir).count() === events.count())
+  }
+
   test("compaction merges small files, preserves rows, keeps pruning intact") {
     // fragment one partition the way per-micro-batch appends would
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
