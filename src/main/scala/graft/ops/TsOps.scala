@@ -515,9 +515,20 @@ object TsOps {
     // mapGroups toSeq which pins the whole group on-heap), then a
     // mapPartitions streaming fold holding O(1) state per group. ONE
     // shuffle by series key; a year-long hot series costs disk, not an
-    // executor OOM. Recursive semantics => no SQL oracle; ScalaTest folds
-    // the same rows on the driver and compares exactly.
-    Q.noOracle("q_ts_ewma") { (s, d) =>
+    // executor OOM. The recursive fold IS oracle-expressible: DuckDB's
+    // list_reduce over list(value ORDER BY ts, event_id) runs the
+    // identical sequence of IEEE ops (seeded with the first element =
+    // e_0 = v_0), and the final rounding is floor(x*1e6 + 0.5)/1e6 —
+    // floor-on-double, bit-identical in both engines (rint's half-even
+    // would not be). The oracle materializes each series as a list; the
+    // engine's secondary sort is exactly what avoids that at scale.
+    Q(
+      "q_ts_ewma",
+      """SELECT user_id, count(*) AS n,
+        |  floor(list_reduce(list(value ORDER BY ts, event_id),
+        |                    (acc, x) -> 0.25*x + 0.75*acc) * 1000000 + 0.5)
+        |    / 1000000 AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val alpha = 0.25
       U.events(s, d)
@@ -546,7 +557,7 @@ object TsOps {
                 if (r._1 == uid) { e = alpha * r._4 + (1 - alpha) * e; n += 1 }
                 else pending = r
               }
-              (uid, n, math.rint(e * 1e6) / 1e6)
+              (uid, n, math.floor(e * 1e6 + 0.5) / 1e6)
             }
           }
         }

@@ -371,7 +371,7 @@ object Streams {
               math.max(st.lastTsUs / 1000L + ttlMs,
                 state.getCurrentWatermarkMs() + 1))
             Iterator.single(EwmaSnapshot(
-              id, st.n, math.rint(st.e * 1e6) / 1e6, st.nLateDropped))
+              id, st.n, math.floor(st.e * 1e6 + 0.5) / 1e6, st.nLateDropped))
           }
       }
   }

@@ -297,13 +297,13 @@ class StreamingSpec extends SparkSpec {
     val folded = Seq(2.0, 4.0, 8.0, 0.5)
       .foldLeft(1.0)((e, v) => 0.25 * v + 0.75 * e)
     assert(last.getAs[Long]("n") === 5L)
-    assert(last.getAs[Double]("ewma") === math.rint(folded * 1e6) / 1e6)
+    assert(last.getAs[Double]("ewma") === math.floor(folded * 1e6 + 0.5) / 1e6)
     assert(last.getAs[Long]("n_late_dropped") === 1L)
     // the batch-1 snapshot was itself the 3-row prefix fold
     val first = spark.table("ewma_stream").orderBy(col("n").asc).head()
     val prefix = Seq(2.0, 4.0).foldLeft(1.0)((e, v) => 0.25 * v + 0.75 * e)
     assert(first.getAs[Long]("n") === 3L)
-    assert(first.getAs[Double]("ewma") === math.rint(prefix * 1e6) / 1e6)
+    assert(first.getAs[Double]("ewma") === math.floor(prefix * 1e6 + 0.5) / 1e6)
   }
 
   test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {

@@ -27,7 +27,7 @@ class TsOpsSpec extends SparkSpec {
       rs.sortBy(r => (r._2, r._3)).zipWithIndex.foreach { case (r, i) =>
         e = if (i == 0) r._4 else 0.25 * r._4 + 0.75 * e
       }
-      uid -> ((rs.length.toLong, math.rint(e * 1e6) / 1e6))
+      uid -> ((rs.length.toLong, math.floor(e * 1e6 + 0.5) / 1e6))
     }
     assert(got === want)
   }
