@@ -889,6 +889,223 @@ object JoinOps {
           col("s_name"),
           round(col("cost").cast("double"), 2).as("cost"))
         .orderBy("p_partkey", "s_suppkey")
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part average-quantity subquery. The cut l_quantity < 0.2·avg is
+    // cross-multiplied to 5·qty·n < sum in EXACT decimals (same recipe as
+    // q_tpch_q22) — no division, no float boundary. Both the per-part
+    // aggregate and the probe side are pruned by the broadcast part filter
+    // BEFORE any exchange, then meet co-partitioned on the part key; the
+    // one double op is the final /7.0 + round, identical in both engines.
+    Q(
+      "q_tpch_q17",
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_sum, count(*) AS qty_n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |  AND CAST(l_quantity AS DECIMAL(18,6)) * 5 * qty_n < qty_sum""".stripMargin) {
+      (s, d) =>
+        val mediumPart = U.part(s, d)
+          .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+          .select(col("p_partkey"))
+        val filtered = U.lineitem(s, d)
+          .join(broadcast(mediumPart), col("p_partkey") === col("l_partkey"))
+        val pq = filtered
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(
+            sum(col("l_quantity").cast(U.Dec)).as("qty_sum"),
+            count(lit(1)).as("qty_n"))
+        filtered
+          .join(pq, col("pk") === col("l_partkey"))
+          .filter(
+            col("l_quantity").cast(U.Dec) * 5 * col("qty_n") < col("qty_sum"))
+          .agg(
+            round(U.dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+            count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q20 shape, scale-stable reframing (dominant supplier per
+    // part): the driver schema has no partsupp/availqty, and a fixed
+    // excess-share threshold returns 0 rows once the supplier pool grows,
+    // so the nested-aggregate chain keeps Q20's skeleton — per-(part,supp)
+    // quantity vs per-part total — but selects the rank-1 supplier per
+    // part with exact micro-scaled integer quantities instead of
+    // thresholding. One broadcast-pruned aggregate + one window pass on
+    // the part key; quantities stay DECIMAL end to end and are emitted as
+    // exactly-integral micro units (cast round/trunc divergence is moot on
+    // integral values).
+    Q(
+      "q_tpch_q20",
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'large%'
+        |  GROUP BY l_partkey, l_suppkey),
+        |ranked AS (
+        |  SELECT l_partkey, l_suppkey, sq,
+        |    sum(sq) OVER (PARTITION BY l_partkey) AS tq,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY sq DESC, l_suppkey) AS rk
+        |  FROM sp)
+        |SELECT l_partkey, l_suppkey AS top_suppkey,
+        |  CAST(sq * 1000000 AS BIGINT) AS top_qty_micro,
+        |  CAST(tq * 1000000 AS BIGINT) AS total_qty_micro
+        |FROM ranked WHERE rk = 1 ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      val largePart = U.part(s, d)
+        .filter(col("p_name").like("large%"))
+        .select(col("p_partkey"))
+      val sp = U.lineitem(s, d)
+        .join(broadcast(largePart), col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(U.Dec)).as("sq"))
+      val byPart = Window.partitionBy(col("l_partkey"))
+      sp.withColumn("tq", sum(col("sq")).over(byPart))
+        .withColumn(
+          "rk",
+          row_number().over(byPart.orderBy(col("sq").desc, col("l_suppkey"))))
+        .filter(col("rk") === 1)
+        .select(
+          col("l_partkey"),
+          col("l_suppkey").as("top_suppkey"),
+          (col("sq") * 1000000).cast("long").as("top_qty_micro"),
+          (col("tq") * 1000000).cast("long").as("total_qty_micro"))
+        .orderBy("l_partkey")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT EXISTS pair — another supplier on the same order, but
+    // no OTHER supplier late — rewritten as per-order counts so the
+    // multiplicity logic is one aggregation instead of two correlated
+    // subquery probes. "Late" is l_shipdate > o_orderdate + 90 days (the
+    // driver schema has no commit/receipt dates). One orderkey shuffle
+    // feeds both the (order, supp) collapse and the per-order window
+    // counts; the supplier dim attaches by broadcast at the end.
+    Q(
+      "q_tpch_q21",
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |agg AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |    count(*) FILTER (WHERE late = 1) AS n_late
+        |  FROM ls GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM ls JOIN agg USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE ls.late = 1 AND agg.n_supp > 1 AND agg.n_late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val ls = U.lineitem(s, d)
+        .join(
+          U.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(
+          max(
+            when(
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+              1).otherwise(0)).as("late"))
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+      ls.withColumn("n_supp", count(lit(1)).over(byOrder))
+        .withColumn("n_late", sum(col("late")).over(byOrder))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(
+          broadcast(U.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // order-less customers survive with count 0 — the distribution's most
+    // important bucket, and the reason this can't be an inner-join
+    // groupBy. One custkey shuffle feeds the join and the per-customer
+    // count (co-partitioned); the distribution re-agg is 20-odd rows.
+    Q(
+      "q_tpch_q13",
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      U.customer(s, d)
+        .join(
+          U.orders(s, d),
+          col("o_custkey") === col("c_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q8 shape (national market share): the deepest dim chain in the
+    // suite — region→nation→customer on the demand side, nation→supplier
+    // on the supply side, part type filter — every one broadcast, so the
+    // fact flows through exactly ONE big-big exchange (lineitem⋈orders on
+    // the order key, same as Q7). Share = conditional revenue over total
+    // revenue from exact decimal sums; one double division + round(6)
+    // finish, the identical IEEE tree both engines (q_tpch_q14 recipe).
+    Q(
+      "q_tpch_q8",
+      """WITH flat AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val nat = U.nation(s, d)
+      val custAsia = U.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(U.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = U.supplier(s, d)
+        .join(
+          broadcast(nat.select(
+            col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      U.lineitem(s, d)
+        .join(
+          broadcast(U.part(s, d)
+            .filter(col("p_type") === "STANDARD")
+            .select(col("p_partkey"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(suppNation), col("s_suppkey") === col("l_suppkey"))
+        .join(U.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(custAsia), col("c_custkey") === col("o_custkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(
+            U.dsum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0)))
+              / U.dsum(rev), 6).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
     }
   )
 }

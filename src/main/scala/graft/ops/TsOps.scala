@@ -565,6 +565,62 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Holt double-exponential smoothing per series (level + trend; alpha =
+    // 0.5, beta = 0.25, both powers of two): l_0 = v_0, b_0 = 0;
+    // l_i = α·v_i + (1-α)·(l+b); b_i = β·(l_i - l) + (1-β)·b. The
+    // forecasting generalization of q_ts_ewma, same secondary-sort
+    // mapPartitions kernel with TWO fold variables instead of one — the
+    // pattern extends to any per-series recurrence at O(1) state.
+    // no_oracle BY NECESSITY, not convention: DuckDB v1.0.0's list_reduce
+    // evaluates struct fields sequentially and mutates the accumulator in
+    // place, so a two-field recurrence where both fields read the old
+    // state returns corrupted values (verified: fold of {l,b} over
+    // [1,2,4] yields b=0.2578125 where the recurrence gives 0.421875) —
+    // the scalar-fold EWMA oracle is immune. TsOpsSpec runs the exact
+    // driver-side two-variable fold instead.
+    Q.noOracle("q_ts_holt") { (s, d) =>
+      import s.implicits._
+      val alpha = 0.5
+      val beta = 0.25
+      U.events(s, d)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Double, Double)] {
+            private var pending: (Long, Long, Long, Double) =
+              if (it.hasNext) it.next() else null
+            def hasNext: Boolean = pending != null
+            def next(): (Long, Long, Double, Double) = {
+              val uid = pending._1
+              var l = pending._4
+              var b = 0.0
+              var n = 1L
+              pending = null
+              while (pending == null && it.hasNext) {
+                val r = it.next()
+                if (r._1 == uid) {
+                  val ln = alpha * r._4 + (1 - alpha) * (l + b)
+                  b = beta * (ln - l) + (1 - beta) * b
+                  l = ln
+                  n += 1
+                } else pending = r
+              }
+              (uid, n,
+                math.floor(l * 1e6 + 0.5) / 1e6,
+                math.floor(b * 1e6 + 0.5) / 1e6)
+            }
+          }
+        }
+        .toDF("user_id", "n", "level", "trend")
+        .orderBy("user_id")
+    },
+
     // Weekly cohort retention: users grouped by first-activity week; count
     // how many of each cohort are still active k weeks later — the standard
     // product-analytics triangle. Week = floor(epoch-day / 7): positive

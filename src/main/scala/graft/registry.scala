@@ -145,5 +145,7 @@ object Registry {
     "q_agg_heavyhitters" ->
       "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec",
     "q_agg_hll_mv" ->
-      "merged-vs-direct sketch estimate equality + exact-distinct bracket — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'")
+      "merged-vs-direct sketch estimate equality + exact-distinct bracket — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'",
+    "q_ts_holt" ->
+      "vs driver-side two-variable fold over identically-ordered rows — TsOpsSpec (DuckDB list_reduce struct-accumulator bug blocks an oracle; see TsOps scaladoc)")
 }

@@ -32,6 +32,32 @@ class TsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("Holt level/trend equal a driver-side two-variable fold in the same order") {
+    val got = SparkEntry.queries("q_ts_holt")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("level"), r.getAs[Double]("trend"))))
+      .toMap
+    val rows = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = rows.groupBy(_._1).map { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var l = sorted.head._4
+      var b = 0.0
+      sorted.tail.foreach { r =>
+        val ln = 0.5 * r._4 + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+      }
+      uid -> ((rs.length.toLong,
+        math.floor(l * 1e6 + 0.5) / 1e6,
+        math.floor(b * 1e6 + 0.5) / 1e6))
+    }
+    assert(got === want)
+  }
+
   test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
     // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
     val hourly = Seq(
