@@ -294,6 +294,69 @@ object PipelineOps {
         .join(broadcast(eval), col("norm_md5") === col("eval_md5"), "left_anti")
         .select(col("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // RAG corpus prep macro: chunk every document into 64-token/48-stride
+    // windows (q_text_chunk's kernel), dedup the CHUNKS by content digest
+    // (boilerplate headers/footers repeat across documents and would
+    // dominate a vector index), report per-doc totals. Digest-shuffle
+    // discipline as q_dedup_exact: the chunk TEXT never leaves its scan —
+    // only (doc_id, chunk_id, 16-byte digest, n_tokens) enters the
+    // dedup window's exchange. First-occurrence-wins keeps ranking
+    // deterministic across engines.
+    Q(
+      "q_pipeline_rag_prep",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 64 THEN 1 ELSE (len(w) - 17) // 48 + 1 END AS n_chunks
+        |  FROM t WHERE len(w) >= 1),
+        |e AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS digest,
+        |    CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |  CAST(sum(n_tokens) FILTER (WHERE rn = 1) AS BIGINT) AS kept_tokens
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = U.documents(s, d)
+        .select(col("doc_id"), U.words.as("w"))
+        .filter(size(col("w")) >= 1)
+        .withColumn(
+          "n_chunks",
+          when(size(col("w")) <= 64, lit(1L))
+            .otherwise(expr("CAST((size(w) - 17) div 48 + 1 AS BIGINT)")))
+      val win = slice(col("w"), (col("i") * 48 + 1).cast("int"), lit(64))
+      val ch = c
+        .select(
+          col("doc_id"),
+          col("w"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+        .select(
+          col("doc_id"),
+          col("i").as("chunk_id"),
+          md5(array_join(win, " ")).as("digest"),
+          size(win).cast("long").as("n_tokens"))
+      ch.withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("digest"))
+              .orderBy(col("doc_id"), col("chunk_id"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          sum(when(col("rn") === 1, col("n_tokens"))).as("kept_tokens"))
+        .orderBy("doc_id")
     }
   )
 

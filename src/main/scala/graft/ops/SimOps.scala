@@ -309,6 +309,51 @@ object SimOps {
         .orderBy(col("cos_raw").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
+    },
+
+    // Per-label embedding centroids — the k-means/IVF codebook training
+    // step (q_sim_ann_ivf consumes a codebook; this is how one is built
+    // from labeled or cluster-assigned vectors). posexplode fans each
+    // vector into (pos, component) pairs map-side; the one exchange is the
+    // (label, pos) partial aggregate, whose cardinality is labels × dims —
+    // independent of corpus size, so the reduce side stays tiny at 100 TB.
+    // Exactness: a float→DECIMAL cast is NOT cross-engine safe (Spark and
+    // DuckDB round a float's long decimal expansion differently at the
+    // 1e-6 digit — observed as a 1-ulp centroid mismatch), so components
+    // are micro-scaled explicitly in DOUBLE space: widen float→double
+    // (exact), ×1e6, floor(x+0.5) — every step the same IEEE op in both
+    // engines — then summed as exact integers.
+    Q(
+      "q_embed_centroids",
+      """WITH flat AS (
+        |  SELECT label,
+        |    unnest(embedding) AS v,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM flat)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(vm) AS BIGINT) AS sum_micro, count(*) AS n_vecs,
+        |  round(CAST(sum(vm) AS DOUBLE) / count(*) / 1000000.0, 6) AS centroid
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val vm = floor(col("col").cast("double") * 1000000 + 0.5).cast("long")
+      U.embeddings(s, d)
+        .select(
+          col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(
+          col("label"),
+          (col("pos") + 1).cast("long").as("pos"),
+          vm.as("vm"))
+        .groupBy(col("label"), col("pos"))
+        .agg(
+          sum(col("vm")).as("sum_micro"),
+          count(lit(1)).as("n_vecs"),
+          round(sum(col("vm")).cast("double") / count(lit(1)) / 1000000.0, 6)
+            .as("centroid"))
+        .orderBy("label", "pos")
     }
   )
 }

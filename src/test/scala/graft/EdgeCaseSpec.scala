@@ -182,4 +182,64 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.intersect(b).count() === 0)
     assert(a.except(b).orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
+
+  test("chunking invariants: full token coverage, 16-token overlap, tails never empty") {
+    val chunks = SparkEntry.queries("q_text_chunk")(spark, sfDir).collect()
+    val docTokens = U.documents(spark, sfDir)
+      .select(col("doc_id"), size(U.words).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docTokens.filter(_._2 >= 1).keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val n = docTokens(doc)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk_ids are dense 0..k-1
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ===
+        (0L until sorted.length).toSeq)
+      // coverage: last chunk must reach the final token; none may overrun
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens") === n.toLong,
+        s"doc $doc: chunks end before token $n")
+      // overlap: consecutive starts differ by the 48-token stride, so a
+      // 64-token window overlaps its successor by exactly 16 tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") - a.getAs[Long]("start_tok") === 48L)
+        case _ =>
+      }
+      // no chunk is empty, none exceeds the window
+      assert(cs.forall(c => {
+        val t = c.getAs[Long]("n_tokens"); t >= 1 && t <= 64
+      }))
+    }
+  }
+
+  test("streak invariants: active_days equals distinct days, runs reconstruct from raw rows") {
+    val got = SparkEntry.queries("q_win_streak")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("n_streaks"))))
+      .toMap
+    val days = U.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("dn"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(got.keySet === days.keySet)
+    days.foreach { case (uid, dns) =>
+      // driver-side gaps-and-islands twin
+      val runs = scala.collection.mutable.ListBuffer.empty[Long]
+      var prev = Long.MinValue
+      dns.foreach { d =>
+        if (runs.nonEmpty && d == prev + 1) runs(runs.length - 1) += 1
+        else runs += 1L
+        prev = d
+      }
+      val (longest, active, n) = got(uid)
+      assert(active === dns.length.toLong)
+      assert(longest === runs.max)
+      assert(n === runs.length.toLong)
+      assert(longest <= active && n <= active)
+    }
+  }
 }
