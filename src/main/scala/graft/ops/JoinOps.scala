@@ -1106,6 +1106,94 @@ object JoinOps {
               / U.dsum(rev), 6).as("mkt_share"),
           count(lit(1)).as("n_lines"))
         .orderBy("o_year")
+    },
+
+    // TPC-H Q1 (pricing summary) — THE canonical scan-aggregate, completing
+    // the 22/22 TPC-H shape sweep (with Q9 below). Pure single-pass over
+    // lineitem: the date predicate pushes to the scan, every sum is exact
+    // DECIMAL (order-independent partials), averages are one double
+    // division each, and the grouping key has 6 values so the exchange
+    // carries a handful of partial rows per task regardless of fact size.
+    Q(
+      "q_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      U.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(U.dsum(col("l_quantity")), 2).as("sum_qty"),
+          round(U.dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(U.dsum(discPrice), 2).as("sum_disc_price"),
+          round(U.dsum(discPrice * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(U.dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(U.dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+          round(U.dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year): the driver
+    // schema has no ps_supplycost, so cost is p_retailprice · quantity —
+    // same join graph (part name LIKE filter, supplier→nation, the
+    // lineitem⋈orders year source) and the same signed-measure profit
+    // aggregate. All dims broadcast; the one big-big exchange is again
+    // lineitem⋈orders. Profit can be NEGATIVE — the exact-decimal sum is
+    // what makes that safe (a float sum of mixed-sign values is where
+    // cancellation error bites hardest). Emitted as micro-unit BIGINT, not
+    // round(double, 2): profit sums land exactly on .xx5 half boundaries
+    // (prices have few decimal digits), where Spark's HALF_UP on the
+    // shortest decimal rendering and DuckDB's round on the binary value
+    // disagree — observed at sf0.001 before the integer scaling.
+    Q(
+      "q_tpch_q9",
+      """WITH profit AS (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS DECIMAL(18,6)) AS amount
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE p_name LIKE '%widget%')
+        |SELECT nation, o_year,
+        |  CAST(sum(amount) * 1000000 AS BIGINT) AS sum_profit_micro,
+        |  count(*) AS n_lines
+        |FROM profit GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")).cast(U.Dec)
+      U.lineitem(s, d)
+        .join(
+          broadcast(U.part(s, d)
+            .filter(col("p_name").like("%widget%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(
+          broadcast(U.supplier(s, d)
+            .join(
+              broadcast(U.nation(s, d)),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name").as("nation"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(U.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(amount) * 1000000).cast("long").as("sum_profit_micro"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year").desc)
     }
   )
 }

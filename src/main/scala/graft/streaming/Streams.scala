@@ -172,6 +172,34 @@ object Streams {
         col("n_faults"),
         col("n_rows"))
 
+  /** Hopping (sliding) windows: 15-minute aggregates advancing every 5
+    * minutes, so each event lands in len/hop = 3 overlapping windows — the
+    * streaming twin of batch `q_ts_hopping`. Spark's `window(col, len,
+    * hop)` does the 3-way assignment map-side (the same constant fan-out
+    * the batch operator writes as an explicit explode); the watermark
+    * bounds how long a window stays open for late rows, so state is
+    * O(open windows × series), not O(stream). Late rows inside the
+    * watermark land in ALL the windows they belong to.
+    */
+  def hoppingCounts(
+      telemetry: DataFrame,
+      windowLen: String = "15 minutes",
+      hop: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupBy(
+        col("timeseries_id"),
+        window(col("timestamp"), windowLen, hop).as("win"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        avg(col("value")).as("avg_value"))
+      .select(
+        col("timeseries_id"),
+        col("win.start").as("window_start"),
+        col("n_rows"),
+        round(col("avg_value"), 6).as("avg_value"))
+
   /** Streaming fault-run detection with custom state
     * (`flatMapGroupsWithState`): emits an alert whenever a series has seen
     * `minRun` consecutive over-threshold readings. The reference can't

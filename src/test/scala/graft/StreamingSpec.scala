@@ -65,6 +65,23 @@ class StreamingSpec extends SparkSpec {
     assert(w0.getAs[Long]("n_faults") === 2) // 0.96 and late 0.98
   }
 
+  test("hoppingCounts stream == batch; every event lands in its 3 overlapping windows") {
+    val streamed = runComplete("hop_stream")(df => Streams.hoppingCounts(df))
+    val batch = Streams.hoppingCounts(rows.toDF())
+    assert(
+      streamed.orderBy("timeseries_id", "window_start").collect().toSeq ===
+        batch.orderBy("timeseries_id", "window_start").collect().toSeq)
+    // 15m/5m hop: the 12:00:10 event must appear in windows starting
+    // 11:50, 11:55, and 12:00 — the constant 3-way fan-out
+    val w = streamed
+      .filter(col("timeseries_id") === "id-a" &&
+        col("window_start").isin(
+          ts("2024-08-28 11:50:00"), ts("2024-08-28 11:55:00"),
+          ts("2024-08-28 12:00:00")))
+      .collect()
+    assert(w.length === 3, s"expected the event in 3 hopping windows, got ${w.length}")
+  }
+
   test("sessionize stream == batch on same rows") {
     val streamed = runComplete("sess_stream")(df =>
       Streams.sessionize(df, gap = "30 minutes"))
