@@ -255,6 +255,33 @@ class PlanSpec extends SparkSpec {
       "the scalar cut must never plan a cartesian product")
   }
 
+  test("q_pipeline_rag_prep: no exchange carries chunk text or token arrays, only digests") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // chunk-grain version of the q_dedup_exact contract: the dedup
+    // window's shuffle must move (ids, 16-byte digest, n_tokens) — the
+    // chunk string and the parent token array must both die at the scan
+    val plan = executed(q("q_pipeline_rag_prep"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the dedup-window exchange")
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("chunk") && !names.contains("w") && !names.contains("text"),
+        s"exchange shuffles chunk text: $names")
+      e.output.foreach { a =>
+        assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"exchange shuffles a token array: ${a.name}")
+      }
+    }
+  }
+
+  test("q_tpch_q1: the ship-date predicate reaches the lineitem scan") {
+    val scan = executed(q("q_tpch_q1"))
+      .collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate,"),
+      s"date bound not pushed: $pushed")
+  }
+
   test("runtime bloom filter from a selective dim reaches the fact side of a shuffle join") {
     // The 100 TB posture check for non-broadcastable selective joins: with
     // broadcast off, Spark's InjectRuntimeFilter should build a bloom
