@@ -297,55 +297,32 @@ object PipelineOps {
     },
 
     // RAG corpus prep macro: chunk every document into 64-token/48-stride
-    // windows (q_text_chunk's kernel), dedup the CHUNKS by content digest
+    // windows (THE q_text_chunk kernel — U.chunked / U.chunkCte, one
+    // definition per engine), dedup the CHUNKS by content digest
     // (boilerplate headers/footers repeat across documents and would
     // dominate a vector index), report per-doc totals. Digest-shuffle
     // discipline as q_dedup_exact: the chunk TEXT never leaves its scan —
     // only (doc_id, chunk_id, 16-byte digest, n_tokens) enters the
-    // dedup window's exchange. First-occurrence-wins keeps ranking
-    // deterministic across engines.
+    // dedup window's exchange (PlanSpec-asserted). First-occurrence-wins
+    // keeps ranking deterministic across engines.
     Q(
       "q_pipeline_rag_prep",
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |c AS (
-        |  SELECT doc_id, w,
-        |    CASE WHEN len(w) <= 64 THEN 1 ELSE (len(w) - 17) // 48 + 1 END AS n_chunks
-        |  FROM t WHERE len(w) >= 1),
-        |e AS (
-        |  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c),
-        |ch AS (
-        |  SELECT doc_id, i AS chunk_id,
-        |    md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS digest,
-        |    CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
-        |  FROM e),
-        |r AS (
-        |  SELECT doc_id, n_tokens,
-        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id, chunk_id) AS rn
-        |  FROM ch)
-        |SELECT doc_id, count(*) AS n_chunks,
-        |  count(*) FILTER (WHERE rn = 1) AS n_kept,
-        |  CAST(sum(n_tokens) FILTER (WHERE rn = 1) AS BIGINT) AS kept_tokens
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH ${U.chunkCte},
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |  CAST(sum(n_tokens) FILTER (WHERE rn = 1) AS BIGINT) AS kept_tokens
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val c = U.documents(s, d)
-        .select(col("doc_id"), U.words.as("w"))
-        .filter(size(col("w")) >= 1)
-        .withColumn(
-          "n_chunks",
-          when(size(col("w")) <= 64, lit(1L))
-            .otherwise(expr("CAST((size(w) - 17) div 48 + 1 AS BIGINT)")))
-      val win = slice(col("w"), (col("i") * 48 + 1).cast("int"), lit(64))
-      val ch = c
+      val ch = U.chunked(s, d)
         .select(
           col("doc_id"),
-          col("w"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
-        .select(
-          col("doc_id"),
-          col("i").as("chunk_id"),
-          md5(array_join(win, " ")).as("digest"),
-          size(win).cast("long").as("n_tokens"))
+          col("chunk_id"),
+          md5(col("chunk")).as("digest"),
+          col("n_tokens"))
       ch.withColumn(
           "rn",
           row_number().over(
@@ -475,11 +452,20 @@ object PipelineOps {
       maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val ckpt = checkpointer(pairs.sparkSession, checkpointDir)
-    val input = ckpt(
-      pairs.toDF("a", "b").filter(col("a") =!= col("b")).distinct())
+    // keep the RAW pair list: the star rewiring needs self-loops stripped,
+    // but a node whose only edges are self-loops is still a node — it must
+    // come back labeled as its own root (same contract as
+    // connectedComponents, whose symmetrized edge list keeps it naturally)
+    val raw = ckpt(pairs.toDF("a", "b"))
+    val allNodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node")))
+      .distinct()
+    val input = ckpt(raw.filter(col("a") =!= col("b")).distinct())
     if (input.isEmpty) {
+      val out = ckpt(allNodes.withColumn("label", col("node")))
       unpersistCheckpoint(input)
-      return input.select(col("a").as("node"), col("b").as("label"))
+      unpersistCheckpoint(raw)
+      return out
     }
 
     // large-star over an arbitrary edge list: symmetrize, m(u) = min over
@@ -530,16 +516,24 @@ object PipelineOps {
         s"connectedComponentsAlternating did not converge in $maxIters " +
           "rounds — raise maxIters")
     // converged star edges: (node, root) per non-root node; small-star's
-    // final form may leave root self-edges out, so roots label themselves
-    val labels = edges
+    // final form may leave root self-edges out, so roots label themselves;
+    // self-loop-only nodes re-enter as their own root via the anti join
+    val edgeLabels = edges
       .select(col("a").as("node"), col("b").as("label"))
       .union(
         edges.select(col("b")).distinct()
           .select(col("b").as("node"), col("b").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
-    val out = labels.localCheckpoint()
+    val labels = edgeLabels.union(
+      allNodes.join(edgeLabels, Seq("node"), "left_anti")
+        .withColumn("label", col("node")))
+    // ckpt, not localCheckpoint: in reliable-checkpointDir mode the RESULT
+    // must survive executor loss too, or the protection the option buys
+    // ends at the return statement
+    val out = ckpt(labels)
     unpersistCheckpoint(edges)
     unpersistCheckpoint(input)
+    unpersistCheckpoint(raw)
     out
   }
 

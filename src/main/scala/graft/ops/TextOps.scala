@@ -392,48 +392,20 @@ object TextOps {
 
     // Context-window chunking (RAG / training-sequence prep): split each
     // document into 64-token windows with stride 48 (16-token overlap so no
-    // boundary sentence is lost to either neighbor). Chunk count is exact
-    // integer arithmetic — (n-17) div 48 + 1 ≡ ceil((n-64)/48)+1 for
-    // n > 64 — so both engines enumerate identical windows. Scale: pure
-    // map-side explode (zero shuffle before the presentation sort); the
-    // fan-out is bounded by ~n/48 chunks per doc and each chunk re-uses the
-    // parent's token array, so no quadratic blow-up. The overlap tokens are
-    // the only duplicated bytes — 33% by construction, the price of
-    // stride < window.
+    // boundary sentence is lost to either neighbor). Kernel + oracle CTE
+    // are the SHARED U.chunked / U.chunkCte definitions (also consumed by
+    // q_pipeline_rag_prep) so both engines enumerate identical windows by
+    // construction. Scale: pure map-side explode (zero shuffle before the
+    // presentation sort); fan-out bounded by ~n/48 chunks per doc. The
+    // overlap tokens are the only duplicated bytes — 33% by construction,
+    // the price of stride < window.
     Q(
       "q_text_chunk",
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |c AS (
-        |  SELECT doc_id, w,
-        |    CASE WHEN len(w) <= 64 THEN 1 ELSE (len(w) - 17) // 48 + 1 END AS n_chunks
-        |  FROM t WHERE len(w) >= 1),
-        |e AS (
-        |  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
-        |SELECT doc_id, i AS chunk_id, i * 48 AS start_tok,
-        |  CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens,
-        |  array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk
-        |FROM e
-        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
-      val c = U.documents(s, d)
-        .select(col("doc_id"), U.words.as("w"))
-        .filter(size(col("w")) >= 1)
-        .withColumn(
-          "n_chunks",
-          when(size(col("w")) <= 64, lit(1L))
-            .otherwise(expr("CAST((size(w) - 17) div 48 + 1 AS BIGINT)")))
-      val win = slice(col("w"), (col("i") * 48 + 1).cast("int"), lit(64))
-      c.select(
-          col("doc_id"),
-          col("w"),
-          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
-        .select(
-          col("doc_id"),
-          col("i").as("chunk_id"),
-          (col("i") * 48).as("start_tok"),
-          size(win).cast("long").as("n_tokens"),
-          array_join(win, " ").as("chunk"))
-        .orderBy("doc_id", "chunk_id")
+      s"""WITH ${U.chunkCte}
+         |SELECT doc_id, chunk_id, start_tok, n_tokens, chunk
+         |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      U.chunked(s, d).orderBy("doc_id", "chunk_id")
     }
   )
 }

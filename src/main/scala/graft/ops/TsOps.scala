@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, U}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 group H — time-series analytics generalizing the
@@ -17,6 +18,57 @@ import org.apache.spark.sql.functions._
   * events twice; sessionization is one window shuffle by series key.
   */
 object TsOps {
+
+  /** Secondary-sort per-series fold — the shared kernel of `q_ts_ewma` and
+    * `q_ts_holt`, and the template for ANY sequential per-series
+    * recurrence: repartition by the series key, sortWithinPartitions
+    * (series, ts, event_id) — SortExec's UnsafeExternalSorter spills to
+    * disk, unlike a mapGroups toSeq which pins the whole group on-heap —
+    * then one streaming pass folding each run of equal keys with O(1)
+    * state. ONE shuffle by series key; a year-long hot series costs disk,
+    * not an executor OOM.
+    *
+    * `seed` builds state from a run's first value; `step` folds each
+    * subsequent value; `finish(uid, n, state)` shapes the output row.
+    */
+  private def foldSeries[S, R](s: SparkSession, d: String)(
+      seed: Double => S,
+      step: (S, Double) => S,
+      finish: (Long, Long, S) => R)(
+      implicit enc: org.apache.spark.sql.Encoder[R])
+      : org.apache.spark.sql.Dataset[R] = {
+    import s.implicits._
+    U.events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        // rows arrive grouped by user_id and (ts, event_id)-ordered; fold
+        // each run of equal keys without materializing it
+        new Iterator[R] {
+          private var pending: (Long, Long, Long, Double) =
+            if (it.hasNext) it.next() else null
+          def hasNext: Boolean = pending != null
+          def next(): R = {
+            val uid = pending._1
+            var st = seed(pending._4)
+            var n = 1L
+            pending = null
+            while (pending == null && it.hasNext) {
+              val r = it.next()
+              if (r._1 == uid) { st = step(st, r._4); n += 1 }
+              else pending = r
+            }
+            finish(uid, n, st)
+          }
+        }
+      }
+  }
 
   private def wUser = Window.partitionBy(col("user_id"))
   private def wOrdered = wUser.orderBy(col("ts"), col("event_id"))
@@ -531,36 +583,10 @@ object TsOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val alpha = 0.25
-      U.events(s, d)
-        .select(
-          col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("event_id"),
-          col("value"))
-        .repartition(col("user_id"))
-        .sortWithinPartitions("user_id", "ts_us", "event_id")
-        .as[(Long, Long, Long, Double)]
-        .mapPartitions { it =>
-          // rows arrive grouped by user_id and (ts, event_id)-ordered;
-          // fold each run of equal keys without materializing it
-          new Iterator[(Long, Long, Double)] {
-            private var pending: (Long, Long, Long, Double) =
-              if (it.hasNext) it.next() else null
-            def hasNext: Boolean = pending != null
-            def next(): (Long, Long, Double) = {
-              val uid = pending._1
-              var e = pending._4
-              var n = 1L
-              pending = null
-              while (pending == null && it.hasNext) {
-                val r = it.next()
-                if (r._1 == uid) { e = alpha * r._4 + (1 - alpha) * e; n += 1 }
-                else pending = r
-              }
-              (uid, n, math.floor(e * 1e6 + 0.5) / 1e6)
-            }
-          }
-        }
+      foldSeries[Double, (Long, Long, Double)](s, d)(
+        seed = v => v,
+        step = (e, v) => alpha * v + (1 - alpha) * e,
+        finish = (uid, n, e) => (uid, n, math.floor(e * 1e6 + 0.5) / 1e6))
         .toDF("user_id", "n", "ewma")
         .orderBy("user_id")
     },
@@ -582,41 +608,15 @@ object TsOps {
       import s.implicits._
       val alpha = 0.5
       val beta = 0.25
-      U.events(s, d)
-        .select(
-          col("user_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("event_id"),
-          col("value"))
-        .repartition(col("user_id"))
-        .sortWithinPartitions("user_id", "ts_us", "event_id")
-        .as[(Long, Long, Long, Double)]
-        .mapPartitions { it =>
-          new Iterator[(Long, Long, Double, Double)] {
-            private var pending: (Long, Long, Long, Double) =
-              if (it.hasNext) it.next() else null
-            def hasNext: Boolean = pending != null
-            def next(): (Long, Long, Double, Double) = {
-              val uid = pending._1
-              var l = pending._4
-              var b = 0.0
-              var n = 1L
-              pending = null
-              while (pending == null && it.hasNext) {
-                val r = it.next()
-                if (r._1 == uid) {
-                  val ln = alpha * r._4 + (1 - alpha) * (l + b)
-                  b = beta * (ln - l) + (1 - beta) * b
-                  l = ln
-                  n += 1
-                } else pending = r
-              }
-              (uid, n,
-                math.floor(l * 1e6 + 0.5) / 1e6,
-                math.floor(b * 1e6 + 0.5) / 1e6)
-            }
-          }
-        }
+      foldSeries[(Double, Double), (Long, Long, Double, Double)](s, d)(
+        seed = v => (v, 0.0),
+        step = { case ((l, b), v) =>
+          val ln = alpha * v + (1 - alpha) * (l + b)
+          (ln, beta * (ln - l) + (1 - beta) * b)
+        },
+        finish = (uid, n, st) => (uid, n,
+          math.floor(st._1 * 1e6 + 0.5) / 1e6,
+          math.floor(st._2 * 1e6 + 0.5) / 1e6))
         .toDF("user_id", "n", "level", "trend")
         .orderBy("user_id")
     },

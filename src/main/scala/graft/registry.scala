@@ -93,6 +93,63 @@ object U {
     */
   def words: Column = split(trim(col("text")), "\\s+")
 
+  /** Context-window chunking constants + kernel, the ONE definition shared
+    * by `q_text_chunk` and `q_pipeline_rag_prep` (Spark side here, DuckDB
+    * side in [[chunkCte]]); a window/stride change must change all four
+    * surfaces in lockstep — hence one source for each engine.
+    */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** One row per (doc, chunk): doc_id, chunk_id, start_tok, n_tokens,
+    * chunk text. Map-side only (explode; no shuffle). Chunk count is
+    * exact integer arithmetic — (n - (len-stride+1)) div stride + 1 ≡
+    * ceil((n-len)/stride)+1 for n > len.
+    */
+  def chunked(s: SparkSession, d: String): DataFrame = {
+    val hang = ChunkLen - ChunkStride + 1
+    val c = documents(s, d)
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn(
+        "n_chunks",
+        when(size(col("w")) <= ChunkLen, lit(1L))
+          .otherwise(expr(s"CAST((size(w) - $hang) div $ChunkStride + 1 AS BIGINT)")))
+    val win =
+      slice(col("w"), (col("i") * ChunkStride + 1).cast("int"), lit(ChunkLen))
+    c.select(
+        col("doc_id"),
+        col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").as("chunk_id"),
+        (col("i") * ChunkStride).as("start_tok"),
+        size(win).cast("long").as("n_tokens"),
+        array_join(win, " ").as("chunk"))
+  }
+
+  /** DuckDB mirror of [[chunked]] as a WITH-clause body ending in CTE `ch`
+    * with the same five columns. Constants s-interpolated from the same
+    * ChunkLen/ChunkStride values the Spark kernel uses.
+    */
+  val chunkCte: String = {
+    val hang = ChunkLen - ChunkStride + 1
+    s"""t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN len(w) <= $ChunkLen THEN 1 ELSE (len(w) - $hang) // $ChunkStride + 1 END AS n_chunks
+       |  FROM t WHERE len(w) >= 1),
+       |e AS (
+       |  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_id, i * $ChunkStride AS start_tok,
+       |    CAST(len(w[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen]) AS BIGINT) AS n_tokens,
+       |    array_to_string(w[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen], ' ') AS chunk
+       |  FROM e)""".stripMargin
+  }
+
   /** doc_id + distinct 3-word shingles (docs with >= 3 tokens) — shared by
     * the dedup family and the contamination check so candidate generation
     * and its oracle CTE stay consistent by construction. Codegen'd

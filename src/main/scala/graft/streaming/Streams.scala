@@ -247,7 +247,11 @@ object Streams {
             // micro-batch (trigger-interval-sized), not its full history —
             // unlike a batch mapGroups, materializing it cannot OOM on a
             // long series
-            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            // total order: equal-timestamp rows tiebreak on (value, sensor) so
+            // the order-sensitive fold is deterministic across reruns (the
+            // iterator's arrival order is not a contract)
+            val sorted = rows.toSeq
+              .sortBy(r => (r.timestamp.getTime, r.value, r.sensor_name))
             sorted.foreach { r =>
               run = if (r.value > threshold) run + 1 else 0
               if (run == minRun)
@@ -307,7 +311,11 @@ object Streams {
             Iterator.empty
           } else {
             // bounded buffer: one series' slice of one micro-batch
-            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            // total order: equal-timestamp rows tiebreak on (value, sensor) so
+            // the order-sensitive fold is deterministic across reruns (the
+            // iterator's arrival order is not a contract)
+            val sorted = rows.toSeq
+              .sortBy(r => (r.timestamp.getTime, r.value, r.sensor_name))
             var st = state.getOption.orNull
             sorted.foreach { r =>
               val tsUs = r.timestamp.getTime * 1000L
@@ -380,7 +388,11 @@ object Streams {
             Iterator.empty
           } else {
             // bounded buffer: one series' slice of one micro-batch
-            val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+            // total order: equal-timestamp rows tiebreak on (value, sensor) so
+            // the order-sensitive fold is deterministic across reruns (the
+            // iterator's arrival order is not a contract)
+            val sorted = rows.toSeq
+              .sortBy(r => (r.timestamp.getTime, r.value, r.sensor_name))
             var st = state.getOption.orNull
             sorted.foreach { r =>
               val tsUs = r.timestamp.getTime * 1000L

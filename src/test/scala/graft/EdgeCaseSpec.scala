@@ -183,6 +183,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a.except(b).orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("self-loop-only nodes survive BOTH connected-components variants as their own root") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    Seq(
+      graft.ops.PipelineOps.connectedComponents(pairs),
+      graft.ops.PipelineOps.connectedComponentsAlternating(pairs)
+    ).foreach { out =>
+      val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m === Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    }
+    // degenerate: ONLY self-loops — every node labels itself
+    val loops = Seq((7L, 7L), (9L, 9L)).toDF("a", "b")
+    val alt = graft.ops.PipelineOps.connectedComponentsAlternating(loops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt === Map(7L -> 7L, 9L -> 9L))
+  }
+
   test("chunking invariants: full token coverage, 16-token overlap, tails never empty") {
     val chunks = SparkEntry.queries("q_text_chunk")(spark, sfDir).collect()
     val docTokens = U.documents(spark, sfDir)

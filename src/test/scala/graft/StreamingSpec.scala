@@ -323,6 +323,29 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("ewma") === math.floor(prefix * 1e6 + 0.5) / 1e6)
   }
 
+  test("rates: equal-timestamp rows fold in deterministic (ts, value) order") {
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    val q = Streams.rates(mem.toDS())
+      .writeStream.format("memory").queryName("rates_ties")
+      .outputMode("append").start()
+    def t(v: Double) =
+      Telemetry("Counter", ts("2024-08-28 12:01:00"), v, None, "tie-a")
+    // two rows share one timestamp: the fold must order them by value
+    // (5.0 before 7.0), NOT by nondeterministic iterator arrival — so the
+    // deltas are +4000, +2000 and never a spurious reset
+    mem.addData(Seq(
+      Telemetry("Counter", ts("2024-08-28 12:00:00"), 1.0, None, "tie-a"),
+      t(7.0), t(5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("rates_ties").orderBy(col("dur_us").desc).head()
+    assert(r.getAs[Long]("n_resets") === 0L,
+      "equal-ts rows folded out of order: a spurious counter reset appeared")
+    assert(r.getAs[Long]("increase_m") === 6000L)
+  }
+
   test("faultRuns: run-length state carries across micro-batches; reset on cool reading") {
     import graft.streaming.{FaultRunAlert, Telemetry}
     implicit val sqlCtx = spark.sqlContext
