@@ -653,6 +653,50 @@ object AggOps {
           col("direct_est"),
           col("n_days"))
         .orderBy("event_type")
+    },
+
+    // Bitmap exact-distinct — the bounded-domain counterpart to the HLL
+    // sketch above (roaring-bitmap family, flattened to 63-bit words as
+    // plain columns): each (group, id div 63) word ORs bit (id mod 63),
+    // the distinct count is the popcount sum. bit_or partials merge
+    // associatively like any sum, so this is EXACT distinct counting with
+    // sum-mergeable partials — the thing COUNT(DISTINCT)'s expand-dedup
+    // plan pays two shuffles for — whenever the id domain is bounded
+    // (users, devices, SKUs). 63-bit words, not 64: DuckDB raises on
+    // 1<<63 signed overflow where Java wraps; bit 62 is the last safe one
+    // shared by both engines. Output carries count(DISTINCT) alongside as
+    // the self-witness.
+    Q(
+      "q_agg_bitmap_distinct",
+      """WITH w AS (
+        |  SELECT event_type, user_id // 63 AS word,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
+        |  FROM events GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users_bitmap
+        |  FROM w GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_users_bitmap, n_users_exact
+        |FROM bm JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = U.events(s, d)
+      val bm = ev
+        .groupBy(col("event_type"), expr("user_id div 63").as("word"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"))
+          .as("bits"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("bits"))).as("n_users_bitmap"))
+      val ex = ev
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      bm.join(ex, "event_type")
+        .select(
+          col("event_type"),
+          col("n_users_bitmap"),
+          col("n_users_exact"))
+        .orderBy("event_type")
     }
   )
 }

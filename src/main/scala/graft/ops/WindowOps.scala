@@ -260,6 +260,29 @@ object WindowOps {
         .orderBy("event_id")
     },
 
+    // Rolling exact median (robust smoothing — the outlier-immune
+    // counterpart to q_win_rolling_avg): 21-row centered frame per series.
+    // Exactness: a 21-row interior frame has odd count, so the median IS a
+    // data value; edge frames interpolate (a+b)/2 — one identical IEEE op
+    // in both engines. Spark's `median` expression rejects window frames
+    // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); `percentile(value, 0.5)`
+    // is the same exact computation and frames fine. Scale: one series-key
+    // shuffle; the window buffers only the 21-row frame, not the partition.
+    Q(
+      "q_win_rolling_median",
+      """SELECT event_id, user_id,
+        |  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING), 6) AS med
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = wOrdered.rowsBetween(-10, 10)
+      U.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med"))
+        .orderBy("event_id")
+    },
+
     // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per series —
     // the classic streak query (user engagement, sensor uptime). Island key
     // = day-number minus per-series row_number: constant within a
