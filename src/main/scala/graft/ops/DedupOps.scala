@@ -205,6 +205,42 @@ object DedupOps {
         .orderBy("canonical_id")
     },
 
+    // Incremental ingest dedup — the daily-batch form of q_dedup_exact:
+    // dedup a NEW batch (doc_id % 10 >= 8 stands in for today's arrivals)
+    // first within itself (min-id per digest) and then against the
+    // EXISTING corpus. This is the non-broadcast tier of
+    // q_dedup_decontaminate: an eval set broadcasts, but yesterday's
+    // 100 TB corpus does not — both sides carry ONLY 16-byte digests into
+    // a shuffled LEFT ANTI join, so the exchange cost is digests on both
+    // sides, never text. At scale the old-corpus digest set is the stored
+    // artifact (append-only, bucketable by digest so tomorrow's anti join
+    // co-locates for free).
+    Q(
+      "q_dedup_incremental",
+      """WITH old AS (
+        |  SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 10 >= 8),
+        |firsts AS (
+        |  SELECT min(doc_id) AS doc_id, d FROM batch GROUP BY d)
+        |SELECT f.doc_id FROM firsts f
+        |WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.d = f.d)
+        |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val docs = U.documents(s, d)
+      val old = docs
+        .filter(col("doc_id") % 10 < 8)
+        .select(md5(col("text")).as("d"))
+        .distinct()
+      docs
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), md5(col("text")).as("d"))
+        .groupBy(col("d"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(old, Seq("d"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram Jaccard near-dup: candidate pairs share >= 1 shingle
     // (inverted-index join), exact |A∩B| / |A∪B| >= 0.8. Plan rationale on
     // [[ngramJaccardPairs]].

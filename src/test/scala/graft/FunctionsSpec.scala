@@ -129,6 +129,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches round-trip through parquet and still union-merge (the stored-MV path)") {
+    // the q_agg_hll_mv story at rest: daily sketch rows are the PERSISTED
+    // artifact — write the binary sketches, read them back, union — the
+    // estimate must survive the storage round-trip unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_mv").toString
+    val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+    U.events(spark, sfDir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = U.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct,
+      "sketch estimates changed across the parquet round-trip")
+  }
+
   test("GraftExtensions injects the same function set (spark.sql.extensions hook)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
