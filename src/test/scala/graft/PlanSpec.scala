@@ -274,6 +274,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incremental: both anti-join sides shuffle digests only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the non-broadcast decontamination tier: at 100 TB BOTH sides of the
+    // anti join are large, so the whole point is that each side's
+    // exchange carries 16-byte digests — raw document text must die at
+    // the two scans
+    val plan = executed(q("q_dedup_incremental"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the anti join's exchanges")
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"exchange shuffles raw text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q_tpch_q1: the ship-date predicate reaches the lineitem scan") {
     val scan = executed(q("q_tpch_q1"))
       .collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
