@@ -654,6 +654,49 @@ object TsOps {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "week_offset")
+    },
+
+    // Robust per-series outlier detection via MAD (median absolute
+    // deviation): |v − median| > 3·1.4826·MAD — the breakdown-resistant
+    // complement to q_ts_anomaly_zscore, whose mean/σ are themselves
+    // dragged by the outliers they're meant to find (50% breakdown point
+    // vs 0%). Exactness: medians are exact percentiles (a data value on
+    // odd counts, one (a+b)/2 interpolation on even); the 3·1.4826·mad
+    // threshold folds left-to-right identically in both engines. Scale:
+    // two grouped exact medians + two co-partitioned joins on the series
+    // key — same exchange pattern as q_agg_mad; the approximate path at
+    // extreme cardinality is percentile_approx in the same shape.
+    Q(
+      "q_ts_outlier_mad",
+      """WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.user_id, abs(e.value - m.med) AS dev, m.med AS med
+        |      FROM events e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.user_id, count(*) AS n,
+        |  count(*) FILTER (WHERE dev > 3 * 1.4826 * mad) AS n_outliers,
+        |  round(any_value(d.med), 6) AS med,
+        |  round(any_value(mad), 6) AS mad
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin) { (s, d) =>
+      val ev = U.events(s, d).select(col("user_id"), col("value"))
+      val m = ev.groupBy(col("user_id")).agg(expr("median(value)").as("med"))
+      val dev = ev
+        .join(m, "user_id")
+        .select(
+          col("user_id"),
+          abs(col("value") - col("med")).as("dev"),
+          col("med"))
+      val md = dev.groupBy(col("user_id")).agg(expr("median(dev)").as("mad"))
+      dev
+        .join(md, "user_id")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1))
+            .as("n_outliers"),
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"))
+        .orderBy("user_id")
     }
   )
 }
