@@ -27,6 +27,16 @@ class RegistrySpec extends SparkSpec {
         s"stale: ${Registry.propertyVerification.keySet -- noOracle}")
   }
 
+  test("every registry key is documented in SURVEY.md (no doc drift)") {
+    // the round-5 verdict flagged SURVEY lagging the code by 7 keys; this
+    // pins the invariant so a new operator ships with its blueprint row
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val missing = Registry.all.map(_.name).filterNot(survey.contains)
+    assert(missing.isEmpty, s"SURVEY.md is missing keys: $missing")
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val a = q.fn(spark, sfDir).collect()
