@@ -697,6 +697,36 @@ object TsOps {
           round(first(col("med")), 6).as("med"),
           round(first(col("mad")), 6).as("mad"))
         .orderBy("user_id")
+    },
+
+    // Per-series min-max normalization to [0,1] — the feature-scaling
+    // staple (and the same normalize-then-bit-interleave step the Z-order
+    // writer uses). Degenerate constant series pin to 0.5 in both engines
+    // rather than dividing by zero. Scale: one tiny (series, lo, hi)
+    // aggregate broadcast back over the events — the fact never shuffles;
+    // the normalization itself is a codegen'd scan.
+    Q(
+      "q_ts_normalize",
+      """WITH b AS (
+        |  SELECT user_id, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |  round(CASE WHEN hi = lo THEN 0.5
+        |             ELSE (e.value - lo) / (hi - lo) END, 6) AS value_norm
+        |FROM events e JOIN b USING (user_id)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = U.events(s, d)
+      val b = ev.groupBy(col("user_id"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.join(broadcast(b), "user_id")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(
+            when(col("hi") === col("lo"), 0.5)
+              .otherwise((col("value") - col("lo")) / (col("hi") - col("lo"))),
+            6).as("value_norm"))
+        .orderBy("event_id")
     }
   )
 }
