@@ -664,24 +664,28 @@ object AggOps {
     // plan pays two shuffles for — whenever the id domain is bounded
     // (users, devices, SKUs). 63-bit words, not 64: DuckDB raises on
     // 1<<63 signed overflow where Java wraps; bit 62 is the last safe one
-    // shared by both engines. Output carries count(DISTINCT) alongside as
-    // the self-witness.
+    // shared by both engines. NON-NEGATIVE ids only, enforced by filter in
+    // BOTH engines (a bitmap index has no slot for a negative id; without
+    // the filter DuckDB raises on a negative shift where Spark masks it to
+    // a silently-colliding bit — divergence, not just error). Output
+    // carries count(DISTINCT) alongside as the self-witness.
     Q(
       "q_agg_bitmap_distinct",
-      """WITH w AS (
+      """WITH nn AS (SELECT event_type, user_id FROM events WHERE user_id >= 0),
+        |w AS (
         |  SELECT event_type, user_id // 63 AS word,
         |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
-        |  FROM events GROUP BY 1, 2),
+        |  FROM nn GROUP BY 1, 2),
         |bm AS (
         |  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users_bitmap
         |  FROM w GROUP BY 1),
         |ex AS (
         |  SELECT event_type, count(DISTINCT user_id) AS n_users_exact
-        |  FROM events GROUP BY 1)
+        |  FROM nn GROUP BY 1)
         |SELECT event_type, n_users_bitmap, n_users_exact
         |FROM bm JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin) { (s, d) =>
-      val ev = U.events(s, d)
+      val ev = U.events(s, d).filter(col("user_id") >= 0)
       val bm = ev
         .groupBy(col("event_type"), expr("user_id div 63").as("word"))
         .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"))

@@ -274,19 +274,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_dedup_incremental: both anti-join sides shuffle digests only, never text") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("q_dedup_incremental: both anti-join sides shuffle digests only, never text (broadcast off)") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     // the non-broadcast decontamination tier: at 100 TB BOTH sides of the
-    // anti join are large, so the whole point is that each side's
-    // exchange carries 16-byte digests — raw document text must die at
-    // the two scans
-    val plan = executed(q("q_dedup_incremental"))
+    // anti join are large, so broadcast is forced OFF here — with it on,
+    // test-sized data would broadcast the old-corpus side and this test
+    // would never see the exchanges it exists to check. Every exchange
+    // (and there must be a real shuffled anti join) carries digests; raw
+    // document text dies at the two scans.
+    val plan = withPlanShapeConf(disableBroadcast = true)(
+      executedPlan(q("q_dedup_incremental")))
+    val anti = plan.collect {
+      case j: SortMergeJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(anti.nonEmpty, s"expected a shuffled LEFT ANTI join:\n$plan")
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.nonEmpty, "expected the anti join's exchanges")
     exchanges.foreach { e =>
       assert(!e.output.map(_.name).contains("text"),
         s"exchange shuffles raw text: ${e.output.map(_.name)}")
     }
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.isEmpty)
   }
 
   test("q_tpch_q1: the ship-date predicate reaches the lineitem scan") {
