@@ -71,6 +71,14 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
           .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // Second, SHORT summary line AFTER the big per-query line: a tail
+    // capture of this process's stdout truncates the front, which for
+    // rounds 4-6 cut the line above before its "value" field — the
+    // headline number was lost. This line is small enough to survive any
+    // reasonable tail window and carries the same verdict fields.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed
+          .mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

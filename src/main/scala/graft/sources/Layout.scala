@@ -95,8 +95,12 @@ object Layout {
     val bounds = df.agg(
       min(sLong).as("_s0"), max(sLong).as("_s1"),
       min(tLong).as("_t0"), max(tLong).as("_t1"))
+    // Divide BEFORE multiplying: (x - lo) * 65535 exceeds 2^53 for
+    // epoch-microsecond spans over ~4 years, where double drops low bits
+    // and cell-boundary rows land one bucket off. The ratio is in [0, 1]
+    // exactly at the endpoints, so the product stays within [0, 65535].
     def norm(x: Column, lo: Column, hi: Column): Column =
-      floor((x - lo) * 65535.0 / greatest(hi - lo, lit(1L))).cast("long")
+      floor((x - lo) / greatest(hi - lo, lit(1L)) * 65535.0).cast("long")
     df.crossJoin(broadcast(bounds))
       .withColumn(
         "_zval",

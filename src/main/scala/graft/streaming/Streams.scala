@@ -369,6 +369,13 @@ object Streams {
     * average, the right semantic for a series that went silent. StreamingSpec
     * asserts the final snapshot equals the batch kernel's driver-fold twin,
     * including a fold spanning a micro-batch boundary.
+    *
+    * Equivalence caveat: the across-batch drop means batch-kernel equality
+    * holds only for streams that arrive event-time-ordered ACROSS
+    * micro-batches (within a batch any order is fine — the bounded sort
+    * handles it). A late-but-inside-the-watermark row that lands in a later
+    * micro-batch is dropped here but would be folded in order by the batch
+    * kernel; `n_late_dropped` > 0 is the signal the two diverge.
     */
   def ewma(
       telemetry: Dataset[Telemetry],
