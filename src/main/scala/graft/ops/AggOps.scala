@@ -25,10 +25,10 @@ object AggOps {
     Q(
       "q_agg_hash",
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_base_price_micro,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price_micro,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_micro,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -38,10 +38,10 @@ object AggOps {
       U.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(U.dsum(col("l_quantity")), 2).as("sum_qty"),
-          round(U.dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(U.dsum(revenue), 2).as("sum_disc_price"),
-          round(U.dsum(charge), 2).as("sum_charge"),
+          U.dsumMicro(col("l_quantity")).as("sum_qty_micro"),
+          U.dsumMicro(col("l_extendedprice")).as("sum_base_price_micro"),
+          U.dsumMicro(revenue).as("sum_disc_price_micro"),
+          U.dsumMicro(charge).as("sum_charge_micro"),
           round(U.davg(col("l_quantity")), 4).as("avg_qty"),
           round(U.davg(col("l_extendedprice")), 4).as("avg_price"),
           round(U.davg(col("l_discount")), 4).as("avg_disc"),
@@ -99,7 +99,7 @@ object AggOps {
       """SELECT CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
         |  l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
@@ -111,14 +111,14 @@ object AggOps {
           .agg(
             grouping(col("l_returnflag")).cast("long").as("g_flag"),
             grouping(col("l_linestatus")).cast("long").as("g_status"),
-            round(U.dsum(col("l_quantity")), 2).as("sum_qty"),
+            U.dsumMicro(col("l_quantity")).as("sum_qty_micro"),
             count(lit(1)).as("n"))
           .select(
             col("g_flag"),
             col("g_status"),
             col("l_returnflag"),
             col("l_linestatus"),
-            col("sum_qty"),
+            col("sum_qty_micro"),
             col("n"))
           .orderBy(
             col("g_flag"),
@@ -131,7 +131,7 @@ object AggOps {
       """SELECT CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
         |  l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
@@ -141,14 +141,14 @@ object AggOps {
           .agg(
             grouping(col("l_returnflag")).cast("long").as("g_flag"),
             grouping(col("l_linestatus")).cast("long").as("g_status"),
-            round(U.dsum(col("l_quantity")), 2).as("sum_qty"),
+            U.dsumMicro(col("l_quantity")).as("sum_qty_micro"),
             count(lit(1)).as("n"))
           .select(
             col("g_flag"),
             col("g_status"),
             col("l_returnflag"),
             col("l_linestatus"),
-            col("sum_qty"),
+            col("sum_qty_micro"),
             col("n"))
           .orderBy(
             col("g_flag"),
@@ -161,7 +161,7 @@ object AggOps {
       """SELECT CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
         |  l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -172,7 +172,7 @@ object AggOps {
           """SELECT CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
             |  l_returnflag, l_linestatus,
-            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
             |  count(*) AS n
             |FROM graft_lineitem_gs
             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -282,13 +282,13 @@ object AggOps {
     Q(
       "q_agg_histogram",
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_val
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_val_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       U.events(s, d)
         .groupBy(floor(col("value") / 25.0).cast("long").as("bucket"))
         .agg(
           count(lit(1)).as("n"),
-          round(U.dsum(col("value")), 2).as("sum_val"))
+          U.dsumMicro(col("value")).as("sum_val_micro"))
         .orderBy("bucket")
     },
 
@@ -425,14 +425,14 @@ object AggOps {
     Q(
       "q_agg_salted",
       """SELECT user_id AS key,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro,
         |  count(*) AS n_rows
         |FROM events GROUP BY user_id ORDER BY key""".stripMargin) { (s, d) =>
       Skew
         .saltedStats(U.events(s, d), col("user_id"), col("value"))
         .select(
           col("key"),
-          round(col("sum_value"), 4).as("sum_value"),
+          (col("sum_value_dec") * 1000000).cast("long").as("sum_value_micro"),
           col("n_rows"))
         .orderBy("key")
     },
@@ -599,7 +599,7 @@ object AggOps {
       """SELECT user_id,
         |  CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS day,
         |  count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_val_micro
         |FROM events GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) {
       (s, d) =>
         val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
@@ -615,7 +615,7 @@ object AggOps {
           .groupBy(col("user_id"), col("day"))
           .agg(
             sum(col("pn")).as("n"),
-            round(sum(col("psum")).cast("double"), 4).as("sum_val"))
+            (sum(col("psum")) * 1000000).cast("long").as("sum_val_micro"))
           .orderBy("user_id", "day")
     },
 

@@ -23,7 +23,7 @@ object JoinOps {
     Q(
       "q_join_broadcast",
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_acctbal_micro
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -34,7 +34,7 @@ object JoinOps {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          round(U.dsum(col("c_acctbal")), 2).as("sum_acctbal"))
+          U.dsumMicro(col("c_acctbal")).as("sum_acctbal_micro"))
         .orderBy("r_name", "n_name")
     },
 
@@ -43,7 +43,7 @@ object JoinOps {
     Q(
       "q_join_shuffle",
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       // "merge" hint: at bench SF the orders side fits under the broadcast
@@ -55,8 +55,8 @@ object JoinOps {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
-          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"))
         .orderBy("o_orderpriority")
     },
 
@@ -67,7 +67,7 @@ object JoinOps {
     Q(
       "q_tpch_q3",
       """SELECT l_orderkey,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro,
         |  epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -75,7 +75,7 @@ object JoinOps {
         |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) {
+        |ORDER BY revenue_micro DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) {
       (s, d) =>
         val cutoff = lit("1997-03-15 00:00:00").cast("timestamp")
         U.customer(s, d)
@@ -88,14 +88,14 @@ object JoinOps {
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(
-            round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("revenue"))
+            U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue_micro"))
           .select(
             col("l_orderkey"),
-            col("revenue"),
+            col("revenue_micro"),
             unix_micros(col("o_orderdate")).as("orderdate_us"),
             col("o_orderpriority"))
-          .orderBy(col("revenue").desc, col("orderdate_us"), col("l_orderkey"))
+          .orderBy(col("revenue_micro").desc, col("orderdate_us"), col("l_orderkey"))
           .limit(10)
     },
 
@@ -105,7 +105,7 @@ object JoinOps {
     Q(
       "q_tpch_q5",
       """SELECT n_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,8 +137,8 @@ object JoinOps {
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(
-          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"))
         .orderBy("n_name")
     },
 
@@ -146,7 +146,7 @@ object JoinOps {
     Q(
       "q_join_left",
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2), 0.0) AS total_spent
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT), 0) AS total_spent_micro
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
       U.customer(s, d)
@@ -154,8 +154,8 @@ object JoinOps {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(round(U.dsum(col("o_totalprice")), 2), lit(0.0))
-            .as("total_spent"))
+          coalesce(U.dsumMicro(col("o_totalprice")), lit(0L))
+            .as("total_spent_micro"))
         .orderBy("c_custkey")
     },
 
@@ -247,7 +247,7 @@ object JoinOps {
     // query where pushdown vs no-pushdown is a 100x scan-size difference.
     Q(
       "q_tpch_q6",
-      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -261,8 +261,8 @@ object JoinOps {
             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
             col("l_quantity") < 24)
         .agg(
-          round(U.dsum(col("l_extendedprice") * col("l_discount")), 2)
-            .as("revenue"),
+          U.dsumMicro(col("l_extendedprice") * col("l_discount"))
+            .as("revenue_micro"),
           count(lit(1)).as("n_lines"))
     },
 
@@ -314,11 +314,12 @@ object JoinOps {
     // TPC-H Q10 shape (returned-item revenue by customer): 3-table fact
     // chain + broadcast nation dim, quarter date filter on orders and
     // return-flag filter on lineitem both pushed to their scans, top-20 by
-    // rounded revenue (identical doubles both engines) with a key tie-break.
+    // exact micro-unit revenue (integral BIGINT both engines) with a key
+    // tie-break.
     Q(
       "q_tpch_q10",
       """SELECT c_custkey, c_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro,
         |  CAST(floor(c_acctbal * 1000000 + 0.5) AS BIGINT) AS acctbal_micro,
         |  n_name
         |FROM customer
@@ -329,7 +330,7 @@ object JoinOps {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+        |ORDER BY revenue_micro DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
       U.customer(s, d)
         .join(
           U.orders(s, d).filter(
@@ -342,15 +343,15 @@ object JoinOps {
         .join(U.nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(
-          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"))
         .select(
           col("c_custkey"),
           col("c_name"),
-          col("revenue"),
+          col("revenue_micro"),
           floor(col("c_acctbal") * 1000000 + 0.5).cast("long").as("acctbal_micro"),
           col("n_name"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .orderBy(col("revenue_micro").desc, col("c_custkey"))
         .limit(20)
     },
 
@@ -452,7 +453,7 @@ object JoinOps {
     Q(
       "q_join_salted",
       """SELECT o_orderpriority, l_returnflag, count(*) AS n_lines,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin) { (s, d) =>
@@ -471,8 +472,8 @@ object JoinOps {
         .groupBy(col("o_orderpriority"), col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_lines"),
-          round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"))
         .orderBy("o_orderpriority", "l_returnflag")
     },
 
@@ -562,7 +563,7 @@ object JoinOps {
     // evaluates the exact disjunction. Revenue via exact decimal sum.
     Q(
       "q_tpch_q19",
-      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 16)
@@ -584,8 +585,8 @@ object JoinOps {
         li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
           .filter(disjunct)
           .agg(
-            round(U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("revenue"),
+            U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue_micro"),
             count(lit(1)).as("n_lines"))
     },
 
@@ -601,7 +602,7 @@ object JoinOps {
     Q(
       "q_tpch_q7",
       """SELECT supp_nation, cust_nation, l_year,
-        |  round(CAST(sum(volume) AS DOUBLE), 2) AS revenue,
+        |  CAST(sum(volume) * 1000000 AS BIGINT) AS revenue_micro,
         |  count(*) AS n_lines
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -640,9 +641,8 @@ object JoinOps {
           col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(
-          round(
-            U.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"),
           count(lit(1)).as("n_lines"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
@@ -729,10 +729,10 @@ object JoinOps {
       "q_tpch_q14",
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
         |  CAST(month(l_shipdate) AS BIGINT) AS l_month,
-        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 2) AS promo_revenue,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue,
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT) AS promo_revenue_micro,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_revenue_micro,
         |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
         |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
@@ -756,8 +756,8 @@ object JoinOps {
           year(col("l_shipdate")).cast("long").as("l_year"),
           month(col("l_shipdate")).cast("long").as("l_month"))
         .agg(
-          round(promoSum, 2).as("promo_revenue"),
-          round(totalSum, 2).as("total_revenue"),
+          U.dsumMicro(promoRev).as("promo_revenue_micro"),
+          U.dsumMicro(rev).as("total_revenue_micro"),
           round(promoSum / totalSum * 100, 4).as("promo_share"))
         .orderBy("l_year", "l_month")
     },
@@ -779,7 +779,7 @@ object JoinOps {
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name,
-        |  round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |  CAST(total_rev * 1000000 AS BIGINT) AS total_revenue_micro
         |FROM supplier JOIN rev ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
@@ -800,7 +800,7 @@ object JoinOps {
         .select(
           col("s_suppkey"),
           col("s_name"),
-          round(col("total_rev").cast("double"), 2).as("total_revenue"))
+          (col("total_rev") * 1000000).cast("long").as("total_revenue_micro"))
         .orderBy("s_suppkey")
     },
 
@@ -817,7 +817,7 @@ object JoinOps {
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_sum, count(*) AS n
         |  FROM customer WHERE c_acctbal > 0)
         |SELECT c_nationkey, count(*) AS numcust,
-        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS totacctbal_micro
         |FROM customer, cut
         |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * n > bal_sum
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -839,7 +839,7 @@ object JoinOps {
         .groupBy(col("c_nationkey"))
         .agg(
           count(lit(1)).as("numcust"),
-          round(U.dsum(col("c_acctbal")), 2).as("totacctbal"))
+          U.dsumMicro(col("c_acctbal")).as("totacctbal_micro"))
         .orderBy("c_nationkey")
     },
 
@@ -860,7 +860,7 @@ object JoinOps {
         |  GROUP BY l_partkey, l_suppkey),
         |best AS (SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY l_partkey)
         |SELECT p_partkey, p_brand, s_suppkey, s_name,
-        |  round(CAST(cost AS DOUBLE), 2) AS cost
+        |  CAST(cost * 1000000 AS BIGINT) AS cost_micro
         |FROM ps
         |JOIN best USING (l_partkey)
         |JOIN part ON p_partkey = l_partkey
@@ -887,7 +887,7 @@ object JoinOps {
           col("p_brand"),
           col("s_suppkey"),
           col("s_name"),
-          round(col("cost").cast("double"), 2).as("cost"))
+          (col("cost") * 1000000).cast("long").as("cost_micro"))
         .orderBy("p_partkey", "s_suppkey")
     },
 
@@ -904,7 +904,7 @@ object JoinOps {
         |  SELECT l_partkey AS pk,
         |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_sum, count(*) AS qty_n
         |  FROM lineitem GROUP BY l_partkey)
-        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) // 7 AS avg_yearly_micro,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
@@ -925,8 +925,14 @@ object JoinOps {
           .filter(
             col("l_quantity").cast(U.Dec) * 5 * col("qty_n") < col("qty_sum"))
           .agg(
-            round(U.dsum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+            U.dsumMicro(col("l_extendedprice")).as("rev_micro"),
             count(lit(1)).as("n_lines"))
+          // integer division of the exactly-integral micro sum: both
+          // operands positive, so DuckDB's floor-div and Spark's
+          // truncate-div agree bit for bit — no float boundary anywhere
+          .select(
+            expr("rev_micro div 7").as("avg_yearly_micro"),
+            col("n_lines"))
     },
 
     // TPC-H Q20 shape, scale-stable reframing (dominant supplier per
@@ -1117,10 +1123,10 @@ object JoinOps {
     Q(
       "q_tpch_q1",
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_qty_micro,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_base_price_micro,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_disc_price_micro,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_charge_micro,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -1134,10 +1140,10 @@ object JoinOps {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(U.dsum(col("l_quantity")), 2).as("sum_qty"),
-          round(U.dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(U.dsum(discPrice), 2).as("sum_disc_price"),
-          round(U.dsum(discPrice * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          U.dsumMicro(col("l_quantity")).as("sum_qty_micro"),
+          U.dsumMicro(col("l_extendedprice")).as("sum_base_price_micro"),
+          U.dsumMicro(discPrice).as("sum_disc_price_micro"),
+          U.dsumMicro(discPrice * (lit(1) + col("l_tax"))).as("sum_charge_micro"),
           round(U.dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
           round(U.dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
           round(U.dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),

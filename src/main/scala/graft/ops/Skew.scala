@@ -59,6 +59,10 @@ object Skew {
       Seq(
         sum(col("__psum")).cast("double").as("sum_value"),
         sum(col("__pcnt")).as("n_rows"),
-        (sum(col("__psum")).cast("double") / sum(col("__pcnt"))).as("avg_value")))
+        (sum(col("__psum")).cast("double") / sum(col("__pcnt"))).as("avg_value"),
+        // the exact decimal sum, for callers that emit micro-unit integers
+        // (a double re-round would reintroduce the half-boundary the
+        // decimal path exists to avoid)
+        sum(col("__psum")).as("sum_value_dec")))
       .withColumnRenamed("__key", "key")
 }

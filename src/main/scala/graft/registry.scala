@@ -45,6 +45,17 @@ object U {
   /** Order-independent exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Exact sum emitted as micro-unit BIGINT. `round(CAST(sum AS DOUBLE), 2)`
+    * carries a latent half-boundary divergence — when the sum renders as
+    * .xx5, Spark HALF_UPs the shortest decimal rendering while DuckDB rounds
+    * the binary value (observed on q_tpch_q9 at sf0.001) — whereas the
+    * scale-6 decimal sum times 1e6 is exactly integral, so the BIGINT cast
+    * has no rounding boundary at all (the cast round-vs-truncate divergence
+    * is moot on integral values). SQL mirror:
+    * `CAST(sum(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT)`.
+    */
+  def dsumMicro(c: Column): Column = (sum(c.cast(Dec)) * 1000000).cast("long")
+
   /** Deterministic mean: exact decimal sum divided by count, as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
