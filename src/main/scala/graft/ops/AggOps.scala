@@ -701,6 +701,64 @@ object AggOps {
           col("n_users_bitmap"),
           col("n_users_exact"))
         .orderBy("event_type")
+    },
+
+    // Mergeable QUANTILE-sketch MV — the q_agg_hll_mv story for
+    // percentiles, and the single most common monitoring query shape the
+    // reference's periodic scan implies (p99-per-series-per-day,
+    // re-aggregated over a week): percentile_approx's internal buffer is
+    // not exposed as a storable column, so without a mergeable sketch an
+    // incremental percentile MV at 100 TB rescans raw events per range
+    // query. Daily KLL partials per event_type are the stored MV (binary
+    // sketch rows; KLL merge is associative with bounded rank error, Karnin
+    // Lang Liberty 2016); a range query union-merges the daily sketches and
+    // reads quantiles off the merged sketch — a new day appends one sketch
+    // row per group, the range re-merge never rescans events. The direct
+    // whole-range sketch is computed alongside so the output witnesses
+    // merged == direct. k = 16384 keeps sketches in exact (uncompacted)
+    // mode at the pinned verification scales, where merged == direct ==
+    // the exact order statistic, deterministically; beyond ~k values per
+    // group the sketch compacts into its ~1.3%-rank-error regime — and KLL
+    // compaction is randomized, which is exactly why this key is no_oracle:
+    // FunctionsSpec pins merge == direct == exact and the parquet
+    // round-trip of the stored sketch rows.
+    Q.noOracle("q_agg_kll_mv") { (s, d) =>
+      val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+      val k = 16384
+      val daily = U.events(s, d)
+        .groupBy(col("event_type"), day.as("day"))
+        .agg(kll_sketch_agg_double(col("value"), k).as("sketch"))
+      val merged = daily
+        .groupBy(col("event_type"))
+        .agg(
+          kll_merge_agg_double(col("sketch"), k).as("msk"),
+          count(lit(1)).as("n_days"))
+        .select(
+          col("event_type"),
+          kll_sketch_get_n_double(col("msk")).as("n"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.5)).as("p50_merged"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.95)).as("p95_merged"),
+          kll_sketch_get_quantile_double(col("msk"), lit(0.99)).as("p99_merged"),
+          col("n_days"))
+      val direct = U.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(kll_sketch_agg_double(col("value"), k).as("dsk"))
+        .select(
+          col("event_type"),
+          kll_sketch_get_quantile_double(col("dsk"), lit(0.5)).as("p50_direct"),
+          kll_sketch_get_quantile_double(col("dsk"), lit(0.99)).as("p99_direct"))
+      merged
+        .join(direct, "event_type")
+        .select(
+          col("event_type"),
+          col("n"),
+          col("p50_merged"),
+          col("p95_merged"),
+          col("p99_merged"),
+          col("p50_direct"),
+          col("p99_direct"),
+          col("n_days"))
+        .orderBy("event_type")
     }
   )
 }

@@ -151,6 +151,70 @@ class FunctionsSpec extends SparkSpec {
       "sketch estimates changed across the parquet round-trip")
   }
 
+  test("KLL daily sketches merge to the direct sketch AND the exact order statistic") {
+    // the mergeability property q_agg_kll_mv rests on: at test scale every
+    // per-group sketch stays under k (exact, uncompacted mode), so the
+    // merged daily partials, the direct whole-range sketch, and the true
+    // order statistic sorted[ceil(q*n)] must all agree EXACTLY — the
+    // deterministic regime the no_oracle key is pinned by
+    val out = SparkEntry.queries("q_agg_kll_mv")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val exact = U.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) => et -> rows.map(_.getDouble(1)).sorted }
+    def q(vs: Array[Double], p: Double): Double =
+      vs(math.max(1, math.ceil(p * vs.length).toInt) - 1)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = exact(et)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(r.getAs[Double]("p50_merged") === r.getAs[Double]("p50_direct"),
+        s"$et: merged p50 != direct p50")
+      assert(r.getAs[Double]("p99_merged") === r.getAs[Double]("p99_direct"),
+        s"$et: merged p99 != direct p99")
+      assert(r.getAs[Double]("p50_merged") === q(vs, 0.5),
+        s"$et: p50 != exact order statistic")
+      assert(r.getAs[Double]("p95_merged") === q(vs, 0.95),
+        s"$et: p95 != exact order statistic")
+      assert(r.getAs[Double]("p99_merged") === q(vs, 0.99),
+        s"$et: p99 != exact order statistic")
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+  }
+
+  test("KLL sketches round-trip through parquet and still merge (the stored-MV path)") {
+    // the q_agg_kll_mv story at rest: daily binary sketch rows are the
+    // PERSISTED artifact — write them, read them back, merge — quantiles
+    // must survive the storage round-trip unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_mv").toString
+    val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+    val k = 16384
+    U.events(spark, sfDir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(kll_sketch_agg_double(col("value"), k).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(kll_merge_agg_double(col("sketch"), k).as("m"))
+      .select(
+        col("event_type"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val direct = U.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(kll_sketch_agg_double(col("value"), k).as("m"))
+      .select(
+        col("event_type"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(merged === direct,
+      "sketch quantiles changed across the parquet round-trip")
+  }
+
   test("GraftExtensions injects the same function set (spark.sql.extensions hook)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
