@@ -124,6 +124,106 @@ object SimOps {
       .orderBy("a", "b")
   }
 
+  /** Nearest-centroid assignment, MAP-SIDE: the k centroids ride a
+    * broadcast 1-row array and the cosine argmax is a fold over that array
+    * per vector — no exploded (vector, cell) rows and no exchange carrying
+    * vectors (the MLlib kmeans shape, declaratively; the fold's lambda is
+    * interpreted but each step calls the codegen'd [[dot]] kernel). The
+    * (csim, cell) lexicographic max is order-independent, so the
+    * non-deterministic collect_list order cannot leak into the result.
+    * Input must carry (vec_id, embedding, nrm); output adds (cell, csim).
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents
+      .agg(collect_list(struct(col("cell"), col("cv"), col("cnrm"))).as("cbs"))
+    e.crossJoin(broadcast(centsRow))
+      .withColumn(
+        "best",
+        aggregate(
+          col("cbs"),
+          struct(lit(-2.0).as("csim"), lit(-1L).as("cell")),
+          (acc, cb) => {
+            val cs = dot(col("embedding"), cb.getField("cv")) /
+              (col("nrm") * cb.getField("cnrm"))
+            when(
+              cs > acc.getField("csim") ||
+                (cs === acc.getField("csim") &&
+                  cb.getField("cell") > acc.getField("cell")),
+              struct(cs.as("csim"), cb.getField("cell").as("cell")))
+              .otherwise(acc)
+          }))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("nrm"),
+        col("best").getField("cell").as("cell"),
+        col("best").getField("csim").as("csim"))
+  }
+
+  /** Spherical k-means codebook trainer — the assign→re-center loop that
+    * turns `q_embed_centroids`' single Lloyd step into a TRAINED codebook
+    * for `q_sim_ann_ivf` (real IVF systems train offline on a sample; this
+    * is that job, engine-side). Per iteration: one broadcast of the k
+    * centroids + cosine argmax per vector (map-side; deterministic
+    * (csim, cell) tie-break to the higher cell), then new centroids as
+    * component means via posexplode — the one exchange carries k × dims
+    * partial-agg rows, independent of corpus size, so the loop costs
+    * O(iters) scans at 100 TB with no vector shuffle anywhere. Centroid
+    * components are micro-int means (exact long sums, one double division)
+    * so the result is deterministic at any parallelism; an emptied cell
+    * keeps its previous centroid. Lineage is cut per iteration
+    * (localCheckpoint — same discipline as `connectedComponents`; the
+    * frame is k rows, so the checkpoint is trivially cheap).
+    *
+    * Training corpus is vec_id >= 1 (vec 0 is the ANN family's probe
+    * vector); init centroids are the first k corpus vectors — the previous
+    * IVF stand-in, now the SEED instead of the final codebook.
+    *
+    * Returns (cell BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE). DedupSimSpec
+    * pins the whole loop against an exact driver-side simulation.
+    */
+  def trainCodebook(
+      s: SparkSession,
+      d: String,
+      k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val e = U.embeddings(s, d)
+      .filter(col("vec_id") >= 1)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    var cents = e
+      .filter(col("vec_id").between(1, k))
+      .select(
+        col("vec_id").as("cell"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val newCents = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          sum(floor(col("col").cast("double") * 1000000 + 0.5).cast("long"))
+            .as("sm"),
+          count(lit(1)).as("n"))
+        .select(
+          col("cell"),
+          col("pos"),
+          (col("sm").cast("double") / col("n") / 1000000.0).as("c"))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+      cents = cents
+        .select(col("cell"), col("cv").as("prev_cv"))
+        .join(newCents.withColumnRenamed("cv", "next_cv"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("next_cv"), col("prev_cv")).as("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   val qs: Seq[Q] = Seq(
     // Brute-force cosine top-k against the vec_id=0 query vector.
     Q(
@@ -262,44 +362,33 @@ object SimOps {
     },
 
     // IVF (inverted-file) ANN: assign every vector to its nearest codebook
-    // centroid cell (one broadcast of the 16-entry codebook + max_by — no
-    // shuffle of the vectors), then search only the query's nprobe=2 nearest
-    // cells with exact cosine re-rank. The codebook here is the first 16
-    // corpus vectors — an honest stand-in for k-means-trained centroids
-    // (training is an offline job in real IVF systems; the engine-side
-    // assign/probe/re-rank plumbing is identical). Hash-free but
-    // codebook-dependent => no SQL oracle; DedupSimSpec checks every
+    // centroid cell (one broadcast of the 16-entry codebook + a map-side
+    // argmax fold — no shuffle of the vectors), then search only the
+    // query's nprobe=2 nearest cells with exact cosine re-rank. The
+    // codebook is TRAINED: [[trainCodebook]] runs 3 spherical-k-means
+    // iterations seeded from the first 16 corpus vectors (the round-6
+    // stand-in is now the seed, not the codebook), so cell boundaries
+    // follow the data — the usual recall-at-fixed-nprobe lever. Hash-free
+    // but codebook-dependent => no SQL oracle; DedupSimSpec checks every
     // returned cosine against the brute-force ranking.
     Q.noOracle("q_sim_ann_ivf") { (s, d) =>
       val NumCells = 16
       val e = U.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val cents = e
-        .filter(col("vec_id").between(1, NumCells))
-        .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cnrm"))
-      val sims = e
+      val cents = trainCodebook(s, d, NumCells, 3)
+      val qv = e.filter(col("vec_id") === 0)
+      val qcells = qv
         .crossJoin(broadcast(cents))
         .select(
-          col("vec_id"),
           col("cell"),
-          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
-      // nearest cell per vector; ties (measure-zero with real vectors) break
-      // to the higher cell id so assignment stays deterministic
-      val assigned = sims
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("csim"), col("cell"))).as("cell"))
-      val qcells = sims
-        .filter(col("vec_id") === 0)
+          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("csim"))
         .orderBy(col("csim").desc, col("cell"))
         .limit(2)
         .select(col("cell"))
-      val q = e
-        .filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
-      assigned
-        .filter(col("vec_id") =!= 0)
+      val q = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+      assignCells(e.filter(col("vec_id") =!= 0), cents)
         .join(broadcast(qcells), "cell")
-        .join(e, "vec_id")
         .crossJoin(broadcast(q))
         .select(
           col("vec_id"),
@@ -354,6 +443,30 @@ object SimOps {
           round(sum(col("vm")).cast("double") / count(lit(1)) / 1000000.0, 6)
             .as("centroid"))
         .orderBy("label", "pos")
+    },
+
+    // Trained k-means codebook, exposed: 3 spherical-k-means iterations
+    // ([[trainCodebook]]) then the final assignment summarized per cell —
+    // cluster population and mean cosine-to-centroid (the quantization
+    // quality IVF recall rides on). The mean cosine is a micro-int mean
+    // (each per-vector cosine is a deterministic double; floor(x*1e6+0.5)
+    // to a long, exact sum, one division) so the output is deterministic
+    // at any parallelism. no_oracle: codebook-dependent (the whole loop is
+    // pinned against an exact driver-side simulation in DedupSimSpec).
+    Q.noOracle("q_embed_kmeans") { (s, d) =>
+      val e = U.embeddings(s, d)
+        .filter(col("vec_id") >= 1)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      assignCells(e, trainCodebook(s, d, 16, 3))
+        .select(
+          col("cell"),
+          floor(col("csim") * 1000000 + 0.5).cast("long").as("cm"))
+        .groupBy(col("cell"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          (sum(col("cm")).cast("double") / count(lit(1)) / 1000000.0)
+            .as("avg_cos"))
+        .orderBy("cell")
     }
   )
 }

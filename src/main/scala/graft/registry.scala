@@ -206,6 +206,8 @@ object Registry {
       "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN LSH top-k cosines are genuine cosines from the brute-force ranking'",
     "q_sim_ann_ivf" ->
       "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN IVF top-k cosines are genuine cosines from the brute-force ranking'",
+    "q_embed_kmeans" ->
+      "vs exact driver-side simulation of the same loop (identical IEEE ops, micro-int means, tie-breaks) — DedupSimSpec 'k-means codebook training equals an exact driver-side simulation'",
     "q_mm_decode_stub" ->
       "vs exact per-row byte statistics + partitioning invariance — MultimodalSpec",
     "q_dedup_clusters" ->

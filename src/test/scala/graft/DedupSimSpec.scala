@@ -150,6 +150,71 @@ class DedupSimSpec extends SparkSpec {
     ivf.foreach(r => assert((1L to 16L).contains(r.getAs[Long]("cell"))))
   }
 
+  test("k-means codebook training equals an exact driver-side simulation") {
+    // the trainCodebook loop's every step is deterministic IEEE/integer
+    // arithmetic (left-to-right dots, micro-int centroid means, (csim,
+    // cell) lexicographic tie-break), so an exact driver-side replay of
+    // the algorithm must reproduce the distributed result BIT FOR BIT —
+    // the same twin discipline as q_ts_holt's driver fold
+    val k = 16
+    val iters = 3
+    val vecs: Map[Long, Array[Double]] = U.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def bestOf(cents: Map[Long, Array[Double]], v: Array[Double]): (Double, Long) =
+      cents.map { case (c, cv) => (dot(v, cv) / (nrm(v) * nrm(cv)), c) }.max
+    var cents: Map[Long, Array[Double]] = (1L to k).map(c => c -> vecs(c)).toMap
+    var lastObj = Double.MinValue
+    for (_ <- 1 to iters) {
+      val assign = vecs.map { case (id, v) => id -> bestOf(cents, v) }
+      // spherical-k-means objective (mean cosine to assigned centroid) must
+      // not regress across iterations, up to the micro quantization grain
+      val obj = assign.valuesIterator.map(_._1).sum / assign.size
+      assert(obj >= lastObj - 1e-4, s"objective regressed: $obj < $lastObj")
+      lastObj = obj
+      cents = (1L to k).map { c =>
+        val members = assign.collect { case (id, (_, cc)) if cc == c => vecs(id) }.toSeq
+        c -> (if (members.isEmpty) cents(c)
+              else Array.tabulate(members.head.length) { i =>
+                members.iterator
+                  .map(v => math.floor(v(i) * 1e6 + 0.5).toLong).sum
+                  .toDouble / members.size / 1e6
+              })
+      }.toMap
+    }
+    val got = graft.ops.SimOps.trainCodebook(spark, sfDir, k, iters).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Seq[Double]]("cv").toArray)
+      .toMap
+    assert(got.keySet === cents.keySet)
+    got.foreach { case (c, cv) =>
+      assert(cv.toSeq === cents(c).toSeq, s"cell $c centroid mismatch")
+    }
+    // the exposed q_embed_kmeans summary agrees with the simulation's
+    // final assignment (sizes exact, mean cosine to the micro grain)
+    val finalAssign = vecs.map { case (id, v) => id -> bestOf(cents, v) }
+    val out = SparkEntry.queries("q_embed_kmeans")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === vecs.size.toLong)
+    out.foreach { r =>
+      val c = r.getAs[Long]("cell")
+      val ms = finalAssign.collect {
+        case (_, (cs, cc)) if cc == c => math.floor(cs * 1e6 + 0.5).toLong
+      }
+      assert(r.getAs[Long]("n_vecs") === ms.size.toLong, s"cell $c size")
+      assert(
+        math.abs(
+          r.getAs[Double]("avg_cos") - ms.sum.toDouble / ms.size / 1e6) < 1e-12,
+        s"cell $c avg cosine")
+    }
+  }
+
   test("approx quantiles bracket the exact quantiles") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
       .collect()
