@@ -68,6 +68,20 @@ case class FaultRunAlert(
     at: java.sql.Timestamp,
     run_length: Int)
 
+/** Keyed state carried by [[Streams.silentSeries]]: the last event time
+  * observed for the series (event-time ms). */
+case class SilentState(lastSeenMs: Long)
+
+/** Alert emitted by [[Streams.silentSeries]] when a series has been silent
+  * past the horizon: last event seen, and how silent it had provably been
+  * when the alert fired (watermark minus last seen — a lower bound on the
+  * true silence, since the watermark trails real time by the lateness
+  * allowance). */
+case class SilentAlert(
+    timeseries_id: String,
+    last_seen: java.sql.Timestamp,
+    silent_for_ms: Long)
+
 /** SURVEY.md §2.4 group J — Structured Streaming.
   *
   * The reference's "streaming" is a push-ingest HTTP route plus a wall-clock
@@ -419,6 +433,63 @@ object Streams {
                 state.getCurrentWatermarkMs() + 1))
             Iterator.single(EwmaSnapshot(
               id, st.n, math.floor(st.e * 1e6 + 0.5) / 1e6, st.nLateDropped))
+          }
+      }
+  }
+
+  /** Silent-series (sensor-death) detection — the fault family's missing
+    * member: every other rule flags values that ARRIVE; the most common
+    * real HVAC fault is a sensor that simply stops reporting, which no
+    * value-based rule can see because there is no row to flag. The
+    * reference's architecture cannot express this at all — its periodic
+    * scan (`rusty_timeseries/src/main.rs:327-331`) only visits rows that
+    * exist. Here the absence itself is the event: keyed state carries the
+    * series' last-seen event time, and `EventTimeTimeout` fires once the
+    * watermark passes last-seen + `horizon` with no new data — emitting a
+    * [[SilentAlert]] and REMOVING the state, so a returning series re-arms
+    * fresh (its next row recreates state; a second silence alerts again).
+    *
+    * Event-time, not wall-clock, on purpose: a stalled upstream pipeline
+    * delays the watermark and therefore the alert — silence is only
+    * declared once the stream has provably advanced past the horizon, so
+    * a slow pipe doesn't page for every sensor at once. `silent_for_ms`
+    * is the watermark-measured lower bound on the silence at firing time.
+    *
+    * State is one long per LIVE series (the alert removes it; dead series
+    * cost nothing once flagged) — at 100 TB-scale series counts this is
+    * the smallest possible keyed-state footprint.
+    */
+  def silentSeries(
+      telemetry: Dataset[Telemetry],
+      horizonMinutes: Long = 30,
+      watermark: String = "10 minutes"): Dataset[SilentAlert] = {
+    import telemetry.sparkSession.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.timeseries_id)
+      .flatMapGroupsWithState[SilentState, SilentAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, rows, state) =>
+          if (state.hasTimedOut) {
+            val lastSeen = state.get.lastSeenMs
+            state.remove()
+            Iterator.single(SilentAlert(
+              id,
+              new java.sql.Timestamp(lastSeen),
+              state.getCurrentWatermarkMs() - lastSeen))
+          } else {
+            // a late row inside the watermark must not move last-seen
+            // BACKWARD (that would re-arm an already-elapsed horizon)
+            val batchMax = rows.map(_.timestamp.getTime).max
+            val lastSeen =
+              math.max(state.getOption.map(_.lastSeenMs).getOrElse(0L), batchMax)
+            state.update(SilentState(lastSeen))
+            // the timeout must be strictly ahead of the current watermark;
+            // clamping covers a series whose rows all arrived at/behind it
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }
   }
