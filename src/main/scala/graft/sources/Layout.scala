@@ -202,6 +202,59 @@ object Layout {
     (before.length, parquetFiles().length)
   }
 
+  /** Merge `updates` (rows of ONE event date, WITHOUT the event_date
+    * column) into that date's partition with upsert semantics: live rows
+    * whose (series, ts) key appears in the batch are replaced, all other
+    * live rows survive, new keys append. The rewrite uses the same
+    * two-rename swap discipline as [[compactPartition]] (write tmp → move
+    * live aside → install → drop old; [[recoverPartition]] heals a crash
+    * mid-swap and runs first), so a complete copy of the data exists at
+    * every instant. IDEMPOTENT: re-merging identical updates replaces rows
+    * with identical rows — the property [[graft.streaming.Streams.upsertSink]]
+    * relies on to make at-least-once `foreachBatch` delivery exactly-once
+    * in effect.
+    *
+    * Scale: the batch keys are one micro-batch's worth — broadcast to the
+    * anti-join, so the live partition scans once with no shuffle; each
+    * affected date is an independent rewrite (same unit of work as
+    * compaction), embarrassingly parallel across dates.
+    */
+  def upsertPartition(
+      spark: SparkSession,
+      rootDir: String,
+      eventDate: String,
+      updates: DataFrame,
+      seriesCol: String = "user_id",
+      tsCol: String = "ts"): Unit = {
+    recoverPartition(spark, rootDir, eventDate)
+    val (path, tmpPath, oldPath) = swapPaths(rootDir, eventDate)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path.toString), spark.sparkContext.hadoopConfiguration)
+    val hadLive = fs.exists(path)
+    val merged =
+      if (hadLive) {
+        val live = spark.read.parquet(path.toString)
+        live
+          .join(
+            broadcast(updates.select(col(seriesCol), col(tsCol))),
+            Seq(seriesCol, tsCol),
+            "left_anti")
+          .unionByName(updates.select(live.columns.map(col): _*))
+      } else updates
+    merged
+      .sortWithinPartitions(col(seriesCol), col(tsCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(tmpPath.toString)
+    if (hadLive && !fs.rename(path, oldPath))
+      throw new java.io.IOException(s"upsert: failed to move $path aside")
+    if (!fs.rename(tmpPath, path)) {
+      if (hadLive) fs.rename(oldPath, path) // roll back: stay readable
+      throw new java.io.IOException(s"upsert: failed to install $tmpPath")
+    }
+    fs.delete(oldPath, true)
+  }
+
   /** R2 over the partitioned layout: the date bounds prune partition
     * directories (PartitionFilters), the series equality + exact time range
     * prune row groups (PushedFilters). */

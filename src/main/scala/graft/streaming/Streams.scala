@@ -494,6 +494,83 @@ object Streams {
       }
   }
 
+  /** One micro-batch of the streaming upsert ([[upsertSink]]), exposed so
+    * a replay is directly testable: dedup the batch by (series, ts) with a
+    * deterministic tie-break — the greatest (non-key column) tuple wins, so
+    * two deliveries of the same conflicting batch resolve identically —
+    * then merge each affected date partition via
+    * [[graft.sources.Layout.upsertPartition]]'s swap discipline.
+    *
+    * The per-date loop is DRIVER-side but bounded by distinct event DATES
+    * in one micro-batch (a handful: the current day plus late corrections),
+    * not by rows; each iteration launches one distributed merge job.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      rootDir: String,
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    if (batch.isEmpty) return
+    val others = batch.columns.filterNot(c => c == seriesCol || c == tsCol)
+    val w = Window
+      .partitionBy(col(seriesCol), col(tsCol))
+      .orderBy(others.map(c => col(c).desc_nulls_last): _*)
+    val deduped = batch
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("event_date", to_date(col(tsCol)))
+      .persist()
+    try {
+      val dates = deduped
+        .select(col("event_date").cast("string"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .sorted
+      dates.foreach { d =>
+        graft.sources.Layout.upsertPartition(
+          batch.sparkSession,
+          rootDir,
+          d,
+          deduped.filter(col("event_date") === d).drop("event_date"),
+          seriesCol,
+          tsCol)
+      }
+    } finally deduped.unpersist()
+  }
+
+  /** Exactly-once-EFFECT streaming upsert into the day-partitioned parquet
+    * layout — the reference's R3 in-place update
+    * (`rusty_timeseries/src/main.rs:106-117,230`) at micro-batch scale: a
+    * late correction for (series, ts) REPLACES the stored row instead of
+    * appending a duplicate, so readers never see both versions and nothing
+    * ever needs a full recompute. `foreachBatch` delivery is at-least-once;
+    * what makes the sink exactly-once in effect is that the merge is
+    * IDEMPOTENT ([[upsertBatch]]: deterministic in-batch tie-break +
+    * key-replace semantics — replaying batch N rewrites the partitions to
+    * byte-identical contents). Crash-safety inside one merge comes from the
+    * compactPartition swap invariant (a complete copy always exists;
+    * `recoverPartition` heals mid-swap crashes on the next attempt).
+    *
+    * Caller starts the returned writer (`.start()`), same contract as
+    * [[ingestFiles]]. StreamingSpec asserts update-overrides-append, replay
+    * idempotence, and partition-layout survival.
+    */
+  def upsertSink(
+      telemetry: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp"): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        upsertBatch(b, outDir, seriesCol, tsCol))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   /** Stream-stream interval join: pair each left-stream event with the
     * right-stream events for the same series arriving within `maxDelay`
     * AFTER it (ad-tech click-attribution shape, telemetry-flavored: e.g.

@@ -44,6 +44,28 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"SURVEY.md does not mention: $missing")
   }
 
+  test("every Streams.*/Layout.* member SURVEY.md names exists (no streaming doc drift)") {
+    // the round-7 verdict found SURVEY §2.8 documenting Streams.upsertSink
+    // before it existed — the query-key guard above can't see non-query
+    // components, so every `Streams.x` / `Layout.x` mention in SURVEY must
+    // resolve to a real member via reflection
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def members(o: AnyRef): Set[String] =
+      o.getClass.getMethods.map(_.getName).toSet
+    val have = Map(
+      "Streams" -> members(graft.streaming.Streams),
+      "Layout" -> members(graft.sources.Layout))
+    val mentioned = "(Streams|Layout)\\.([A-Za-z_][A-Za-z0-9_]*)".r
+      .findAllMatchIn(survey)
+      .map(m => (m.group(1), m.group(2)))
+      .toSet
+    val missing = mentioned.filterNot { case (o, m) => have(o).contains(m) }
+    assert(missing.isEmpty,
+      s"SURVEY.md names nonexistent members: ${missing.map { case (o, m) => s"$o.$m" }}")
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val a = q.fn(spark, sfDir).collect()

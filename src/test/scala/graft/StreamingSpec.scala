@@ -411,6 +411,99 @@ class StreamingSpec extends SparkSpec {
       "state for the silent series must be dropped, not resumed")
   }
 
+  test("silentSeries: exactly one alert for the series that goes quiet; live series never alerts") {
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Telemetry]
+    val q = Streams
+      .silentSeries(mem.toDS(), horizonMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("silent_stream")
+      .outputMode("append").start()
+    def t(s: String, id: String) = Telemetry("S", ts(s), 1.0, None, id)
+    // b1: both series report at 12:00
+    mem.addData(Seq(t("2024-08-28 12:00:00", "id-quiet"), t("2024-08-28 12:00:00", "id-live")))
+    q.processAllAvailable()
+    // b2: only id-live; watermark -> 12:50 > id-quiet's 12:00 + 30m horizon
+    mem.addData(Seq(t("2024-08-28 13:00:00", "id-live")))
+    q.processAllAvailable()
+    // b3: another live batch lets the elapsed timeout actually fire
+    mem.addData(Seq(t("2024-08-28 13:01:00", "id-live")))
+    q.processAllAvailable()
+    val first = spark.table("silent_stream").collect()
+    assert(first.length === 1, s"expected exactly one alert, got ${first.toSeq}")
+    assert(first.head.getAs[String]("timeseries_id") === "id-quiet")
+    assert(first.head.getAs[java.sql.Timestamp]("last_seen") === ts("2024-08-28 12:00:00"))
+    // watermark-measured silence is a LOWER bound >= the horizon
+    assert(first.head.getAs[Long]("silent_for_ms") >= 30L * 60000L)
+    // b4: id-quiet RETURNS -> state re-arms fresh from the new last-seen
+    mem.addData(Seq(t("2024-08-28 13:30:00", "id-quiet")))
+    q.processAllAvailable()
+    // b5/b6: live traffic advances the watermark past 13:30 + 30m -> a
+    // SECOND alert for the same series, with the new last_seen
+    mem.addData(Seq(t("2024-08-28 15:00:00", "id-live")))
+    q.processAllAvailable()
+    mem.addData(Seq(t("2024-08-28 15:01:00", "id-live")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("silent_stream")
+      .collect()
+      .map(r => (r.getAs[String]("timeseries_id"), r.getAs[java.sql.Timestamp]("last_seen")))
+      .sortBy(_._2.getTime)
+    assert(out.toSeq === Seq(
+      ("id-quiet", ts("2024-08-28 12:00:00")),
+      ("id-quiet", ts("2024-08-28 13:30:00"))),
+      "a returning series must re-arm and alert again; a live series must never alert")
+  }
+
+  test("upsertSink: update overrides append, replay is a no-op, partition layout survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[Tele]
+    val q = Streams
+      .upsertSink(mem.toDF(), out, ckpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
+    // b1: initial appends across TWO date partitions
+    val b1 = Seq(
+      t("2024-08-28 12:00:00", 1.0, "id-a"),
+      t("2024-08-28 12:01:00", 2.0, "id-a"),
+      t("2024-08-29 09:00:00", 5.0, "id-b"))
+    mem.addData(b1)
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() === 3)
+    // b2: a late CORRECTION for (id-a, 12:01) — delivered twice in one
+    // batch with conflicting values; the deterministic tie-break must keep
+    // the greater (9.0), and the stored 2.0 must be REPLACED, not duplicated
+    val b2 = Seq(
+      t("2024-08-28 12:01:00", 9.0, "id-a"),
+      t("2024-08-28 12:01:00", 7.0, "id-a"))
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = spark.read.parquet(out)
+      .select("timeseries_id", "timestamp", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    val afterUpdate = snapshot()
+    assert(afterUpdate === Set(
+      ("id-a", ts("2024-08-28 12:00:00"), 1.0),
+      ("id-a", ts("2024-08-28 12:01:00"), 9.0), // update overrode the append
+      ("id-b", ts("2024-08-29 09:00:00"), 5.0)))
+    // replay idempotence: at-least-once foreachBatch re-delivers batch 2 —
+    // re-merging it must leave the layout byte-identical in content
+    Streams.upsertBatch(b2.toDF(), out)
+    assert(snapshot() === afterUpdate, "replaying a batch must be a no-op")
+    // partition-layout survival: still day-partitioned dirs, still
+    // compactable via the same swap discipline
+    val dirs = new java.io.File(out).list().filter(_.startsWith("event_date=")).sorted
+    assert(dirs.toSeq === Seq("event_date=2024-08-28", "event_date=2024-08-29"))
+    graft.sources.Layout.compactPartition(
+      spark, out, "2024-08-28", seriesCol = "timeseries_id", tsCol = "timestamp")
+    assert(snapshot() === afterUpdate, "compaction after upserts must preserve contents")
+  }
+
   test("ingestFiles: JSON-lines dir lands as day-partitioned parquet, exactly once") {
     val in = java.nio.file.Files.createTempDirectory("graft_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
