@@ -76,8 +76,10 @@ object Bench {
     // rounds 4-6 cut the line above before its "value" field — the
     // headline number was lost. This line is small enough to survive any
     // reasonable tail window and carries the same verdict fields.
+    // "short":true disambiguates this record from the full line above so a
+    // consumer aggregating on metric=total can't double-count the run
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed
+      s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
           .mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -133,9 +133,16 @@ object SimOps {
     * non-deterministic collect_list order cannot leak into the result.
     * Input must carry (vec_id, embedding, nrm); output adds (cell, csim).
     */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
       .agg(collect_list(struct(col("cell"), col("cv"), col("cnrm"))).as("cbs"))
+    // a zero-norm embedding would make every cosine NaN, which fails every
+    // comparison — the fold would return cell = -1 while the driver-side
+    // twin's Scala .max treats NaN as largest: fail LOUDLY instead of
+    // letting the two tie-break semantics silently diverge
+    val safeNrm = when(col("nrm") > 0, col("nrm"))
+      .otherwise(raise_error(
+        concat(lit("assignCells: zero-norm embedding vec_id="), col("vec_id"))))
     e.crossJoin(broadcast(centsRow))
       .withColumn(
         "best",
@@ -144,7 +151,7 @@ object SimOps {
           struct(lit(-2.0).as("csim"), lit(-1L).as("cell")),
           (acc, cb) => {
             val cs = dot(col("embedding"), cb.getField("cv")) /
-              (col("nrm") * cb.getField("cnrm"))
+              (safeNrm * cb.getField("cnrm"))
             when(
               cs > acc.getField("csim") ||
                 (cs === acc.getField("csim") &&
@@ -222,6 +229,49 @@ object SimOps {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** IVF (inverted-file) ANN search body, parameterized by codebook
+    * training depth so DedupSimSpec can regression-compare recall of the
+    * TRAINED codebook (`codebookIters = 3`) against the raw first-16-seed
+    * (`codebookIters = 0` — [[trainCodebook]]'s loop body never runs and
+    * the seed centroids come back verbatim). Assign every vector to its
+    * nearest codebook cell (one broadcast of the 16-entry codebook + a
+    * map-side argmax fold — no shuffle of the vectors), then search only
+    * the query's `nprobe` nearest cells with exact cosine re-rank.
+    */
+  private[graft] def ivfTopK(
+      s: SparkSession,
+      d: String,
+      codebookIters: Int,
+      nprobe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val NumCells = 16
+    val e = U.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = trainCodebook(s, d, NumCells, codebookIters)
+    val qv = e.filter(col("vec_id") === 0)
+    val qcells = qv
+      .crossJoin(broadcast(cents))
+      .select(
+        col("cell"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    val q = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    assignCells(e.filter(col("vec_id") =!= 0), cents)
+      .join(broadcast(qcells), "cell")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
   val qs: Seq[Q] = Seq(
@@ -371,34 +421,7 @@ object SimOps {
     // follow the data — the usual recall-at-fixed-nprobe lever. Hash-free
     // but codebook-dependent => no SQL oracle; DedupSimSpec checks every
     // returned cosine against the brute-force ranking.
-    Q.noOracle("q_sim_ann_ivf") { (s, d) =>
-      val NumCells = 16
-      val e = U.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val cents = trainCodebook(s, d, NumCells, 3)
-      val qv = e.filter(col("vec_id") === 0)
-      val qcells = qv
-        .crossJoin(broadcast(cents))
-        .select(
-          col("cell"),
-          (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
-            .as("csim"))
-        .orderBy(col("csim").desc, col("cell"))
-        .limit(2)
-        .select(col("cell"))
-      val q = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
-      assignCells(e.filter(col("vec_id") =!= 0), cents)
-        .join(broadcast(qcells), "cell")
-        .crossJoin(broadcast(q))
-        .select(
-          col("vec_id"),
-          col("cell"),
-          (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
-            .as("cos_raw"))
-        .orderBy(col("cos_raw").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
-    },
+    Q.noOracle("q_sim_ann_ivf") { (s, d) => ivfTopK(s, d, codebookIters = 3) },
 
     // Per-label embedding centroids — the k-means/IVF codebook training
     // step (q_sim_ann_ivf consumes a codebook; this is how one is built
@@ -467,6 +490,52 @@ object SimOps {
           (sum(col("cm")).cast("double") / count(lit(1)) / 1000000.0)
             .as("avg_cos"))
         .orderBy("cell")
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    // corpus scale — cluster embeddings with the trained k-means codebook,
+    // then compare pairs ONLY within a cluster, pruning the higher vec_id
+    // of any within-cell pair above the cosine threshold (keep-min-id, the
+    // same canonical-representative rule as the exact dedup family).
+    // Output: one row per PRUNED vector with its cell, its canonical
+    // keeper (the minimum within-cell duplicate partner), and that pair's
+    // cosine. Scale: vectors shuffle ONCE into cells (one exchange,
+    // reused by both self-join sides); pair comparison is O(sum of
+    // cell^2), never the all-pairs O(n^2) — at 100 TB, k grows with the
+    // corpus so cells stay bounded and the quadratic term never returns.
+    // no_oracle: codebook-dependent; DedupSimSpec asserts precision 1
+    // against all-pairs q_dedup_embed_cosine (every pruned pair is a real
+    // pair, bit-identical cosine) and recall on planted near-dups.
+    Q.noOracle("q_dedup_semantic") { (s, d) =>
+      val MinCos = 0.35
+      val e = U.embeddings(s, d)
+        .filter(col("vec_id") >= 1)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val assigned = assignCells(e, trainCodebook(s, d, 16, 3))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .repartition(col("cell"))
+      val cos = round(
+        dot(col("x.embedding"), col("y.embedding")) / (col("x.nrm") * col("y.nrm")),
+        4)
+      assigned.as("x")
+        .join(
+          assigned.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id") && cos >= MinCos)
+        .select(
+          col("y.vec_id").as("vec_id"),
+          col("y.cell").as("cell"),
+          struct(col("x.vec_id").as("dup_of"), cos.as("cos_sim")).as("m"))
+        .groupBy(col("vec_id"), col("cell"))
+        // min struct = lexicographic: the MINIMUM dup_of (keep-min-id rule)
+        // and that exact pair's cosine — deterministic, dup_of is unique
+        .agg(min(col("m")).as("m"))
+        .select(
+          col("vec_id"),
+          col("cell"),
+          col("m").getField("dup_of").as("dup_of"),
+          col("m").getField("cos_sim").as("cos_sim"))
+        .orderBy("vec_id")
     }
   )
 }

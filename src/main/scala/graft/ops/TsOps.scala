@@ -727,6 +727,165 @@ object TsOps {
               .otherwise((col("value") - col("lo")) / (col("hi") - col("lo"))),
             6).as("value_norm"))
         .orderBy("event_id")
+    },
+
+    // CUSUM change-point statistic per series (Page 1954): against the
+    // series' own mean mu, the one-sided cumulative sums
+    // s+_i = max(0, s+_{i-1} + (x_i - mu - k)) and
+    // s-_i = min(0, s-_{i-1} + (x_i - mu + k)) with slack k = 0.25 — a
+    // sustained shift above/below the mean accumulates where noise resets;
+    // alarm thresholding is a trivial filter on the emitted statistics.
+    // The third instantiation of the secondary-sort fold kernel after
+    // EWMA/Holt, with the per-series mean joined in before the fold (the
+    // mean frame is series-cardinality — broadcast-sized — but the join
+    // output MUST be hash-partitioned by series for the fold, so the
+    // explicit repartition stays; one exchange either way). Oracle: mu is
+    // an exact micro-int mean, and BOTH folds are SCALAR list_reduce
+    // recurrences (seeded 0 via list_prepend), so the two-fold trick
+    // sidesteps the DuckDB struct-accumulator bug that blocks a q_ts_holt
+    // oracle — each fold is the identical IEEE op sequence in both engines.
+    Q(
+      "q_ts_changepoint",
+      """WITH g AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS l, count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000.0 AS mu
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n,
+        |  floor(mu * 1000000 + 0.5) / 1000000 AS mu,
+        |  floor(list_reduce(list_prepend(0.0, l),
+        |          (acc, x) -> greatest(0.0, acc + (x - mu - 0.25))) * 1000000 + 0.5)
+        |    / 1000000 AS cusum_pos,
+        |  floor(list_reduce(list_prepend(0.0, l),
+        |          (acc, x) -> least(0.0, acc + (x - mu + 0.25))) * 1000000 + 0.5)
+        |    / 1000000 AS cusum_neg
+        |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val k = 0.25
+      val ev = U.events(s, d)
+      val mu = ev.groupBy(col("user_id"))
+        .agg(
+          (sum(floor(col("value") * 1000 + 0.5).cast("long")).cast("double") /
+            count(lit(1)) / 1000.0).as("mu"))
+      ev.select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("value"))
+        .join(mu, "user_id")
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"), col("mu"))
+        .as[(Long, Long, Long, Double, Double)]
+        .mapPartitions { it =>
+          // same streaming run-fold shape as foldSeries, widened by the
+          // per-row mu column (constant within a series)
+          new Iterator[(Long, Long, Double, Double, Double)] {
+            private var pending: (Long, Long, Long, Double, Double) =
+              if (it.hasNext) it.next() else null
+            def hasNext: Boolean = pending != null
+            def next(): (Long, Long, Double, Double, Double) = {
+              val uid = pending._1
+              val mu = pending._5
+              var sp = math.max(0.0, 0.0 + (pending._4 - mu - k))
+              var sm = math.min(0.0, 0.0 + (pending._4 - mu + k))
+              var n = 1L
+              pending = null
+              while (pending == null && it.hasNext) {
+                val r = it.next()
+                if (r._1 == uid) {
+                  sp = math.max(0.0, sp + (r._4 - mu - k))
+                  sm = math.min(0.0, sm + (r._4 - mu + k))
+                  n += 1
+                } else pending = r
+              }
+              (uid, n,
+                math.floor(mu * 1e6 + 0.5) / 1e6,
+                math.floor(sp * 1e6 + 0.5) / 1e6,
+                math.floor(sm * 1e6 + 0.5) / 1e6)
+            }
+          }
+        }
+        .toDF("user_id", "n", "mu", "cusum_pos", "cusum_neg")
+        .orderBy("user_id")
+    },
+
+    // Lagged cross-correlation between two series (user 1 vs user 2) — the
+    // lead/lag diagnostic pair the reference's HVAC domain implies (supply
+    // fan speed vs duct pressure, G36: a fault shows as the response series
+    // correlating with the command series at a LAG). Series align on 4-hour
+    // buckets; per bucket the milli-scaled integer value sum (exact BIGINT —
+    // value is 3-decimal, so *1000 is integral); Pearson per lag in
+    // {-2..2} buckets via the q_agg_corr exact-moment recipe — DECIMAL
+    // (20,0)x(18,0) products keep moments exact at any scale (BIGINT sums
+    // of products would overflow past ~1e5 buckets), and only the
+    // closed-form finish runs in doubles, written identically in both
+    // engines. Scale: the per-series bucket aggregate is the one real
+    // exchange (partial-agg, bounded by buckets x series, not events); the
+    // lag fan-out and the x-y alignment join are broadcasts of that tiny
+    // frame, so adding lags costs nothing at 100 TB.
+    Q(
+      "q_ts_xcorr",
+      """WITH b AS (
+        |  SELECT user_id, CAST(floor(floor(epoch(ts)) / 14400) * 14400 AS BIGINT) AS bkt,
+        |         sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS sm
+        |  FROM events WHERE user_id IN (1, 2) GROUP BY 1, 2),
+        |l AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.sm AS xs, y.sm AS ys
+        |  FROM l
+        |  JOIN b x ON x.user_id = 1
+        |  JOIN b y ON y.user_id = 2 AND y.bkt = x.bkt + l.lag * 14400),
+        |m AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(CAST(xs AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xs AS DECIMAL(20,0)) * CAST(xs AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ys AS DECIMAL(20,0)) * CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(xs AS DECIMAL(20,0)) * CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS xcorr
+        |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val BucketS = 14400
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+      val b = U.events(s, d)
+        .filter(col("user_id").isin(1, 2))
+        .groupBy(col("user_id"), bucket(BucketS).as("bkt"))
+        .agg(sum(floor(col("value") * 1000 + 0.5).cast("long")).as("sm"))
+      val x = b.filter(col("user_id") === 1)
+        .select(col("bkt").as("xbkt"), col("sm").as("xs"))
+      val y = b.filter(col("user_id") === 2)
+        .select(col("bkt").as("ybkt"), col("sm").as("ys"))
+      val lags = Seq(-2, -1, 0, 1, 2).toDF("lag")
+      val vxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vyy = col("n") * col("syy") - col("sy") * col("sy")
+      x.crossJoin(broadcast(lags))
+        .join(
+          broadcast(y),
+          col("ybkt") === col("xbkt") + col("lag") * BucketS)
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xs").cast(d18)).cast("double").as("sx"),
+          sum(col("ys").cast(d18)).cast("double").as("sy"),
+          sum(col("xs").cast(d20) * col("xs").cast(d18)).cast("double").as("sxx"),
+          sum(col("ys").cast(d20) * col("ys").cast(d18)).cast("double").as("syy"),
+          sum(col("xs").cast(d20) * col("ys").cast(d18)).cast("double").as("sxy"))
+        .select(
+          col("lag"),
+          col("n"),
+          when(
+            col("n") > 1 && vxx > 0 && vyy > 0,
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(vxx) * sqrt(vyy)),
+              6)).as("xcorr"))
+        .orderBy("lag")
     }
   )
 }

@@ -215,6 +215,98 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup prunes only genuine pairs (precision 1 vs exact all-pairs)") {
+    // every (dup_of, vec_id) the SemDeDup path prunes must be a real pair
+    // in the exact all-pairs twin, with the bit-identical rounded cosine
+    val exact = SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val sem = SparkEntry.queries("q_dedup_semantic")(spark, sfDir).collect()
+    assert(sem.nonEmpty, "semantic dedup must prune something on testdata")
+    sem.foreach { r =>
+      val key = (r.getAs[Long]("dup_of"), r.getAs[Long]("vec_id"))
+      assert(exact.contains(key), s"pruned a non-pair $key")
+      assert(exact(key) >= r.getAs[Double]("cos_sim"),
+        s"recorded cosine at $key exceeds the exact pair's best cosine")
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"), "keep-min-id rule")
+    }
+    // a vector is pruned at most once (one canonical keeper)
+    val pruned = sem.map(_.getAs[Long]("vec_id"))
+    assert(pruned.distinct.length === pruned.length)
+  }
+
+  /** Planted-near-dup fixture shared by the SemDeDup recall and IVF recall
+    * tests: 150 random 64-dim vectors (ids 1..150) + 40 jittered copies at
+    * cosine ~0.97 (ids 1000+src), plus a query vector (id 0) that is a
+    * jittered copy of vector 1 so the ANN family has genuine neighbors.
+    */
+  private lazy val plantedDir: String = {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(150)(i => (i + 1).toLong -> vec())
+    def jitter(src: Array[Float], eps: Float) =
+      src.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val dups = Seq.tabulate(40) { i =>
+      val (srcId, src) = base(i * 3)
+      (1000L + srcId, jitter(src, 0.2f))
+    }
+    val query = Seq(0L -> jitter(base.head._2, 0.2f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    import spark.implicits._
+    (query ++ base ++ dups).map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def cosOf(x: Array[Float], y: Array[Float]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+    d / math.sqrt(nx * ny)
+  }
+
+  test("SemDeDup recall on planted near-duplicates: every cosine-0.9 pair prunes its higher id") {
+    // read the fixture back so the driver-side truth uses the exact floats
+    val all = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .filter(col("vec_id") >= 1)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val want = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if math.rint(cosOf(all(i)._2, all(j)._2) * 1e4) / 1e4 >= 0.9
+    } yield all(j)._1).toSet // the higher id of each true near-dup pair
+    assert(want.size >= 30, s"expected ~40 planted dups, got ${want.size}")
+    val got = SparkEntry.queries("q_dedup_semantic")(spark, plantedDir)
+      .filter(col("cos_sim") >= 0.9)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (got intersect want).size.toDouble / want.size
+    assert(recall >= 0.8,
+      s"SemDeDup recall $recall: within-cell pruning lost too many planted dups")
+  }
+
+  test("IVF recall regression: trained codebook recall@10 >= first-16-seed recall@10") {
+    // driver-side brute-force truth for the planted query (vec_id 0)
+    val rows = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    val qv = rows.find(_._1 == 0L).get._2
+    val truth = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (cosOf(v, qv), id) }
+      .sortBy { case (c, id) => (-c, id) }
+      .take(10).map(_._2).toSet
+    def recallAt10(iters: Int): Double = {
+      val got = graft.ops.SimOps.ivfTopK(spark, plantedDir, codebookIters = iters)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val trained = recallAt10(3)
+    val seed = recallAt10(0)
+    assert(trained >= seed,
+      s"training made IVF recall WORSE: trained $trained < seed $seed")
+    assert(trained >= 0.5, s"trained IVF recall@10 $trained is degenerate")
+  }
+
   test("approx quantiles bracket the exact quantiles") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
       .collect()
