@@ -43,6 +43,13 @@ object DedupOps {
     */
   private val MaxShingleDf = 1000
 
+  /** Max document frequency for a 20-token window in `q_dedup_substring`'s
+    * inverted index — same stop-key discipline as [[MaxShingleDf]], tighter
+    * because a full 20-token window shared by >50 docs is corpus
+    * boilerplate by definition (license headers, templated preambles) and
+    * carries no passage-copy signal while contributing df^2/2 pairs. */
+  private val MaxWindowDf = 50
+
   /** Shared oracle CTE chain for exact n-gram Jaccard pairs; ends with a
     * relation `jac(a, b, jaccard)` at threshold 0.8. Reused verbatim by
     * every oracle that consumes the near-dup pair graph so the edge set is
@@ -249,6 +256,69 @@ object DedupOps {
       s"""$NgramJacSqlCte
         |SELECT a, b, jaccard FROM jac ORDER BY a, b""".stripMargin) { (s, d) =>
       ngramJaccardPairs(s, d).orderBy("a", "b")
+    },
+
+    // Exact substring dedup (the Lee et al. 2022 "Deduplicating Training
+    // Data Makes Language Models Better" problem, hash-window form): find
+    // doc pairs sharing at least one EXACT 20-token window — catches
+    // copied passages inside otherwise-different documents, which
+    // whole-doc Jaccard dilutes below any threshold. Each doc emits its
+    // ~n_tokens sliding-window digests map-side (md5 of the joined
+    // window — only 32-byte digests ever shuffle, never window text);
+    // posting lists group by digest with the ngramJaccardPairs OOM
+    // discipline: windows hotter than MaxWindowDf docs (corpus-wide
+    // boilerplate — license headers are the classic case) are
+    // anti-joined out BEFORE collect_list (both exchanges hash the same
+    // key, so the planner reuses one shuffle), then ordered pairs expand
+    // inside each <= MaxWindowDf-entry list via codegen'd higher-order
+    // functions. n_shared = distinct shared windows per pair. The cap is
+    // mirrored in the oracle so both engines agree by construction.
+    Q(
+      "q_dedup_substring",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |e AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS i
+        |      FROM t WHERE len(w) >= 20),
+        |win AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i : i + 19], ' ')) AS h FROM e),
+        |df AS (SELECT h, count(*) AS n_docs FROM win GROUP BY h),
+        |keep AS (SELECT h FROM df WHERE n_docs BETWEEN 2 AND $MaxWindowDf),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+        |  FROM win a JOIN keep USING (h) JOIN win b USING (h)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b, n_shared FROM pairs ORDER BY a, b""".stripMargin) { (s, d) =>
+      val W = 20
+      val wins = graft.U.documents(s, d)
+        .select(col("doc_id"), graft.U.words.as("w"))
+        .filter(size(col("w")) >= W)
+        .select(
+          col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - (W - 1))).as("i"),
+          col("w"))
+        .select(
+          col("doc_id"),
+          md5(array_join(slice(col("w"), col("i"), lit(W)), " ")).as("h"))
+        .distinct()
+      val hot = wins
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxWindowDf)
+        .select(col("h"))
+      val pairs = wins
+        .join(broadcast(hot), Seq("h"), "left_anti")
+        .groupBy(col("h"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(flatten(transform(
+          col("ds"),
+          (x, i) =>
+            transform(
+              slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a"), col("p.b"))
+      pairs
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("a", "b")
     },
 
     // Graph analytics over the near-dup pair graph: node/edge counts and

@@ -492,6 +492,35 @@ object SimOps {
         .orderBy("cell")
     },
 
+    // Cosine range search: ALL vectors within cosine >= 0.3 of the query
+    // vector — the radius-query sibling of q_sim_topk (dedup-threshold
+    // scans and diversity filters want "everything this close", not a
+    // fixed k). Same plan as the brute-force top-k minus the limit: one
+    // broadcast of the query vector, codegen'd map-side cosine, the
+    // threshold filters BEFORE any exchange so only survivors reach the
+    // final order — at 100 TB this is a full scan by design (the exact
+    // baseline; the LSH/IVF buckets above are the pruned path).
+    Q(
+      "q_sim_range_search",
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        |FROM n, q
+        |WHERE round(list_dot_product(e, qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) >= 0.3
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = U.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cos = round(
+        dot(col("embedding"), col("qv")) / (norm(col("embedding")) * norm(col("qv"))),
+        4)
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cos.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("vec_id")
+    },
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     // corpus scale — cluster embeddings with the trained k-means codebook,
     // then compare pairs ONLY within a cluster, pruning the higher vec_id

@@ -886,6 +886,74 @@ object TsOps {
                 (sqrt(vxx) * sqrt(vyy)),
               6)).as("xcorr"))
         .orderBy("lag")
+    },
+
+    // Autocorrelation function (ACF) of one series at lags 1..5 4-hour
+    // buckets — q_ts_xcorr's reflexive sibling (series vs its own lagged
+    // self): the seasonality/memory diagnostic behind ARIMA order
+    // selection; a fault like short-cycling shows as a spike at the cycle
+    // lag. Sample Pearson over (x_t, x_{t+lag}) pairs, same exact
+    // milli-int bucket sums and DECIMAL-moment recipe as xcorr; same plan
+    // shape — one bucket-aggregate exchange, then broadcasts only.
+    Q(
+      "q_ts_acf",
+      """WITH b AS (
+        |  SELECT CAST(floor(floor(epoch(ts)) / 14400) * 14400 AS BIGINT) AS bkt,
+        |         sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS sm
+        |  FROM events WHERE user_id = 1 GROUP BY 1),
+        |l AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.sm AS xs, y.sm AS ys
+        |  FROM l JOIN b x ON true JOIN b y ON y.bkt = x.bkt + l.lag * 14400),
+        |m AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(CAST(xs AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xs AS DECIMAL(20,0)) * CAST(xs AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ys AS DECIMAL(20,0)) * CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(xs AS DECIMAL(20,0)) * CAST(ys AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n,
+        |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS acf
+        |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val BucketS = 14400
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+      val b = U.events(s, d)
+        .filter(col("user_id") === 1)
+        .groupBy(bucket(BucketS).as("bkt"))
+        .agg(sum(floor(col("value") * 1000 + 0.5).cast("long")).as("sm"))
+      val x = b.select(col("bkt").as("xbkt"), col("sm").as("xs"))
+      val y = b.select(col("bkt").as("ybkt"), col("sm").as("ys"))
+      val lags = Seq(1, 2, 3, 4, 5).toDF("lag")
+      val vxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vyy = col("n") * col("syy") - col("sy") * col("sy")
+      x.crossJoin(broadcast(lags))
+        .join(
+          broadcast(y),
+          col("ybkt") === col("xbkt") + col("lag") * BucketS)
+        .groupBy(col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xs").cast(d18)).cast("double").as("sx"),
+          sum(col("ys").cast(d18)).cast("double").as("sy"),
+          sum(col("xs").cast(d20) * col("xs").cast(d18)).cast("double").as("sxx"),
+          sum(col("ys").cast(d20) * col("ys").cast(d18)).cast("double").as("syy"),
+          sum(col("xs").cast(d20) * col("ys").cast(d18)).cast("double").as("sxy"))
+        .select(
+          col("lag"),
+          col("n"),
+          when(
+            col("n") > 1 && vxx > 0 && vyy > 0,
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(vxx) * sqrt(vyy)),
+              6)).as("acf"))
+        .orderBy("lag")
     }
   )
 }

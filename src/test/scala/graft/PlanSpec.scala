@@ -298,6 +298,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastExchangeExec => b }.isEmpty)
   }
 
+  test("q_dedup_substring: every exchange carries window digests, never text or token arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_dedup_substring"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("w"),
+        s"exchange shuffles document text/tokens: $names")
+    }
+  }
+
+  test("q_ts_xcorr / q_ts_acf: one bucket-aggregate exchange, lag joins all broadcast") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    for (name <- Seq("q_ts_xcorr", "q_ts_acf")) {
+      val plan = executed(q(name))
+      // the lag fan-out and x-y alignment must never shuffle-join: the
+      // bucket frame is tiny and rides broadcasts
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name plans a shuffle join for the lag alignment:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$name: expected the broadcast alignment join")
+    }
+  }
+
+  test("q_dedup_semantic: vectors cross exactly one exchange (the cell shuffle, reused by both join sides)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_dedup_semantic"))
+    val vecExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.name == "embedding") => e
+    }
+    assert(vecExchanges.length === 1,
+      s"vectors must shuffle ONCE into cells (found ${vecExchanges.length} " +
+        s"embedding-carrying exchanges — the self-join must reuse the cell exchange)")
+  }
+
+  test("q_sim_range_search: cosine threshold filters before any exchange — no vector ever shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_sim_range_search"))
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.exists(_.name == "embedding"),
+        s"range search shuffles vectors: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q_tpch_q1: the ship-date predicate reaches the lineitem scan") {
     val scan = executed(q("q_tpch_q1"))
       .collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
