@@ -571,6 +571,79 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** One micro-batch of the streaming quantile-sketch MV ([[sketchMvSink]]),
+    * exposed for direct replay testing: aggregate the batch into per
+    * (series, day) KLL partials and land them in this batch's OWN
+    * partition directory (`batch_id=N`), overwritten whole. Idempotence
+    * comes from the layout, not from the sketch: KLL merge is NOT
+    * idempotent (re-merging the same values doubles their weight), so a
+    * replayed batch must REPLACE its previous partials rather than add to
+    * them — same rows in, same directory out, byte-equal effect.
+    */
+  def sketchMvBatch(
+      batch: DataFrame,
+      mvDir: String,
+      batchId: Long,
+      k: Int = 16384): Unit = {
+    if (batch.isEmpty) return
+    batch
+      .withColumn("day", to_date(col("timestamp")))
+      .groupBy(col("timeseries_id"), col("day"))
+      .agg(kll_sketch_agg_double(col("value"), k).as("sketch"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$mvDir/batch_id=$batchId")
+  }
+
+  /** Streaming maintenance of the mergeable quantile-sketch MV — the
+    * q_agg_kll_mv stored artifact kept current by the stream instead of a
+    * batch rebuild: each micro-batch appends one KLL partial per (series,
+    * day) it touches, and [[mvQuantiles]] answers a range query by
+    * re-merging the stored partials — never rescanning raw events. This is
+    * the reference's periodic-recompute loop (`main.rs:234-240`) inverted:
+    * the scan work is amortized into ingest, and a p99-over-a-week at
+    * 100 TB reads (series x days x batches) sketch rows, not events.
+    * Exactly-once in effect: partials land per-batch-directory
+    * ([[sketchMvBatch]]), so at-least-once replay overwrites rather than
+    * double-merges. StreamingSpec asserts stream-MV == direct batch sketch
+    * on the same rows, replay idempotence, and day-range pruning.
+    */
+  def sketchMvSink(
+      telemetry: DataFrame,
+      mvDir: String,
+      checkpointDir: String,
+      k: Int = 16384,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => sketchMvBatch(b, mvDir, id, k))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Range read over the [[sketchMvSink]] MV: union-merge the stored daily
+    * partials per series across `[startDay, endDay]` and read the
+    * quantiles off the merged sketch (Karnin-Lang-Liberty 2016 merge —
+    * associative, so partial-per-batch vs partial-per-day storage is
+    * indistinguishable to the reader). The day filter prunes before the
+    * merge; only sketch rows ever move.
+    */
+  def mvQuantiles(
+      spark: SparkSession,
+      mvDir: String,
+      startDay: String,
+      endDay: String,
+      k: Int = 16384): DataFrame =
+    spark.read
+      .parquet(mvDir)
+      .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
+      .groupBy(col("timeseries_id"))
+      .agg(kll_merge_agg_double(col("sketch"), k).as("m"))
+      .select(
+        col("timeseries_id"),
+        kll_sketch_get_n_double(col("m")).as("n"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.95)).as("p95"),
+        kll_sketch_get_quantile_double(col("m"), lit(0.99)).as("p99"))
+
   /** Stream-stream interval join: pair each left-stream event with the
     * right-stream events for the same series arriving within `maxDelay`
     * AFTER it (ad-tech click-attribution shape, telemetry-flavored: e.g.

@@ -504,6 +504,56 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() === afterUpdate, "compaction after upserts must preserve contents")
   }
 
+  test("sketchMvSink: stream-maintained KLL MV equals the direct batch sketch; replay is a no-op; day range prunes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mv = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kll_ckpt").toString
+    val mem = MemoryStream[Tele]
+    val q = Streams
+      .sketchMvSink(mem.toDF(), mv, ckpt, trigger = Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
+    // b1: series A day 1 (five values), series B day 1
+    val b1 = (1 to 5).map(i => t(s"2024-08-28 12:0$i:00", i.toDouble, "id-a")) :+
+      t("2024-08-28 13:00:00", 10.0, "id-b")
+    mem.addData(b1)
+    q.processAllAvailable()
+    // b2: MORE of series A day 1 (a second partial for the same (series,
+    // day)) plus series A day 2
+    val b2 = (6 to 10).map(i => t(s"2024-08-28 14:0${i - 6}:00", i.toDouble, "id-a")) ++
+      Seq(t("2024-08-29 09:00:00", 100.0, "id-a"), t("2024-08-29 09:01:00", 102.0, "id-a"))
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    def snapshot() = Streams
+      .mvQuantiles(spark, mv, "2024-08-28", "2024-08-29")
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("p50")))
+      .toMap
+    val got = snapshot()
+    // stream-MV == direct batch sketch over the same rows (exact regime:
+    // 12 values per series << k, so quantiles are exact order statistics)
+    val direct = (b1 ++ b2).toDF()
+      .groupBy("timeseries_id")
+      .agg(kll_sketch_agg_double(col("value"), 16384).as("s"))
+      .select(
+        col("timeseries_id"),
+        kll_sketch_get_n_double(col("s")).as("n"),
+        kll_sketch_get_quantile_double(col("s"), lit(0.5)).as("p50"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("p50")))
+      .toMap
+    assert(got === direct, "stream-maintained MV must equal the direct sketch")
+    // replay idempotence: re-running batch 1's merge must change nothing
+    // (the partial REPLACES its own directory, never double-merges)
+    Streams.sketchMvBatch(b1.toDF(), mv, batchId = 0)
+    assert(snapshot() === got, "replaying a batch must not double-weight the sketch")
+    // day-range read: day 2 only sees series A's two day-2 values
+    val day2 = Streams.mvQuantiles(spark, mv, "2024-08-29", "2024-08-29")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(day2 === Map("id-a" -> 2L), s"day-range filter leaked: $day2")
+  }
+
   test("ingestFiles: JSON-lines dir lands as day-partitioned parquet, exactly once") {
     val in = java.nio.file.Files.createTempDirectory("graft_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_out").toString
