@@ -263,6 +263,39 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Per-source quota sampling: cap every source at 10 docs, choosing the
+    // keepers by CONTENT-HASH rank (md5 order, doc_id tie-break) — the
+    // dual of q_mix_upsample (that op raises underrepresented domains,
+    // this one caps overrepresented ones, the standard "no single crawl
+    // dominates" curation guard). Content-hash ranking, not random(): the
+    // kept set is reproducible across runs/engines, and a re-ingested
+    // duplicate is kept or dropped consistently. Scale: one window shuffle
+    // by source (partial top-k per partition would need a custom agg;
+    // rank-within-group is the declarative form), emitting only doc_id —
+    // text never leaves its scan.
+    Q(
+      "q_sample_quota",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      U.documents(s, d)
+        // digest BEFORE the window: the sort key must be computed pre-
+        // exchange so the window shuffle carries (doc_id, source, 32-char
+        // digest), never document bodies
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 10)
+        .orderBy("doc_id")
+    },
+
     // Eval-set decontamination, exact-match tier: drop every training doc
     // whose NORMALIZED text (q_dedup_normalized's C4/CCNet convention)
     // byte-matches an eval doc (stand-in: doc_id < 10, as in

@@ -56,6 +56,30 @@ class DedupSimSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("integer PageRank equals a driver-side replay of the same iterations") {
+    // all engine-side arithmetic is integer (1e9-scaled ranks, truncating
+    // div), so a driver-side replay of the identical operations must match
+    // BIT FOR BIT — the q_embed_kmeans twin discipline on graph iteration
+    val pairs = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val S = 1000000000L
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.length.toLong
+    var r = nodes.map(_ -> S / n).toMap
+    val base = (15L * S) / (100L * n)
+    for (_ <- 1 to 10) {
+      val sc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => sc(dst) += r(src) / deg(src) }
+      r = nodes.map(x => x -> (base + (85L * sc(x)) / 100L)).toMap
+    }
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("rank_micro")).toMap
+    assert(got === r, "distributed integer PageRank diverged from the exact replay")
+  }
+
   test("exact dedup canonical ids: one row per distinct text, copies sum to corpus size") {
     val out = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
     val total = out.agg(sum("n_copies")).head().getLong(0)
