@@ -565,6 +565,68 @@ object SimOps {
           col("m").getField("dup_of").as("dup_of"),
           col("m").getField("cos_sim").as("cos_sim"))
         .orderBy("vec_id")
-    }
+    },
+
+    // k-NN graph over the whole corpus (k = 3): every vector's top-k
+    // nearest neighbors by exact cosine, candidates from the same
+    // multi-table hyperplane LSH as [[embedLshPairs]] — the graph ANN
+    // indexes (HNSW/NN-Descent), cluster manifolds, and graph-based
+    // diversity sampling all start from. DIRECTED (src -> dst is not
+    // dst -> src): candidates are generated symmetrically (x != y, both
+    // orientations of each bucket collision) and ranked per src by exact
+    // cosine desc with dst as the deterministic tie-break. Scale: the
+    // bucket triples shuffle through one canonical exchange shared by
+    // both self-join sides (ReuseExchange); vectors join back only for
+    // surviving candidates; the final per-src top-k is one window over
+    // the candidate set — O(n·L + collisions), never O(n²). no_oracle:
+    // LSH-candidate-dependent; DedupSimSpec asserts every emitted edge
+    // carries the bit-exact recomputed cosine and that planted cosine-0.9
+    // near-duplicates find their partner as the rank-1 neighbor.
+    Q.noOracle("q_sim_knn_graph") { (s, d) => knnGraph(s, d, 3) }
   )
+
+  /** The q_sim_knn_graph kernel, parameterized by k so the DedupSimSpec
+    * planted-neighbor harness can run it against its own fixture directory.
+    */
+  def knnGraph(s: SparkSession, d: String, k: Int): DataFrame = {
+    val n = U
+      .embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val tableBuckets = (0 until LshTables).map { t =>
+      hyperplaneBucket(
+        col("embedding"),
+        pairPlanes.slice(t * LshBits, (t + 1) * LshBits))
+    }
+    val bucketed = n
+      .select(col("vec_id"), posexplode(array(tableBuckets: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+      .repartition(col("tbl"), col("bucket"))
+    val cand = bucketed
+      .as("x")
+      .join(
+        bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .distinct()
+    val cos = round(
+      dot(col("es"), col("ed")) / (col("ns") * col("nd")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    cand
+      .join(n.select(
+        col("vec_id").as("src"), col("embedding").as("es"), col("nrm").as("ns")),
+        "src")
+      .join(n.select(
+        col("vec_id").as("dst"), col("embedding").as("ed"), col("nrm").as("nd")),
+        "dst")
+      .select(col("src"), col("dst"), cos.as("cos_sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+      .orderBy("src", "rk")
+  }
 }

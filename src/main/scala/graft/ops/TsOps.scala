@@ -954,6 +954,115 @@ object TsOps {
                 (sqrt(vxx) * sqrt(vyy)),
               6)).as("acf"))
         .orderBy("lag")
+    },
+
+    // Distribution drift of the event-type mix between the older and newer
+    // half of the time range — the data-mix monitor an LLM ingest pipeline
+    // runs before each training snapshot ("did the crawl composition
+    // shift?"). Per category: counts in each half, exact ppm shares, and
+    // the cross-multiplied numerator |n_old·t_new − n_new·t_old| whose sum
+    // over categories divided by the emitted drift_den = 2·t_old·t_new is
+    // EXACTLY the total-variation distance — all integer arithmetic, no
+    // float division anywhere, so the result is bit-stable across engines
+    // and partitionings. (At trillion-row scale the cross products outgrow
+    // BIGINT; the move is the same DECIMAL(20,0)x(18,0) widening q_ts_xcorr
+    // uses.) Scale: one partial-agg exchange on the category key (bounded
+    // by category cardinality); the split day and the totals are 1-row
+    // broadcasts — the events themselves shuffle nowhere.
+    Q(
+      "q_ts_drift",
+      """WITH d AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+        |t AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (WHERE day < mid) AS n_old,
+        |    count(*) FILTER (WHERE day >= mid) AS n_new
+        |  FROM d, b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+        |         CAST(sum(n_new) AS BIGINT) AS t_new FROM t)
+        |SELECT event_type, n_old, n_new,
+        |  CASE WHEN t_old > 0 THEN n_old * 1000000 // t_old END AS ppm_old,
+        |  CASE WHEN t_new > 0 THEN n_new * 1000000 // t_new END AS ppm_new,
+        |  abs(n_old * t_new - n_new * t_old) AS drift_num,
+        |  2 * t_old * t_new AS drift_den
+        |FROM t, tot ORDER BY event_type""".stripMargin) { (s, d) =>
+      val dd = U.events(s, d).select(
+        col("event_type"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)")
+          .as("day"))
+      // midpoint day splits the range; trunc-div == floor-div on the
+      // positive epoch days (documented divergence for signed inputs)
+      val b = dd.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val t = dd.crossJoin(broadcast(b))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("day") < col("mid"), 1)).as("n_old"),
+          count(when(col("day") >= col("mid"), 1)).as("n_new"))
+      val tot = t.agg(
+        sum(col("n_old")).as("t_old"),
+        sum(col("n_new")).as("t_new"))
+      t.crossJoin(broadcast(tot))
+        .select(
+          col("event_type"),
+          col("n_old"),
+          col("n_new"),
+          when(col("t_old") > 0, expr("n_old * 1000000 div t_old"))
+            .as("ppm_old"),
+          when(col("t_new") > 0, expr("n_new * 1000000 div t_new"))
+            .as("ppm_new"),
+          abs(col("n_old") * col("t_new") - col("n_new") * col("t_old"))
+            .as("drift_num"),
+          (lit(2L) * col("t_old") * col("t_new")).as("drift_den"))
+        .orderBy("event_type")
+    },
+
+    // Holt-Winters additive triple smoothing per series (level + trend +
+    // period-6 seasonal; alpha = 0.5, beta = gamma = 0.25, all powers of
+    // two): the seasonal completion of the EWMA → Holt progression and the
+    // FOURTH instantiation of the secondary-sort fold kernel — the state
+    // grows to (l, b, s[0..5]) yet stays O(1) per series. Value 0 seeds
+    // the level (b = 0, s = 0); value t >= 1 updates seasonal slot t mod 6
+    // (slot 0 therefore first updates at t = 6):
+    //   l' = α·(v − s_old) + (1−α)·(l + b)
+    //   b' = β·(l' − l) + (1−β)·b
+    //   s[t mod 6] = γ·(v − l') + (1−γ)·s_old.
+    // no_oracle for the same reason as q_ts_holt: a multi-field
+    // list_reduce accumulator hits DuckDB's in-place struct mutation bug
+    // (see q_ts_holt scaladoc); TsOpsSpec replays the exact fold
+    // driver-side over identically-ordered rows instead.
+    Q.noOracle("q_ts_holtwinters") { (s, d) =>
+      import s.implicits._
+      val alpha = 0.5
+      val beta = 0.25
+      val gamma = 0.25
+      val m = 6
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      foldSeries[
+        (Double, Double, Array[Double], Long),
+        (Long, Long, Double, Double, Double, Double, Double, Double, Double,
+          Double)](s, d)(
+        seed = v => (v, 0.0, new Array[Double](m), 1L),
+        step = { case ((l, b, sArr, t), v) =>
+          val idx = (t % m).toInt
+          val sOld = sArr(idx)
+          val ln = alpha * (v - sOld) + (1 - alpha) * (l + b)
+          val bn = beta * (ln - l) + (1 - beta) * b
+          // in-place slot update is safe: the state tuple is threaded
+          // linearly through the fold, never shared
+          sArr(idx) = gamma * (v - ln) + (1 - gamma) * sOld
+          (ln, bn, sArr, t + 1)
+        },
+        finish = (uid, n, st) =>
+          (uid, n, r6(st._1), r6(st._2),
+            r6(st._3(0)), r6(st._3(1)), r6(st._3(2)),
+            r6(st._3(3)), r6(st._3(4)), r6(st._3(5))))
+        .toDF("user_id", "n", "level", "trend", "s0", "s1", "s2", "s3", "s4",
+          "s5")
+        .orderBy("user_id")
     }
   )
 }

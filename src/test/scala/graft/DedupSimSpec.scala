@@ -310,6 +310,67 @@ class DedupSimSpec extends SparkSpec {
       s"SemDeDup recall $recall: within-cell pruning lost too many planted dups")
   }
 
+  test("k-NN graph edges carry bit-exact cosines, ranked correctly per source") {
+    val vecs: Map[Long, Array[Float]] = U.embeddings(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .toMap
+    // replicate the engine's arithmetic exactly: VecDot upcasts each float
+    // to double and multiply-adds left to right; round(x, 4) is Spark's
+    // scala-BigDecimal HALF_UP
+    def ddot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    def cos4(x: Array[Float], y: Array[Float]): Double =
+      BigDecimal(ddot(x, y) / (math.sqrt(ddot(x, x)) * math.sqrt(ddot(y, y))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q_sim_knn_graph")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (src, dst) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      assert(src !== dst)
+      assert(r.getAs[Double]("cos_sim") === cos4(vecs(src), vecs(dst)),
+        s"cosine mismatch on edge $src -> $dst")
+    }
+    // per source: ranks are 1..k dense, cosines non-increasing, ties broken
+    // by ascending dst
+    got.groupBy(_.getAs[Long]("src")).foreach { case (src, edges) =>
+      val byRank = edges.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq === (1L to byRank.length).toSeq)
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (ch, cl) = (hi.getAs[Double]("cos_sim"), lo.getAs[Double]("cos_sim"))
+          assert(ch > cl ||
+            (ch == cl && hi.getAs[Long]("dst") < lo.getAs[Long]("dst")),
+            s"rank order violated at src $src")
+        case _ =>
+      }
+    }
+  }
+
+  test("k-NN graph: planted near-duplicates find their partner at rank 1") {
+    val all = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .filter(col("vec_id") >= 1)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+      .toMap
+    val dupIds = all.keys.filter(_ >= 1000L).toSeq
+    assert(dupIds.size === 40)
+    val rank1 = graft.ops.SimOps.knnGraph(spark, plantedDir, 3)
+      .filter(col("rk") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("dst"))
+      .toMap
+    // each planted dup's true nearest neighbor is its jitter source at
+    // cosine ~0.97 (random strangers top out near 0.5); LSH must surface
+    // it and the exact re-rank must put it first for nearly all of them
+    val hits = dupIds.count(d => rank1.get(d).contains(d - 1000L))
+    val recall = hits.toDouble / dupIds.size
+    assert(recall >= 0.9, s"rank-1 partner recall $recall ($hits/${dupIds.size})")
+  }
+
   test("IVF recall regression: trained codebook recall@10 >= first-16-seed recall@10") {
     // driver-side brute-force truth for the planted query (vec_id 0)
     val rows = spark.read.parquet(s"$plantedDir/embeddings.parquet")

@@ -58,6 +58,36 @@ class TsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("Holt-Winters level/trend/seasonals equal a driver-side fold in the same order") {
+    val got = SparkEntry.queries("q_ts_holtwinters")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          (0 until 6).map(i => r.getAs[Double](s"s$i")).toList)))
+      .toMap
+    val rows = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = rows.groupBy(_._1).map { case (uid, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var l = sorted.head._4
+      var b = 0.0
+      val sArr = new Array[Double](6)
+      sorted.tail.zipWithIndex.foreach { case (r, i) =>
+        val idx = (i + 1) % 6
+        val sOld = sArr(idx)
+        val ln = 0.5 * (r._4 - sOld) + 0.5 * (l + b)
+        val bn = 0.25 * (ln - l) + 0.75 * b
+        sArr(idx) = 0.25 * (r._4 - ln) + 0.75 * sOld
+        l = ln; b = bn
+      }
+      uid -> ((rs.length.toLong, r6(l), r6(b), sArr.map(r6).toList))
+    }
+    assert(got === want)
+  }
+
   test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
     // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
     val hourly = Seq(
