@@ -1200,6 +1200,58 @@ object JoinOps {
           (sum(amount) * 1000000).cast("long").as("sum_profit_micro"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Fuzzy lookup join (entity resolution / query correction): every
+    // 500th part name with its first character dropped is a deterministic
+    // "typo" probe; each probe resolves to its best corpus match by
+    // Levenshtein distance <= 2, ties to the lowest key. The scale shape
+    // is the one a 100 TB catalog wants: the probe side is broadcast (a
+    // lookup batch is always small next to the catalog), the corpus scans
+    // ONCE behind a LOSSLESS length-band prefilter — ||a|-|b|| <= 2 is
+    // implied by lev <= 2, so the cheap codegen'd band eliminates most
+    // rows before any edit-distance work and provably changes nothing —
+    // and the argmin is min(struct(dist, key, name)): lexicographic,
+    // order-independent, partial-agg'd map-side so the exchange carries
+    // one tiny row per probe, never candidates.
+    Q(
+      "q_join_fuzzy",
+      """WITH p AS (
+        |  SELECT p_partkey AS probe_key, substr(p_name, 2) AS probe_name
+        |  FROM part WHERE p_partkey % 500 = 0),
+        |c AS (
+        |  SELECT probe_key, probe_name, b.p_partkey AS mk, b.p_name AS mn,
+        |    CAST(levenshtein(probe_name, b.p_name) AS BIGINT) AS dist
+        |  FROM p JOIN part b
+        |    ON abs(length(probe_name) - length(b.p_name)) <= 2
+        |  WHERE levenshtein(probe_name, b.p_name) <= 2)
+        |SELECT probe_key, probe_name, mk AS match_key, mn AS match_name, dist
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY probe_key ORDER BY dist, mk) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY probe_key""".stripMargin) { (s, d) =>
+      val probes = U.part(s, d)
+        .filter(col("p_partkey") % 500 === 0)
+        .select(
+          col("p_partkey").as("probe_key"),
+          substring(col("p_name"), 2, Int.MaxValue).as("probe_name"))
+      val dist = levenshtein(col("probe_name"), col("p_name"))
+      U.part(s, d)
+        .join(
+          broadcast(probes),
+          abs(length(col("probe_name")) - length(col("p_name"))) <= 2)
+        .filter(dist <= 2)
+        .groupBy(col("probe_key"), col("probe_name"))
+        .agg(min(struct(
+          dist.cast("long").as("dist"),
+          col("p_partkey").as("match_key"),
+          col("p_name").as("match_name"))).as("m"))
+        .select(
+          col("probe_key"),
+          col("probe_name"),
+          col("m.match_key").as("match_key"),
+          col("m.match_name").as("match_name"),
+          col("m.dist").as("dist"))
+        .orderBy("probe_key")
     }
   )
 }

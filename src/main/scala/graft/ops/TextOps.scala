@@ -406,6 +406,66 @@ object TextOps {
          |FROM ch
          |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       U.chunked(s, d).orderBy("doc_id", "chunk_id")
+    },
+
+    // Keyword search with inverse-document-frequency weighting (the tf-idf
+    // ranking shape, integerized): for the fixed query {spark, filter,
+    // window}, score(d) = Σ_t tf(t,d) · (10^6 div df(t)) — rarer terms
+    // weigh more, and every quantity is BIGINT so the ranking is bit-stable
+    // across engines and partitionings (BM25's ln() would make the score a
+    // cross-engine float hazard; the div-scaled reciprocal keeps the same
+    // monotonicity in df with none of it). Scale: per-doc tf's are a
+    // zero-shuffle codegen'd scan; the 3 df's partial-agg to ONE row that
+    // rides back as a broadcast; top-20 by (score, doc_id) is
+    // TakeOrderedAndProject — no full sort, no shuffle of the corpus.
+    Q(
+      "q_text_search",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(w, x -> x = 'filter')) AS BIGINT) AS tf_filter,
+        |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM t),
+        |d AS (
+        |  SELECT 1000000 // count(*) FILTER (WHERE tf_spark > 0) AS w_spark,
+        |         1000000 // count(*) FILTER (WHERE tf_filter > 0) AS w_filter,
+        |         1000000 // count(*) FILTER (WHERE tf_window > 0) AS w_window
+        |  FROM f)
+        |SELECT doc_id, tf_spark, tf_filter, tf_window,
+        |  tf_spark * w_spark + tf_filter * w_filter + tf_window * w_window
+        |    AS score
+        |FROM f, d
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      def tf(term: String) =
+        size(filter(col("w"), x => x === term)).cast("long")
+      val f = U.documents(s, d)
+        .select(col("doc_id"), U.words.as("w"))
+        .select(
+          col("doc_id"),
+          tf("spark").as("tf_spark"),
+          tf("filter").as("tf_filter"),
+          tf("window").as("tf_window"))
+      val dfs = f.agg(
+        expr("1000000 div count(CASE WHEN tf_spark > 0 THEN 1 END)")
+          .as("w_spark"),
+        expr("1000000 div count(CASE WHEN tf_filter > 0 THEN 1 END)")
+          .as("w_filter"),
+        expr("1000000 div count(CASE WHEN tf_window > 0 THEN 1 END)")
+          .as("w_window"))
+      f.crossJoin(broadcast(dfs))
+        .select(
+          col("doc_id"),
+          col("tf_spark"),
+          col("tf_filter"),
+          col("tf_window"),
+          (col("tf_spark") * col("w_spark") +
+            col("tf_filter") * col("w_filter") +
+            col("tf_window") * col("w_window")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
