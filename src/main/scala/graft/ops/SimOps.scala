@@ -582,7 +582,38 @@ object SimOps {
     // LSH-candidate-dependent; DedupSimSpec asserts every emitted edge
     // carries the bit-exact recomputed cosine and that planted cosine-0.9
     // near-duplicates find their partner as the rank-1 neighbor.
-    Q.noOracle("q_sim_knn_graph") { (s, d) => knnGraph(s, d, 3) }
+    Q.noOracle("q_sim_knn_graph") { (s, d) => knnGraph(s, d, 3) },
+
+    // Product-quantization codes for every corpus vector: 4 subspaces of
+    // 16 dims, 16 L2-trained centroids each ([[trainPqCodebooks]]) → four
+    // 4-bit codes = 2 bytes per vector vs 256 float bytes, the 128× index
+    // compression real billion-vector ANN serving rides on (IVF-PQ).
+    // Encoding is ONE map-side scan: the 64-entry codebook rides a 1-row
+    // broadcast and each code is a fold-argmin over the vector's subspace
+    // slice — vectors never shuffle, nothing is exploded. no_oracle:
+    // codebook-dependent; DedupSimSpec replays training AND encoding
+    // driver-side and asserts every code matches bit for bit.
+    Q.noOracle("q_embed_pq") { (s, d) =>
+      withPqCodes(
+        U.embeddings(s, d)
+          .filter(col("vec_id") >= 1)
+          .select(col("vec_id"), col("embedding")),
+        trainPqCodebooks(s, d))
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+        .orderBy("vec_id")
+    },
+
+    // IVF-PQ ANN — the full billion-scale serving shape: coarse IVF cells
+    // prune the corpus to nprobe=4 of 16 cells, PQ codes + an ADC lookup
+    // table rank the survivors WITHOUT touching raw vectors, and only the
+    // top-50 shortlist pays an exact-cosine re-rank. At 100 TB the scan
+    // reads 2-byte codes for candidates instead of 256-byte vectors — the
+    // asymmetric-distance trick (Jégou et al., TPAMI 2011) — and every
+    // stage is map-side against broadcasts until the final TakeOrdered.
+    // no_oracle: codebook-dependent; DedupSimSpec asserts returned cosines
+    // are bit-identical to the brute-force ranking's and measures planted
+    // recall.
+    Q.noOracle("q_sim_ann_ivfpq") { (s, d) => ivfpqTopK(s, d) }
   )
 
   /** The q_sim_knn_graph kernel, parameterized by k so the DedupSimSpec
@@ -628,5 +659,191 @@ object SimOps {
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
       .orderBy("src", "rk")
+  }
+
+  // ---- Product quantization (q_embed_pq / q_sim_ann_ivfpq) ----
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each
+    * (PqM·PqSubDim = PlaneDim = the embedding dim), [[PqK]] centroids per
+    * subspace → PqM 4-bit codes per vector.
+    */
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 16
+
+  /** Squared L2 of subvector `sv` against codebook entry `cb`:
+    * (svv − 2·⟨sv,cv⟩) + cvv with the parenthesization PINNED (svv and cvv
+    * are the precomputed self-dots) so the DedupSimSpec driver twin can
+    * replay every assignment bit-exact. Division-free — no NaN path, so
+    * unlike the cosine fold there is no zero-norm hazard.
+    */
+  private def l2sq(sv: Column, svv: Column, cb: Column): Column =
+    (svv - lit(2.0) * dot(sv, cb.getField("cv"))) + cb.getField("cvv")
+
+  /** Fold-argmin cell for subspace `sub`: minimizes (d2, cell)
+    * lexicographically over the broadcast 1-row codebook array `cbs`
+    * (entries of other subspaces are skipped), ties to the LOWER cell —
+    * order-independent, so the non-deterministic collect_list order cannot
+    * leak into the code.
+    */
+  private def bestPqCell(
+      cbs: Column,
+      sub: Column,
+      sv: Column,
+      svv: Column): Column =
+    aggregate(
+      cbs,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell")),
+      (acc, cb) => {
+        val d2 = l2sq(sv, svv, cb)
+        when(
+          cb.getField("sub") === sub &&
+            (d2 < acc.getField("d2") ||
+              (d2 === acc.getField("d2") &&
+                cb.getField("cell") < acc.getField("cell"))),
+          struct(d2.as("d2"), cb.getField("cell").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+
+  /** The four per-subspace codebooks as one 1-row broadcastable frame:
+    * collect_list of (sub, cell, cv, cvv) structs.
+    */
+  private def pqBooksRow(books: DataFrame): DataFrame =
+    books.agg(collect_list(
+      struct(col("sub"), col("cell"), col("cv"), col("cvv"))).as("cbs"))
+
+  /** Per-subspace L2 k-means codebook trainer — [[trainCodebook]]'s
+    * discipline applied to PQ: per iteration ONE broadcast of the
+    * PqM·PqK-entry codebook + a map-side argmin per (vector, subspace),
+    * then re-centering as micro-int component means whose one exchange
+    * carries at most PqM·PqK·PqSubDim = 1024 partial rows — independent of
+    * corpus size, so training costs O(iters) scans at 100 TB with no
+    * vector shuffle. Init: subspace slices of the first PqK corpus
+    * vectors; an emptied cell keeps its previous centroid; lineage cut per
+    * iteration (the frame is 64 rows). Returns (sub, cell, cv, cvv).
+    */
+  def trainPqCodebooks(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val e = U.embeddings(s, d)
+      .filter(col("vec_id") >= 1)
+      .select(
+        col("vec_id"),
+        posexplode(array((0 until PqM).map(i =>
+          slice(emb, i * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "sv")
+      .withColumn("svv", dot(col("sv"), col("sv")))
+    var books = e
+      .filter(col("vec_id").between(1, PqK))
+      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
+      .withColumn("cvv", dot(col("cv"), col("cv")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = e
+        .crossJoin(broadcast(pqBooksRow(books)))
+        .select(
+          col("sub"),
+          bestPqCell(col("cbs"), col("sub"), col("sv"), col("svv")).as("cell"),
+          col("sv"))
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(
+          sum(floor(col("col") * 1000000 + 0.5).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(
+          col("sub"),
+          col("cell"),
+          col("pos"),
+          (col("sm").cast("double") / col("n") / 1000000.0).as("c"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("next_cv"))
+      books = books
+        .select(col("sub"), col("cell"), col("cv").as("prev_cv"))
+        .join(next, Seq("sub", "cell"), "left")
+        .select(
+          col("sub"),
+          col("cell"),
+          coalesce(col("next_cv"), col("prev_cv")).as("cv"))
+        .withColumn("cvv", dot(col("cv"), col("cv")))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** Appends PQ code columns c0..c{PqM-1} to `df` (which must carry
+    * `embedding`) — one map-side scan against the broadcast codebooks,
+    * nothing exploded, no shuffle.
+    */
+  private def withPqCodes(df: DataFrame, books: DataFrame): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    val codes = (0 until PqM).map { i =>
+      val sv = slice(emb, i * PqSubDim + 1, PqSubDim)
+      bestPqCell(col("cbs"), lit(i), sv, dot(sv, sv)).as(s"c$i")
+    }
+    df.crossJoin(broadcast(pqBooksRow(books)))
+      .select(df.columns.map(col) ++ codes: _*)
+  }
+
+  /** IVF-PQ search body: coarse IVF cells prune to `nprobe` of 16, ADC
+    * (precomputed ⟨q_sub, centroid⟩ lookup table, map keys sub·32+cell)
+    * ranks candidates from their 4 codes alone in a fixed-order 4-term
+    * sum (deterministic — each element_at is an exact lookup), the top
+    * `shortlist` pay the exact cosine, and the final top `k` report
+    * round(cos, 4) like the rest of the ANN family.
+    */
+  private[graft] def ivfpqTopK(
+      s: SparkSession,
+      d: String,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      k: Int = 10): DataFrame = {
+    val e = U.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = trainCodebook(s, d, 16, 3)
+    val books = trainPqCodebooks(s, d)
+    val qv = e.filter(col("vec_id") === 0)
+    val qcells = qv
+      .crossJoin(broadcast(cents))
+      .select(
+        col("cell"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell"))
+    val qemb = col("embedding").cast("array<double>")
+    val lutRow = qv
+      .crossJoin(broadcast(books))
+      .select(
+        (col("sub").cast("long") * 32 + col("cell")).as("k"),
+        dot(
+          slice(qemb, (col("sub") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
+          col("cv")).as("qdot"))
+      .agg(collect_list(struct(col("k"), col("qdot"))).as("l"))
+      .select(map_from_entries(array_sort(col("l"))).as("lut"))
+    val q1r = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val adc = (0 until PqM)
+      .map(i => element_at(col("lut"), lit(i.toLong * 32) + col(s"c$i")))
+      .reduce(_ + _)
+    withPqCodes(
+      assignCells(e.filter(col("vec_id") =!= 0), cents)
+        .join(broadcast(qcells), "cell"),
+      books)
+      .crossJoin(broadcast(lutRow))
+      .withColumn("adc", adc)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .crossJoin(broadcast(q1r))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 }

@@ -227,5 +227,9 @@ object Registry {
     "q_ts_holtwinters" ->
       "vs driver-side (level, trend, seasonal[6]) fold over identically-ordered rows — TsOpsSpec (same DuckDB struct-accumulator limitation as q_ts_holt)",
     "q_sim_knn_graph" ->
-      "every edge's cosine recomputed bit-exact driver-side + planted cosine-0.9 near-dups find their partner at rank 1 — DedupSimSpec")
+      "every edge's cosine recomputed bit-exact driver-side + planted cosine-0.9 near-dups find their partner at rank 1 — DedupSimSpec",
+    "q_embed_pq" ->
+      "per-subspace L2 Lloyd training AND encoding replayed bit-exact driver-side — DedupSimSpec 'PQ codebook training and encoding equal an exact driver-side simulation'",
+    "q_sim_ann_ivfpq" ->
+      "every returned cosine bit-identical to the brute-force ranking (exact re-rank) + planted recall@10 — DedupSimSpec 'ANN IVF-PQ'")
 }

@@ -392,6 +392,96 @@ class DedupSimSpec extends SparkSpec {
     assert(trained >= 0.5, s"trained IVF recall@10 $trained is degenerate")
   }
 
+  test("PQ codebook training and encoding equal an exact driver-side simulation") {
+    // every step of trainPqCodebooks + withPqCodes is deterministic IEEE /
+    // integer arithmetic: left-to-right dots, (svv - 2*svc) + cvv with
+    // pinned parenthesization, micro-int centroid means, (d2, cell)
+    // lexicographic min — so an exact driver-side replay must reproduce
+    // every code BIT FOR BIT (the q_embed_kmeans twin discipline)
+    val m = 4; val subDim = 16; val k = 16; val iters = 3
+    val vecs: Map[Long, Array[Double]] = U.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sv(v: Array[Double], sub: Int): Array[Double] =
+      v.slice(sub * subDim, sub * subDim + subDim)
+    def best(books: Map[(Int, Long), (Array[Double], Double)],
+             sub: Int, s: Array[Double]): Long = {
+      val svv = ddot(s, s)
+      var bd = Double.MaxValue; var bc = -1L
+      (1L to k).foreach { c =>
+        val (cv, cvv) = books((sub, c))
+        val d2 = (svv - 2.0 * ddot(s, cv)) + cvv
+        if (d2 < bd || (d2 == bd && c < bc)) { bd = d2; bc = c }
+      }
+      bc
+    }
+    var books: Map[(Int, Long), (Array[Double], Double)] = (for {
+      sub <- 0 until m; c <- 1L to k
+    } yield {
+      val cv = sv(vecs(c), sub)
+      (sub, c) -> ((cv, ddot(cv, cv)))
+    }).toMap
+    for (_ <- 1 to iters) {
+      val assign = for ((id, v) <- vecs.toSeq; sub <- 0 until m)
+        yield (sub, best(books, sub, sv(v, sub)), sv(v, sub))
+      books = (for { sub <- 0 until m; c <- 1L to k } yield {
+        val members = assign.collect { case (s, cc, x) if s == sub && cc == c => x }
+        val cv =
+          if (members.isEmpty) books((sub, c))._1
+          else Array.tabulate(subDim) { i =>
+            members.iterator
+              .map(x => math.floor(x(i) * 1e6 + 0.5).toLong).sum
+              .toDouble / members.size / 1e6
+          }
+        (sub, c) -> ((cv, ddot(cv, cv)))
+      }).toMap
+    }
+    val want = vecs.map { case (id, v) =>
+      id -> (0 until m).map(sub => best(books, sub, sv(v, sub))).toList
+    }
+    val got = SparkEntry.queries("q_embed_pq")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until m).map(i => r.getAs[Long](s"c$i")).toList)
+      .toMap
+    assert(got === want, "distributed PQ codes diverged from the exact replay")
+  }
+
+  test("ANN IVF-PQ: returned cosines are genuine; planted recall@10 is sane") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val res = SparkEntry.queries("q_sim_ann_ivfpq")(spark, sfDir).collect()
+    assert(res.length === 10)
+    // the exact re-rank means any result brute force also ranked must carry
+    // the bit-identical rounded cosine — ADC only selects, never scores
+    res.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      brute.get(id).foreach(c =>
+        assert(math.abs(c - r.getAs[Double]("cos_sim")) < 1e-9))
+      assert((1L to 16L).contains(r.getAs[Long]("cell")))
+    }
+    // planted fixture: the query's true neighbors live at cosine ~0.97;
+    // nprobe=4 coarse pruning + ADC shortlist must keep most of them
+    val rows = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    val qv = rows.find(_._1 == 0L).get._2
+    val truth = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (cosOf(v, qv), id) }
+      .sortBy { case (c, id) => (-c, id) }
+      .take(10).map(_._2).toSet
+    val got = graft.ops.SimOps.ivfpqTopK(spark, plantedDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF-PQ planted recall@10 $recall is degenerate")
+  }
+
   test("approx quantiles bracket the exact quantiles") {
     val approx = SparkEntry.queries("q_agg_approx_quantile")(spark, sfDir)
       .collect()
