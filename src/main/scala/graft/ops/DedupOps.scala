@@ -100,7 +100,18 @@ object DedupOps {
     * map-side anti join; cold postings then collect into buffers that
     * are <= MaxShingleDf entries BY CONSTRUCTION.
     */
-  private[ops] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[ops] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    // the pair graph is the shared input of the whole graph family
+    // (ngram-jaccard, triangles, PageRank, connected components): derive
+    // the inverted-index pipeline ONCE per session and hand every
+    // consumer the same checkpointed pair list — the offline
+    // "materialize the dedup graph" job, engine-side. The frame is
+    // pair-sized (near-dups only), never corpus-sized.
+    graft.MatCache.df(s, s"ngrampairs:$d") {
+      ngramJaccardPairsUncached(s, d).localCheckpoint()
+    }
+
+  private def ngramJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val ex = sh.select(
       col("doc_id"),

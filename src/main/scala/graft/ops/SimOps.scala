@@ -193,7 +193,19 @@ object SimOps {
       s: SparkSession,
       d: String,
       k: Int = 16,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    // trained once per (corpus, k, iters) and shared by the whole ANN
+    // family (IVF, IVF-PQ, SemDeDup, q_embed_kmeans) — the offline
+    // codebook-training job, engine-side; the frame is k rows
+    graft.MatCache.df(s, s"codebook:$d:$k:$iters") {
+      trainCodebookUncached(s, d, k, iters)
+    }
+
+  private def trainCodebookUncached(
+      s: SparkSession,
+      d: String,
+      k: Int,
+      iters: Int): DataFrame = {
     val e = U.embeddings(s, d)
       .filter(col("vec_id") >= 1)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -722,7 +734,17 @@ object SimOps {
     * vectors; an emptied cell keeps its previous centroid; lineage cut per
     * iteration (the frame is 64 rows). Returns (sub, cell, cv, cvv).
     */
-  def trainPqCodebooks(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  def trainPqCodebooks(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    // shared by q_embed_pq and q_sim_ann_ivfpq — same once-per-session
+    // discipline as [[trainCodebook]]; the frame is PqM·PqK = 64 rows
+    graft.MatCache.df(s, s"pqbooks:$d:$iters") {
+      trainPqCodebooksUncached(s, d, iters)
+    }
+
+  private def trainPqCodebooksUncached(
+      s: SparkSession,
+      d: String,
+      iters: Int): DataFrame = {
     val emb = col("embedding").cast("array<double>")
     val e = U.embeddings(s, d)
       .filter(col("vec_id") >= 1)
