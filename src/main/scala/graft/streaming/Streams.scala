@@ -644,6 +644,168 @@ object Streams {
         kll_sketch_get_quantile_double(col("m"), lit(0.95)).as("p95"),
         kll_sketch_get_quantile_double(col("m"), lit(0.99)).as("p99"))
 
+  // ---- Streaming incremental near-dup dedup (MinHash-LSH index) ----
+
+  private val MinHashPerms = 32
+  private val Bands = 8 // 8 bands x 4 rows — same geometry as the batch op
+
+  /** (doc_id, sig) MinHash signatures for the batch's docs with >= 3
+    * tokens (shorter docs cannot shingle, so they can never near-dup —
+    * they are kept and stored with a null signature).
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.U.words.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashSig
+          .minhashSig(graft.functions.Shingles.shingles(col("w"), 3), MinHashPerms)
+          .as("sig"))
+
+  /** (doc_id, band, bucket) LSH band buckets of a signature frame. */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = MinHashPerms / Bands
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  private def readStore(s: SparkSession, dir: String): Option[DataFrame] =
+    scala.util.Try(s.read.parquet(dir)).toOption
+
+  /** One micro-batch of the streaming near-dup index
+    * ([[minhashDedupSink]]), exposed for direct replay testing.
+    *
+    * Semantics (greedy stream dedup, the corpus-ingest standard): a new
+    * doc is DROPPED iff its MinHash signature agrees with any
+    * earlier-seen doc's on >= `minAgree` of the 32 permutations —
+    * "earlier" meaning any stored doc from batches < `batchId`, or any
+    * same-batch doc with a LOWER doc_id (so two deliveries of the same
+    * batch resolve identically). The canonical match recorded is the one
+    * with the highest agreement, ties to the lowest doc_id — a
+    * min(struct) over integers, order-independent at any parallelism.
+    *
+    * Exactly-once in effect, the [[sketchMvBatch]] layout discipline:
+    * candidate generation reads ONLY batches < `batchId` from the store,
+    * and both outputs land in this batch's OWN `batch_id=N` directories
+    * (`sigs/` — survivors' signatures, the accumulating LSH index;
+    * `decisions/` — (doc_id, dup_of, agree) drops), overwritten whole, so
+    * an at-least-once replay rewrites byte-identical content instead of
+    * re-matching against its own previous attempt.
+    *
+    * Scale: the stored index is signatures (256 B/doc) + band buckets
+    * derived on read — never text; candidates come from bucket equi-joins
+    * (the batch side is micro-batch-sized, so Spark broadcasts it); the
+    * per-pair verify is integer agreement over 32 positions. At 100 TB of
+    * corpus the store is ~0.3% of it, and each micro-batch touches only
+    * its own collision buckets.
+    */
+  def minhashDedupBatch(
+      batch: DataFrame,
+      storeDir: String,
+      batchId: Long,
+      minAgree: Int = 26): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    if (batch.isEmpty) return
+    val sigs = minhashSigs(batch).localCheckpoint()
+    val emptySigs = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sig")
+    val oldSigs = readStore(s, s"$storeDir/sigs")
+      .map(_.filter(col("batch_id") < batchId && col("sig").isNotNull)
+        .select(col("doc_id"), col("sig")))
+      .getOrElse(emptySigs)
+    val newBands = bandsOf(sigs)
+    val crossBatch = newBands
+      .as("n")
+      .join(bandsOf(oldSigs).as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(col("n.doc_id").as("nid"), col("o.doc_id").as("oid"))
+    val intraBatch = newBands
+      .as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("nid"), col("y.doc_id").as("oid"))
+    val agree = size(filter(
+      zip_with(col("nsig"), col("osig"), (x, y) => x === y),
+      p => p)).cast("long")
+    val decisions = crossBatch
+      .unionAll(intraBatch)
+      .distinct()
+      .join(sigs.select(col("doc_id").as("nid"), col("sig").as("nsig")), "nid")
+      .join(
+        sigs.select(col("doc_id").as("oid"), col("sig").as("osig"))
+          .unionAll(oldSigs.select(col("doc_id").as("oid"), col("sig").as("osig"))),
+        "oid")
+      .select(col("nid"), col("oid"), agree.as("agree"))
+      .filter(col("agree") >= minAgree)
+      .groupBy(col("nid"))
+      .agg(min(struct(
+        (lit(MinHashPerms.toLong) - col("agree")).as("d"),
+        col("oid").as("dup_of"))).as("m"))
+      .select(
+        col("nid").as("doc_id"),
+        col("m.dup_of").as("dup_of"),
+        (lit(MinHashPerms.toLong) - col("m.d")).as("agree"))
+      .localCheckpoint()
+    decisions.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/decisions/batch_id=$batchId")
+    batch
+      .select(col("doc_id"))
+      .join(decisions.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(sigs, Seq("doc_id"), "left")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/sigs/batch_id=$batchId")
+  }
+
+  /** Streaming incremental near-dup dedup — the streaming form of batch
+    * `q_dedup_incremental` upgraded from exact to NEAR duplicate: each
+    * micro-batch of documents is checked against the accumulating
+    * MinHash-LSH signature index (and itself), drops are recorded with
+    * their canonical match, and survivors extend the index. This is the
+    * continuous-crawl corpus-ingest shape: dedup amortized into ingest,
+    * no periodic full-corpus recompute. Caller starts the returned writer
+    * (`.start()`), same contract as [[ingestFiles]]. StreamingSpec
+    * asserts cross-batch and intra-batch drops, survivor indexing, and
+    * replay idempotence.
+    */
+  def minhashDedupSink(
+      docs: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      minAgree: Int = 26): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        minhashDedupBatch(b, storeDir, id, minAgree))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** The surviving (deduplicated) doc ids in the [[minhashDedupSink]]
+    * index, with the batch that admitted each.
+    */
+  def dedupSurvivors(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/sigs")
+      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"))
+
+  /** Every drop decision recorded by [[minhashDedupSink]]: (doc_id,
+    * dup_of, agree, batch_id).
+    */
+  def dedupDecisions(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/decisions")
+      .select(
+        col("doc_id"),
+        col("dup_of"),
+        col("agree"),
+        col("batch_id").cast("long").as("batch_id"))
+
   /** Stream-stream interval join: pair each left-stream event with the
     * right-stream events for the same series arriving within `maxDelay`
     * AFTER it (ad-tech click-attribution shape, telemetry-flavored: e.g.

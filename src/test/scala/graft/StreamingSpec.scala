@@ -16,6 +16,9 @@ case class Tele(
     sensor_name: String, timestamp: Timestamp, value: Double,
     fc1_flag: Option[Byte], timeseries_id: String)
 
+/** Document record for the streaming near-dup dedup tests. */
+case class Doc(doc_id: Long, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -453,6 +456,57 @@ class StreamingSpec extends SparkSpec {
       ("id-quiet", ts("2024-08-28 12:00:00")),
       ("id-quiet", ts("2024-08-28 13:30:00"))),
       "a returning series must re-arm and alert again; a live series must never alert")
+  }
+
+  test("minhashDedup: cross/intra-batch near-dups drop, survivors index, replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_mhdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mhdedup_ckpt").toString
+    // 40-word base text; near-dups differ in ONE trailing word -> shingle
+    // jaccard 37/39 ~ 0.95 -> expected signature agreement ~30/32, far
+    // above the minAgree=26 cut (and deterministic: fixed hash family)
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    def mut(last: String) = (0 until 39).map(i => s"w$i").mkString(" ") + " " + last
+    val novel = (0 until 40).map(i => s"u$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = Streams
+      .minhashDedupSink(mem.toDF(), store, ckpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    // b0: doc 1 (base) and doc 2 (near-dup of 1) — INTRA-batch: higher id drops
+    val b0 = Seq(Doc(1L, base), Doc(2L, mut("x2")))
+    mem.addData(b0)
+    q.processAllAvailable()
+    // b1: doc 3 (near-dup of 1 — CROSS-batch vs the stored index),
+    //     doc 4 (novel — survives), doc 5 (too short to shingle — kept)
+    val b1 = Seq(Doc(3L, mut("x3")), Doc(4L, novel), Doc(5L, "tiny doc"))
+    mem.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    val decisions = Streams.dedupDecisions(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_of"), r.getAs[Long]("agree"), r.getAs[Long]("batch_id"))))
+      .toMap
+    assert(decisions.keySet === Set(2L, 3L), s"wrong drop set: $decisions")
+    assert(decisions(2L)._1 === 1L && decisions(2L)._3 === 0L)
+    assert(decisions(3L)._1 === 1L && decisions(3L)._3 === 1L)
+    decisions.values.foreach { case (_, agree, _) =>
+      assert(agree >= 26L && agree <= 32L)
+    }
+    val survivors = Streams.dedupSurvivors(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(survivors === Map(1L -> 0L, 4L -> 1L, 5L -> 1L))
+    // replay batch 1 directly (at-least-once redelivery): candidate reads
+    // exclude batch_id >= 1, outputs overwrite their own dirs -> the store
+    // must come back IDENTICAL, not re-matched against its own attempt
+    import spark.implicits._
+    Streams.minhashDedupBatch(b1.toDF(), store, batchId = 1L)
+    val decisions2 = Streams.dedupDecisions(spark, store).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("agree"), r.getAs[Long]("batch_id"))).toSet
+    val survivors2 = Streams.dedupSurvivors(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(decisions2 === decisions.map { case (k, (d, a, b)) => (k, d, a, b) }.toSet)
+    assert(survivors2 === survivors)
   }
 
   test("upsertSink: update overrides append, replay is a no-op, partition layout survives") {
