@@ -1252,6 +1252,55 @@ object JoinOps {
           col("m.match_name").as("match_name"),
           col("m.dist").as("dist"))
         .orderBy("probe_key")
+    },
+
+    // Bloom-filter runtime pruning in front of an exact semi join — the
+    // sideways-information-passing move big engines make when the build
+    // side is too big to broadcast as an exact set but its MEMBERSHIP fits
+    // in a few hundred KB: the ~2%-selective "hot orders" (o_totalprice >
+    // 490k) fold into one bloom_filter_agg row, which broadcasts into the
+    // lineitem scan and drops ~98% of fact rows BEFORE the shuffle; the
+    // exact semi join then removes the bloom's false positives, so the
+    // RESULT is identical to the plain semi join (which is the oracle) —
+    // only the bytes entering the exchange change. Spark's own
+    // spark.sql.optimizer.runtimeFilter makes this same plan automatically
+    // when thresholds allow; spelling it out pins the shape at any config.
+    Q(
+      "q_join_bloom",
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val hot = U.orders(s, d)
+        .filter(col("o_totalprice") > 490000.0)
+        .select(col("o_orderkey"))
+      // BloomFilterAggregate / BloomFilterMightContain are the exact
+      // expressions Spark's InjectRuntimeFilter rule plants — they are not
+      // SQL-registered, so build the same shape directly: the bloom rides
+      // a ScalarSubquery (might_contain requires a constant or scalar
+      // subquery input), evaluated once and shipped to every scan task
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val bloomPlan = hot.agg(
+        GraftShims.column(new BloomFilterAggregate(
+          GraftShims.expression(xxhash64(col("o_orderkey"))),
+          Literal(10000L),
+          Literal(200000L)).toAggregateExpression()).as("bf"))
+        .queryExecution.analyzed
+      U.lineitem(s, d)
+        .filter(GraftShims.column(BloomFilterMightContain(
+          ScalarSubquery(bloomPlan),
+          GraftShims.expression(xxhash64(col("l_orderkey"))))))
+        .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          U.dsumMicro(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue_micro"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -1063,6 +1063,51 @@ object TsOps {
         .toDF("user_id", "n", "level", "trend", "s0", "s1", "s2", "s3", "s4",
           "s5")
         .orderBy("user_id")
+    },
+
+    // Theil-Sen robust trend per series: the median of all pairwise slopes
+    // (value-units per HOUR, micro-scaled), the estimator that shrugs off
+    // the outliers OLS chases — the standard robust drift detector for
+    // sensor/telemetry series. Slope arithmetic is the same IEEE sequence
+    // on both engines (exact sub/mul/div, then floor(x·1e6+0.5) to BIGINT);
+    // the median interpolates two exact integers — deterministic at any
+    // parallelism. Same-timestamp pairs are excluded (strict ts_us <, no
+    // zero division). Scale: the self-join keys on user_id, so BOTH sides
+    // hash-partition on the series key through ONE reused exchange and
+    // pairs never cross series; per-series cost is O(n²) in series length —
+    // inherent to the estimator (production caps the window, same as the
+    // rolling family); the events table itself shuffles once.
+    Q(
+      "q_ts_theilsen",
+      """WITH d AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id,
+        |    CAST(floor((b.value - a.value) * 3600000000.0
+        |      / (b.ts_us - a.ts_us) * 1000000 + 0.5) AS BIGINT) AS sm
+        |  FROM d a JOIN d b
+        |    ON a.user_id = b.user_id AND a.ts_us < b.ts_us)
+        |SELECT user_id, count(*) AS n_pairs, median(sm) AS slope_med_micro
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dd = U.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      dd.as("a")
+        .join(
+          dd.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.ts_us") < col("b.ts_us"))
+        .select(
+          col("a.user_id").as("user_id"),
+          floor(
+            (col("b.value") - col("a.value")) * lit(3600000000.0)
+              / (col("b.ts_us") - col("a.ts_us")) * 1000000 + 0.5)
+            .cast("long").as("sm"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          expr("percentile(sm, 0.5D)").as("slope_med_micro"))
+        .orderBy("user_id")
     }
   )
 }
