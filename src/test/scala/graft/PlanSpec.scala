@@ -334,6 +334,55 @@ class PlanSpec extends SparkSpec {
         s"embedding-carrying exchanges — the self-join must reuse the cell exchange)")
   }
 
+  test("q_join_fuzzy: probes broadcast into a nested-loop band join; the catalog never shuffles before it") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = executed(q("q_join_fuzzy"))
+    // the length-band condition is non-equi, so the broadcast probe side
+    // must plan a broadcast NESTED LOOP join — a sort-merge join here
+    // would mean the whole catalog shuffled for a 40-row probe batch
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"expected the probes to ride a broadcast nested-loop join:\n$plan")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the catalog side must not shuffle for the probe join:\n$plan")
+  }
+
+  test("q_text_search: no exchange ever carries doc rows; top-20 is TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_text_search"))
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject for the top-20:\n$plan")
+    // the only shuffle is the 1-row df aggregate; per-doc tf rows must
+    // reach the TakeOrdered without an exchange
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.output.exists(_.name == "doc_id"),
+        s"doc rows crossed an exchange: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("q_join_bloom: the bloom membership probe filters the fact scan before the exact semi join") {
+    import org.apache.spark.sql.execution.joins.HashJoin
+    val plan = executed(q("q_join_bloom"))
+    assert(plan.toString.contains("might_contain"),
+      s"bloom probe missing from the fact side:\n$plan")
+    assert(plan.collect {
+      case j: HashJoin if j.joinType.sql == "LEFT SEMI" => j
+    }.nonEmpty, s"expected the exact LEFT SEMI verify join:\n$plan")
+  }
+
+  test("q_sim_knn_graph / q_ts_theilsen: the self-join never pays two shuffles of the input") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    for (name <- Seq("q_sim_knn_graph", "q_ts_theilsen")) {
+      val plan = executed(q(name))
+      // at test scale Spark may broadcast one self-join side (zero input
+      // shuffles — even better); when it shuffle-joins, the two sides must
+      // share ONE canonical exchange via ReuseExchange
+      val reused = plan.collect { case r: ReusedExchangeExec => r }.nonEmpty
+      val bcastSelf = plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty
+      assert(reused || bcastSelf,
+        s"$name: self-join sides neither broadcast nor share an exchange:\n$plan")
+    }
+  }
+
   test("q_sim_range_search: cosine threshold filters before any exchange — no vector ever shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executed(q("q_sim_range_search"))
