@@ -466,6 +466,66 @@ object TextOps {
             col("tf_window") * col("w_window")).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // DSIR-shaped domain-affinity scoring (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling", hashed
+    // n-gram form): bigrams hash into 1024 buckets; each bucket gets an
+    // importance weight (target_count+1)·10^6 div (corpus_count+1) where
+    // the target domain is lang='en'; a doc's score sums its bigram
+    // occurrences' bucket weights. DSIR proper sums LOG-ratios — ln()
+    // is a cross-engine float hazard (see q_text_search), so this is the
+    // integer ratio surrogate: same per-bucket ordering, engine-exact.
+    // The bucket hash is md5-hex — the one hash both engines compute
+    // identically (Spark conv(substr(md5,1,8),16,10) == DuckDB
+    // ('0x'||substr(md5,1,8))::BIGINT). Scale: the 1024-row weight table
+    // broadcasts; the bigram explode is map-side; the per-doc sum
+    // partial-aggregates before its exchange, so one row per doc
+    // shuffles — at 100 TB this is the standard two-scan DSIR job.
+    Q(
+      "q_text_dsir",
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(bg), 1, 8))::BIGINT % 1024 AS BIGINT) AS bkt
+        |  FROM b),
+        |tc AS (
+        |  SELECT bkt, count(*) FILTER (WHERE lang = 'en') AS ct, count(*) AS cs
+        |  FROM h GROUP BY 1)
+        |SELECT h.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum((tc.ct + 1) * 1000000 // (tc.cs + 1)) AS BIGINT) AS score
+        |FROM h JOIN tc USING (bkt) GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+      val h = U.documents(s, d)
+        .select(col("doc_id"), col("lang"), U.words.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 1024)
+            .as("bkt"))
+      val tc = h.groupBy(col("bkt")).agg(
+        count(when(col("lang") === "en", 1)).as("ct"),
+        count(lit(1)).as("cs"))
+      h.join(broadcast(tc), "bkt")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(expr("(ct + 1) * 1000000 div (cs + 1)")).as("score"))
+        .orderBy("doc_id")
     }
   )
 }
