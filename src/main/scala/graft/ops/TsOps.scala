@@ -1108,6 +1108,83 @@ object TsOps {
           count(lit(1)).as("n_pairs"),
           expr("percentile(sm, 0.5D)").as("slope_med_micro"))
         .orderBy("user_id")
+    },
+
+    // SAX (Symbolic Aggregate approXimation, Lin/Keogh 2003): z-normalize
+    // each series, PAA-compress to 8 segments, map each segment mean to
+    // one of 4 symbols at the Gaussian equiprobable breakpoints ±0.6745/0
+    // — the series becomes an 8-char word, the representation motif
+    // discovery, TS indexing, and cheap whole-series similarity run on.
+    // Determinism: mean/std come from order-independent DECIMAL sums; the
+    // per-row z-score is micro-floored to BIGINT so segment sums are exact
+    // integers; symbol cuts compare that integer against breakpoint·cnt
+    // (one float product, same on both engines); a zero-variance series
+    // pins z = 0. Scale: ONE exchange on the series key feeds the window
+    // stats, the segment aggregate, and the word assembly (all partition
+    // by user_id — the sort rides the same shuffle).
+    Q(
+      "q_ts_sax",
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS sv2
+        |  FROM events),
+        |z AS (
+        |  SELECT user_id, n,
+        |    CASE WHEN sv2 / n - (sv / n) * (sv / n) > 0
+        |      THEN CAST(floor((value - sv / n)
+        |        / sqrt(sv2 / n - (sv / n) * (sv / n)) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS zm,
+        |    ((rn - 1) * 8) // n AS seg
+        |  FROM w),
+        |g AS (SELECT user_id, seg, sum(zm) AS szm, count(*) AS cnt FROM z GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT user_id, seg,
+        |    CASE WHEN szm < -674500.0 * cnt THEN 'a'
+        |         WHEN szm < 0 THEN 'b'
+        |         WHEN szm < 674500.0 * cnt THEN 'c'
+        |         ELSE 'd' END AS s
+        |  FROM g)
+        |SELECT user_id, string_agg(s, '' ORDER BY seg) AS sax
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val ordered = byUser.orderBy(col("ts"), col("event_id"))
+      val w = U.events(s, d).select(
+        col("user_id"),
+        col("value"),
+        row_number().over(ordered).as("rn"),
+        count(lit(1)).over(byUser).as("n"),
+        sum(col("value").cast(U.Dec)).over(byUser).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(U.Dec)).over(byUser)
+          .cast("double").as("sv2"))
+      val varz = col("sv2") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n"))
+      val z = w.select(
+        col("user_id"),
+        when(varz > 0,
+          floor((col("value") - col("sv") / col("n"))
+            / sqrt(varz) * 1000000 + 0.5).cast("long"))
+          .otherwise(0L).as("zm"),
+        expr("((rn - 1) * 8) div n").as("seg"))
+      z.groupBy(col("user_id"), col("seg"))
+        .agg(sum(col("zm")).as("szm"), count(lit(1)).as("cnt"))
+        .select(
+          col("user_id"),
+          col("seg"),
+          when(col("szm") < lit(-674500.0) * col("cnt"), "a")
+            .when(col("szm") < 0, "b")
+            .when(col("szm") < lit(674500.0) * col("cnt"), "c")
+            .otherwise("d").as("s"))
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("seg"), col("s")))),
+              x => x.getField("s")),
+            "").as("sax"))
+        .orderBy("user_id")
     }
   )
 }
