@@ -88,6 +88,23 @@ class TsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("SAX: zero-variance series pins z=0 ('c' segments); a step series hits the a/d extremes") {
+    // constant series: the var>0 guard must pin z=0 (NOT divide 0/0 —
+    // Spark would null it while DuckDB errors casting NaN) -> all
+    // segments sum to 0 -> symbol 'c'; n=3 occupies segs {0,2,5} -> "ccc".
+    // step series 0,0,0,0,10,10,10,10: mean 5, std 5 exactly (decimal
+    // sums), z = ∓1 -> beyond ±0.6745 -> "aaaadddd".
+    val dir = java.nio.file.Files.createTempDirectory("graft_sax").toString
+    val rows = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 5.0)) ++
+      (1 to 8).map(i => (2L, (10 + i).toLong, if (i <= 4) 0.0 else 10.0))
+    rows.map { case (u, i, v) => (i, i * 1000000000L, u, "t", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_ts_sax")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("sax")).toMap
+    assert(got === Map(1L -> "ccc", 2L -> "aaaadddd"))
+  }
+
   test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
     // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
     val hourly = Seq(
