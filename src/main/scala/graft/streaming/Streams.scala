@@ -644,6 +644,78 @@ object Streams {
         kll_sketch_get_quantile_double(col("m"), lit(0.95)).as("p95"),
         kll_sketch_get_quantile_double(col("m"), lit(0.99)).as("p99"))
 
+  // ---- Streaming count-MV + data-mix drift monitor ----
+
+  /** One micro-batch of the daily count MV ([[countMvSink]]): per
+    * (series, day) row counts landed in this batch's OWN `batch_id=N`
+    * directory, overwritten whole. Counts merge by SUM across stored
+    * partials (associative and, thanks to the per-batch-directory
+    * overwrite, exactly-once in effect under replay — the simplest
+    * instance of the [[sketchMvBatch]] layout discipline).
+    */
+  def countMvBatch(batch: DataFrame, mvDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    batch
+      .withColumn("day", to_date(col("timestamp")))
+      .groupBy(col("timeseries_id"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$mvDir/batch_id=$batchId")
+  }
+
+  /** Streaming maintenance of the per-(series, day) count MV — the input
+    * the data-mix monitors ([[mvMixDrift]]) read instead of rescanning
+    * raw events. Caller starts the returned writer (`.start()`).
+    */
+  def countMvSink(
+      telemetry: DataFrame,
+      mvDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => countMvBatch(b, mvDir, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Data-mix drift off the [[countMvSink]] MV — the batch `q_ts_drift`
+    * semantics (older vs newer half of the observed day range, exact ppm
+    * shares, cross-multiplied total-variation numerators over the shared
+    * denominator 2·t_old·t_new) computed from stored daily counts, never
+    * raw events: at 100 TB the monitor reads (series × days × batches)
+    * count rows. All integer arithmetic — bit-stable at any parallelism
+    * and identical to the batch operator's by construction.
+    */
+  def mvMixDrift(s: SparkSession, mvDir: String): DataFrame = {
+    val daily = s.read
+      .parquet(mvDir)
+      .select(
+        col("timeseries_id"),
+        expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT)").as("day"),
+        col("n"))
+      .groupBy(col("timeseries_id"), col("day"))
+      .agg(sum(col("n")).as("n"))
+    val b = daily.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val t = daily
+      .crossJoin(broadcast(b))
+      .groupBy(col("timeseries_id"))
+      .agg(
+        sum(when(col("day") < col("mid"), col("n")).otherwise(0L)).as("n_old"),
+        sum(when(col("day") >= col("mid"), col("n")).otherwise(0L)).as("n_new"))
+    val tot = t.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    t.crossJoin(broadcast(tot))
+      .select(
+        col("timeseries_id"),
+        col("n_old"),
+        col("n_new"),
+        when(col("t_old") > 0, expr("n_old * 1000000 div t_old")).as("ppm_old"),
+        when(col("t_new") > 0, expr("n_new * 1000000 div t_new")).as("ppm_new"),
+        abs(col("n_old") * col("t_new") - col("n_new") * col("t_old"))
+          .as("drift_num"),
+        (lit(2L) * col("t_old") * col("t_new")).as("drift_den"))
+      .orderBy("timeseries_id")
+  }
+
   // ---- Streaming incremental near-dup dedup (MinHash-LSH index) ----
 
   private val MinHashPerms = 32

@@ -458,6 +458,53 @@ class StreamingSpec extends SparkSpec {
       "a returning series must re-arm and alert again; a live series must never alert")
   }
 
+  test("countMv: stream MV counts == direct batch counts; drift reader matches hand-computed integers; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mv = java.nio.file.Files.createTempDirectory("graft_cntmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cntmv_ckpt").toString
+    val mem = MemoryStream[Tele]
+    val q = Streams
+      .countMvSink(mem.toDF(), mv, ckpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t(s: String, id: String) = Tele("S", ts(s), 1.0, None, id)
+    // 4 days: id-a shrinks 3 -> 1 across the midpoint, id-b grows 1 -> 3
+    val b0 = Seq(
+      t("2024-08-25 10:00:00", "id-a"), t("2024-08-25 11:00:00", "id-a"),
+      t("2024-08-26 10:00:00", "id-a"), t("2024-08-25 10:00:00", "id-b"))
+    val b1 = Seq(
+      t("2024-08-27 10:00:00", "id-a"),
+      t("2024-08-27 10:00:00", "id-b"), t("2024-08-28 10:00:00", "id-b"),
+      t("2024-08-28 11:00:00", "id-b"))
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    // MV partials re-merge to the direct per-(series, day) batch counts
+    val merged = spark.read.parquet(mv)
+      .groupBy(col("timeseries_id"), col("day")).agg(sum("n").as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("timeseries_id"), r.getAs[java.sql.Date]("day").toString) -> r.getAs[Long]("n"))
+      .toMap
+    val direct = (b0 ++ b1).groupBy(r => (r.timeseries_id, r.timestamp.toString.take(10)))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    assert(merged === direct)
+    // drift: days 25..28, mid = (19960+19963+1) div 2 -> old = {25,26}, new = {27,28}
+    // id-a: n_old=3, n_new=1; id-b: n_old=1, n_new=3; t_old=t_new=4
+    val drift = Streams.mvMixDrift(spark, mv).collect()
+      .map(r => r.getAs[String]("timeseries_id") ->
+        ((r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Long]("ppm_old"),
+          r.getAs[Long]("ppm_new"), r.getAs[Long]("drift_num"), r.getAs[Long]("drift_den"))))
+      .toMap
+    assert(drift === Map(
+      "id-a" -> ((3L, 1L, 750000L, 250000L, 8L, 32L)),
+      "id-b" -> ((1L, 3L, 250000L, 750000L, 8L, 32L))))
+    // replay batch 1: same rows, same batch_id -> byte-equal effect
+    import spark.implicits._
+    Streams.countMvBatch(b1.toDF(), mv, batchId = 1L)
+    val drift2 = Streams.mvMixDrift(spark, mv).collect()
+      .map(r => r.getAs[String]("timeseries_id") -> r.getAs[Long]("drift_num")).toMap
+    assert(drift2 === Map("id-a" -> 8L, "id-b" -> 8L))
+  }
+
   test("minhashDedup: cross/intra-batch near-dups drop, survivors index, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_mhdedup").toString
