@@ -370,6 +370,36 @@ object DedupOps {
       nodes.crossJoin(edges).crossJoin(tri)
     },
 
+    // Degree sequence of the near-dup pair graph: per-node degree
+    // (undirected — both orientations counted once) plus each node's
+    // degree RANK, the direct "how templated is this doc" signal and the
+    // input a degree-distribution plot reads. Shares the session-cached
+    // pair graph with the rest of the graph family (MatCache), so after
+    // any sibling ran, this is one tiny aggregate over the checkpointed
+    // pair list; the exchange carries (node, degree) rows — node-sized.
+    Q(
+      "q_graph_degrees",
+      s"""$NgramJacSqlCte,
+        |e AS (SELECT a, b FROM jac),
+        |deg AS (
+        |  SELECT x AS doc_id, count(*) AS degree FROM
+        |    (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+        |  GROUP BY 1)
+        |SELECT doc_id, degree,
+        |  rank() OVER (ORDER BY degree DESC, doc_id) AS degree_rank
+        |FROM deg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      ngramJaccardPairs(s, d)
+        .select(explode(array(col("a"), col("b"))).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("degree"))
+        .withColumn(
+          "degree_rank",
+          rank().over(Window.orderBy(col("degree").desc, col("doc_id")))
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+
     // PageRank over the near-dup pair graph (10 damped power iterations,
     // d = 0.85): ranks the CANONICAL documents of duplicate neighborhoods
     // — a doc near-duplicated by many others ranks high, the curation
