@@ -367,6 +367,45 @@ object PipelineOps {
           count(when(col("rn") === 1, 1)).as("n_kept"),
           sum(when(col("rn") === 1, col("n_tokens"))).as("kept_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-based mixing weights at α = 0.5 (the multilingual /
+    // multi-domain sampling standard — weight ∝ n^α flattens the domain
+    // distribution so big domains stop drowning small ones; α = 0.5 is
+    // the sqrt point many multilingual recipes use, and CRUCIALLY sqrt is
+    // a correctly-rounded IEEE op on BOTH engines, where a general pow's
+    // exp/ln detour is not): per (source, lang) domain, weight_micro =
+    // floor(sqrt(n_docs)·10^6 + 0.5), share_ppm = weight·10^6 div Σweight
+    // — everything after the one sqrt is exact integer arithmetic. Scale:
+    // one partial-agg exchange on the domain key (bounded by domain
+    // cardinality); the weight total is a 1-row broadcast.
+    Q(
+      "q_mix_temperature",
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, lang, n_docs,
+        |    CAST(floor(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS weight_micro
+        |  FROM c),
+        |tot AS (SELECT sum(weight_micro) AS tw FROM w)
+        |SELECT source, lang, n_docs, weight_micro,
+        |  CAST(weight_micro * 1000000 // tw AS BIGINT) AS share_ppm
+        |FROM w, tot ORDER BY source, lang""".stripMargin) { (s, d) =>
+      val w = U.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn(
+          "weight_micro",
+          floor(sqrt(col("n_docs")) * 1000000 + 0.5).cast("long"))
+      w.crossJoin(broadcast(w.agg(sum(col("weight_micro")).as("tw"))))
+        .select(
+          col("source"),
+          col("lang"),
+          col("n_docs"),
+          col("weight_micro"),
+          expr("weight_micro * 1000000 div tw").as("share_ppm"))
+        .orderBy("source", "lang")
     }
   )
 

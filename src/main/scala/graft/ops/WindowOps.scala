@@ -325,6 +325,61 @@ object WindowOps {
           sum(col("len")).as("active_days"),
           count(lit(1)).as("n_streaks"))
         .orderBy("user_id")
+    },
+
+    // Rising-run pattern detection (MATCH_RECOGNIZE's bread-and-butter
+    // A B+ shape without the clause): per series, maximal runs of
+    // consecutive value RISES in (ts, event_id) order via gaps-and-islands
+    // — lag marks each rise, a running sum of the breaks numbers the
+    // islands, and the run lengths aggregate per island. Emits the rise
+    // count, the longest run, and how many runs reach length 3 (the
+    // "three rising readings" alert shape). All integer; the one exchange
+    // is the series-key window shuffle, reused by every window in the
+    // chain (same partitioning), then the island aggregate rides it.
+    Q(
+      "q_win_pattern",
+      """WITH o AS (
+        |  SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, rn, value > pv AS rise,
+        |    sum(CASE WHEN value > pv THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM o WHERE pv IS NOT NULL),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS run_len
+        |  FROM m WHERE rise GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(run_len) AS BIGINT) AS n_rises,
+        |  CAST(max(run_len) AS BIGINT) AS max_run,
+        |  CAST(count(*) FILTER (WHERE run_len >= 3) AS BIGINT) AS n_runs_ge3
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val o = U.events(s, d).select(
+        col("user_id"),
+        col("value"),
+        lag(col("value"), 1).over(byUser).as("pv"),
+        row_number().over(byUser).as("rn"))
+      val m = o
+        .filter(col("pv").isNotNull)
+        .select(
+          col("user_id"),
+          (col("value") > col("pv")).as("rise"),
+          sum(when(col("value") > col("pv"), 0).otherwise(1))
+            .over(Window.partitionBy(col("user_id")).orderBy(col("rn")))
+            .as("grp"))
+      m.filter(col("rise"))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("run_len")).as("n_rises"),
+          max(col("run_len")).as("max_run"),
+          count(when(col("run_len") >= 3, 1)).as("n_runs_ge3"))
+        .orderBy("user_id")
     }
   )
 }
