@@ -383,6 +383,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_sax / q_win_pattern: one series-key hash exchange serves the whole window+agg chain") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    for (name <- Seq("q_ts_sax", "q_win_pattern")) {
+      val plan = executed(q(name))
+      // HashPartitioning(user_id) satisfies every downstream requirement —
+      // ClusteredDistribution on (user_id, seg/grp) and on user_id alone —
+      // so the ONLY hash exchange is the first window shuffle; anything
+      // more means a groupBy re-partitioned data that was already placed
+      // (the final presentation sort's range exchange is expected)
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(hashEx.length === 1,
+        s"$name: expected exactly one series-key hash exchange, got " +
+          s"${hashEx.length}:\n$plan")
+    }
+  }
+
+  test("q_text_dsir: the bucket weight table broadcasts; the only hash exchanges are bucket- or doc-keyed") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val plan = executed(q("q_text_dsir"))
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"weight table must broadcast:\n$plan")
+    // bigram rows must partial-aggregate before any exchange: every hash
+    // exchange carries either the 1024-bucket aggregate or one row per doc
+    plan.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("bg"),
+        s"raw bigram rows crossed an exchange: $names")
+    }
+  }
+
   test("q_sim_range_search: cosine threshold filters before any exchange — no vector ever shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executed(q("q_sim_range_search"))
