@@ -1,12 +1,13 @@
 package graft
 
-import graft.functions.{MaxShingleFreq, MinHashSig, Shingles, SimHash64, VecDot}
+import graft.functions.{MaxShingleFreq, Md5Prefix64, MinHashSig, Shingles, SimHash64, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL surface for the custom codegen'd expressions: `spark.sql` users get
-  * `vec_dot`, `shingles`, `minhash_sig`, `simhash64`, `max_shingle_freq` as
+  * `vec_dot`, `shingles`, `minhash_sig`, `simhash64`, `max_shingle_freq`,
+  * `md5_prefix64` as
   * first-class functions, either per-session ([[GraftFunctions.register]]) or for every
   * session via `spark.sql.extensions=graft.GraftExtensions` (the standard
   * library-installation hook — no Spark fork, no reflection).
@@ -84,6 +85,16 @@ object GraftFunctions {
             case _ =>
               throw new IllegalArgumentException(
                 s"max_shingle_freq(words, n) takes 2 arguments, got ${args.length}")
+          }),
+      (
+        FunctionIdentifier("md5_prefix64"),
+        new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+        (args: Seq[Expression]) =>
+          args match {
+            case Seq(a) => Md5Prefix64(a)
+            case _ =>
+              throw new IllegalArgumentException(
+                s"md5_prefix64(str) takes 1 argument, got ${args.length}")
           }))
 
   /** Register on an existing session (session-scoped, no config needed). */

@@ -515,7 +515,9 @@ object TextOps {
         .select(
           col("doc_id"),
           col("lang"),
-          (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 1024)
+          // bit-identical to conv(substr(md5(bg),1,8),16,10) % 1024 — see
+          // [[graft.functions.Md5Prefix64]] for why the custom expression
+          (graft.functions.Md5Prefix64.md5Prefix64(col("bg")) % 1024)
             .as("bkt"))
       val tc = h.groupBy(col("bkt")).agg(
         count(when(col("lang") === "en", 1)).as("ct"),

@@ -228,7 +228,28 @@ class FunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("max_shingle_freq", "minhash_sig", "shingles", "simhash64", "vec_dot"))
+      Seq("max_shingle_freq", "md5_prefix64", "minhash_sig", "shingles",
+        "simhash64", "vec_dot"))
+  }
+
+  test("Md5Prefix64 equals conv(substr(md5(x),1,8),16,10) on generated strings") {
+    // the bit-identity the q_text_dsir oracle depends on: the custom
+    // expression must agree with the declarative hex round-trip on every
+    // input, including empty and non-ASCII strings
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.const(""),
+      Gen.const("naïve ünïcode 中文"),
+      Gen.listOf(Gen.oneOf("w1 ", "w2 ", "x ")).map(_.mkString))
+    forAllSamples(strGen) { (s: String) =>
+      val df = Seq(Tuple1(s)).toDF("x")
+      val got = df.select(graft.functions.Md5Prefix64.md5Prefix64(col("x")))
+        .head().getLong(0)
+      val want = df.select(
+        conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
+        .head().getLong(0)
+      assert(got === want, s"mismatch on input '$s'")
+    }
   }
 
   test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
