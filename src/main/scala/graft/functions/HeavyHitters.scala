@@ -60,4 +60,29 @@ object HeavyHitters {
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
+
+  /** A stored MG summary: the bounded counter map plus the TOTAL item
+    * count it saw (`finish` above drops n, but a persisted partial needs
+    * it — the reader's guarantee threshold is n/(k+1) over the MERGED
+    * total).
+    */
+  final case class MGSummary(counts: Map[String, Long], n: Long)
+
+  /** Merges stored [[MGSummary]] rows — the reader side of a heavy-hitters
+    * MV ([[graft.streaming.Streams.hhMvSink]]): same O(k) merge-and-trim
+    * as [[MisraGries.merge]], lifted to summaries so per-batch partials
+    * re-combine without rescanning raw rows (Agarwal et al., PODS 2012
+    * mergeability).
+    */
+  final class MisraGriesMerge(k: Int)
+      extends Aggregator[MGSummary, MGBuffer, MGSummary] {
+    private val mg = new MisraGries(k)
+    override def zero: MGBuffer = mg.zero
+    override def reduce(b: MGBuffer, s: MGSummary): MGBuffer =
+      mg.merge(b, MGBuffer(s.counts, s.n))
+    override def merge(b1: MGBuffer, b2: MGBuffer): MGBuffer = mg.merge(b1, b2)
+    override def finish(b: MGBuffer): MGSummary = MGSummary(b.counts, b.n)
+    override def bufferEncoder: Encoder[MGBuffer] = Encoders.product[MGBuffer]
+    override def outputEncoder: Encoder[MGSummary] = Encoders.product[MGSummary]
+  }
 }

@@ -716,6 +716,80 @@ object Streams {
       .orderBy("timeseries_id")
   }
 
+  // ---- Streaming heavy-hitters MV (Misra-Gries partials) ----
+
+  /** One micro-batch of the heavy-hitters MV ([[hhMvSink]]): the batch's
+    * series ids fold into ONE Misra-Gries summary row (bounded counter
+    * map + total n) per day, landed in this batch's own `batch_id=N`
+    * directory — the third classic mergeable summary in the MV family
+    * (counts: [[countMvBatch]]; quantiles: [[sketchMvBatch]]; frequent
+    * items: here). Replay overwrites the directory with a VALID summary
+    * of the same rows; within MG's exact regime (k >= distinct items per
+    * batch-day) that summary is the exact count map regardless of row
+    * order, beyond it the MG guarantee — est in [f - n/(k+1), f] — is
+    * the invariant, not the bytes.
+    */
+  def hhMvBatch(
+      batch: DataFrame,
+      mvDir: String,
+      batchId: Long,
+      k: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val mgUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHitters.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    batch
+      .withColumn("day", to_date(col("timestamp")))
+      .groupBy(col("day"))
+      .agg(
+        mgUdaf(col("timeseries_id")).as("hh"),
+        count(lit(1)).as("n"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$mvDir/batch_id=$batchId")
+  }
+
+  /** Streaming maintenance of the Misra-Gries heavy-hitters MV. Caller
+    * starts the returned writer (`.start()`).
+    */
+  def hhMvSink(
+      telemetry: DataFrame,
+      mvDir: String,
+      checkpointDir: String,
+      k: Int = 8,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => hhMvBatch(b, mvDir, id, k))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Heavy hitters over the [[hhMvSink]] MV for a day range: merge the
+    * stored per-batch summaries (O(k) each — raw rows are never
+    * rescanned) and report each retained series with its estimate, the
+    * merged total, and the guarantee threshold n/(k+1): every series with
+    * true frequency above it is PRESENT, and est <= f <= est + n/(k+1).
+    */
+  def mvHeavyHitters(
+      s: SparkSession,
+      mvDir: String,
+      startDay: String,
+      endDay: String,
+      k: Int = 8): DataFrame = {
+    val mergeUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HeavyHitters.MisraGriesMerge(k),
+      org.apache.spark.sql.Encoders.product[
+        graft.functions.HeavyHitters.MGSummary])
+    s.read
+      .parquet(mvDir)
+      .filter(col("day").between(
+        lit(startDay).cast("date"), lit(endDay).cast("date")))
+      .agg(mergeUdaf(col("hh"), col("n")).as("m"))
+      .select(explode(col("m.counts")).as(Seq("timeseries_id", "est")),
+        col("m.n").as("n_total"))
+      .withColumn("threshold", expr(s"n_total div (${k + 1})"))
+      .orderBy(col("est").desc, col("timeseries_id"))
+  }
+
   // ---- Streaming incremental near-dup dedup (MinHash-LSH index) ----
 
   private val MinHashPerms = 32

@@ -505,6 +505,47 @@ class StreamingSpec extends SparkSpec {
     assert(drift2 === Map("id-a" -> 8L, "id-b" -> 8L))
   }
 
+  test("hhMv: merged stream partials equal exact counts in MG's exact regime; replay preserves the summary") {
+    implicit val sqlCtx = spark.sqlContext
+    val mv = java.nio.file.Files.createTempDirectory("graft_hhmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hhmv_ckpt").toString
+    val mem = MemoryStream[Tele]
+    val q = Streams
+      .hhMvSink(mem.toDF(), mv, ckpt, k = 8, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t(s: String, id: String) = Tele("S", ts(s), 1.0, None, id)
+    // two days, three series, split across two batches; k=8 >= 3 distinct
+    // -> MG never decrements, so every partial is the exact count map and
+    // the merged MV must equal exact counts regardless of order
+    val b0 = Seq(
+      t("2024-08-25 10:00:00", "id-hot"), t("2024-08-25 11:00:00", "id-hot"),
+      t("2024-08-25 12:00:00", "id-warm"), t("2024-08-26 10:00:00", "id-hot"))
+    val b1 = Seq(
+      t("2024-08-26 11:00:00", "id-hot"), t("2024-08-26 12:00:00", "id-warm"),
+      t("2024-08-26 13:00:00", "id-cold"))
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    def readHh() = Streams
+      .mvHeavyHitters(spark, mv, "2024-08-25", "2024-08-26", k = 8)
+      .collect()
+      .map(r => r.getAs[String]("timeseries_id") ->
+        ((r.getAs[Long]("est"), r.getAs[Long]("n_total"))))
+      .toMap
+    val got = readHh()
+    assert(got === Map(
+      "id-hot" -> ((4L, 7L)), "id-warm" -> ((2L, 7L)), "id-cold" -> ((1L, 7L))))
+    // day-range pruning: day 25 alone sees only its own rows
+    val d25 = Streams.mvHeavyHitters(spark, mv, "2024-08-25", "2024-08-25", k = 8)
+      .collect().map(r => r.getAs[String]("timeseries_id") -> r.getAs[Long]("est")).toMap
+    assert(d25 === Map("id-hot" -> 2L, "id-warm" -> 1L))
+    // replay batch 1 (at-least-once): the overwritten partial summarizes
+    // the same rows, so the merged read is unchanged
+    import spark.implicits._
+    Streams.hhMvBatch(b1.toDF(), mv, batchId = 1L, k = 8)
+    assert(readHh() === got)
+  }
+
   test("minhashDedup: cross/intra-batch near-dups drop, survivors index, replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft_mhdedup").toString
