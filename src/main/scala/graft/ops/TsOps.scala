@@ -1110,6 +1110,59 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // Min-max downsampling for visualization (the M4 aggregation of
+    // Jugel et al., VLDB 2014, minus the first/last columns OHLC already
+    // covers): per series and day bucket, keep the extreme points — the
+    // two rows a pixel-width bucket must retain for a line chart to render
+    // every spike exactly. Ties (equal values) break to the earliest
+    // (ts, event_id), so the result is deterministic row-for-row. Scale:
+    // ONE series-key window shuffle (both row_numbers and the final
+    // filter ride it — same partitioning); emits 2 rows per (series,
+    // bucket) no matter how dense the raw data, which is the point.
+    Q(
+      "q_ts_downsample_minmax",
+      """WITH t AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value,
+        |    CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS bkt
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, bkt
+        |      ORDER BY value ASC, ts_us, event_id) AS rn_min,
+        |    row_number() OVER (PARTITION BY user_id, bkt
+        |      ORDER BY value DESC, ts_us, event_id) AS rn_max
+        |  FROM t)
+        |SELECT user_id, bkt, 'max' AS kind, ts_us, value FROM r WHERE rn_max = 1
+        |UNION ALL
+        |SELECT user_id, bkt, 'min' AS kind, ts_us, value FROM r WHERE rn_min = 1
+        |ORDER BY user_id, bkt, kind""".stripMargin) { (s, d) =>
+      val t = U.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        col("value"),
+        bucket(86400).as("bkt"))
+      val wb = Window.partitionBy(col("user_id"), col("bkt"))
+      val r = t.select(
+        col("user_id"),
+        col("bkt"),
+        col("ts_us"),
+        col("value"),
+        row_number()
+          .over(wb.orderBy(col("value").asc, col("ts_us"), col("event_id")))
+          .as("rn_min"),
+        row_number()
+          .over(wb.orderBy(col("value").desc, col("ts_us"), col("event_id")))
+          .as("rn_max"))
+      r.filter(col("rn_max") === 1)
+        .select(col("user_id"), col("bkt"), lit("max").as("kind"),
+          col("ts_us"), col("value"))
+        .unionAll(r.filter(col("rn_min") === 1)
+          .select(col("user_id"), col("bkt"), lit("min").as("kind"),
+            col("ts_us"), col("value")))
+        .orderBy("user_id", "bkt", "kind")
+    },
+
     // SAX (Symbolic Aggregate approXimation, Lin/Keogh 2003): z-normalize
     // each series, PAA-compress to 8 segments, map each segment mean to
     // one of 4 symbols at the Gaussian equiprobable breakpoints ±0.6745/0
