@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, U}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 group H — time-series analytics generalizing the
@@ -1110,6 +1110,20 @@ object TsOps {
         .orderBy("user_id")
     },
 
+    // LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    // 2013) — the perceptual line-chart downsampler: keep first and last
+    // points; split the interior into m-2 buckets; from each bucket keep
+    // the point forming the largest triangle with the PREVIOUSLY SELECTED
+    // point and the next bucket's average. The sequential dependency
+    // (selection k needs selection k-1) makes this a per-series streaming
+    // pass, not a window: [[lttb]] extends the secondary-sort kernel with
+    // one-bucket lookahead, so state is O(n/m) points — never the series.
+    // no_oracle: the selection recurrence is not SQL-expressible (the
+    // exact m4/min-max twin IS oracle'd: q_ts_downsample_minmax);
+    // TsOpsSpec replays the identical IEEE steps driver-side and asserts
+    // bit equality, plus the first/last/per-bucket structural invariants.
+    Q.noOracle("q_ts_downsample_lttb") { (s, d) => lttb(s, d, 12) },
+
     // Min-max downsampling for visualization (the M4 aggregation of
     // Jugel et al., VLDB 2014, minus the first/last columns OHLC already
     // covers): per series and day bucket, keep the extreme points — the
@@ -1240,4 +1254,101 @@ object TsOps {
         .orderBy("user_id")
     }
   )
+
+  /** LTTB kernel (`q_ts_downsample_lttb`): secondary-sort per series, then
+    * one streaming pass with ONE-BUCKET lookahead — the only state is the
+    * current bucket, the next bucket, and the last selected point, so a
+    * year-long series costs O(n/m) heap, not O(n). Series with n <= m pass
+    * through unchanged. All arithmetic is pinned IEEE (left-to-right
+    * bucket-average sums, one fixed cross-product form for the triangle
+    * area, strict `>` so ties keep the EARLIEST point) so the TsOpsSpec
+    * driver replay reproduces every selection bit for bit.
+    *
+    * Output: (user_id, sel_rank, ts_us, value) — sel_rank 0 is the first
+    * point, m-1 (or n-1 when n <= m) the last.
+    */
+  def lttb(s: SparkSession, d: String, m: Int): DataFrame = {
+    import s.implicits._
+    require(m >= 3, "lttb needs at least first + one bucket + last")
+    val ev = U.events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        col("value"))
+    val counts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    ev.join(counts, "user_id")
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .select(col("user_id"), col("ts_us"), col("value"), col("n"))
+      .as[(Long, Long, Double, Long)]
+      .mapPartitions { raw =>
+        val it = raw.buffered
+        new Iterator[Seq[(Long, Long, Long, Double)]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[(Long, Long, Long, Double)] = {
+            val uid = it.head._1
+            val n = it.head._4
+            def sHasNext = it.hasNext && it.head._1 == uid
+            // hasNext BEFORE every next: Spark's codegen row iterator only
+            // refills its batch buffer in hasNext, so a bare next() mid
+            // batch throws; the guard also fails loudly if the bucket
+            // accounting ever disagrees with the joined-in n
+            def sNext(): (Long, Double) = {
+              require(sHasNext, s"series $uid exhausted before its n rows")
+              val r = it.next(); (r._2, r._3)
+            }
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Double)]
+            if (n <= m) {
+              var r = 0L
+              while (sHasNext) { val p = sNext(); out += ((uid, r, p._1, p._2)); r += 1 }
+            } else {
+              val buckets = m - 2
+              val ni = n - 2
+              var prev = sNext()
+              out += ((uid, 0L, prev._1, prev._2))
+              var j = 0L
+              def readBucket(k: Int): Array[(Long, Double)] = {
+                val end = (k.toLong + 1) * ni / buckets
+                val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+                while (j < end) { b += sNext(); j += 1 }
+                b.toArray
+              }
+              var cur = readBucket(0)
+              var k = 0
+              var last: (Long, Double) = null
+              while (k < buckets) {
+                val nxt: Array[(Long, Double)] =
+                  if (k < buckets - 1) readBucket(k + 1)
+                  else { last = sNext(); Array(last) }
+                // anchor = next bucket's average, left-to-right sums
+                var sx = 0.0; var sy = 0.0; var i = 0
+                while (i < nxt.length) { sx += nxt(i)._1.toDouble; sy += nxt(i)._2; i += 1 }
+                val ax = sx / nxt.length; val ay = sy / nxt.length
+                // largest triangle vs (prev, anchor); strict > keeps the
+                // earliest point on exact area ties
+                var best = cur(0); var bestArea = -1.0; i = 0
+                while (i < cur.length) {
+                  val p = cur(i)
+                  val area = math.abs(
+                    (prev._1.toDouble - ax) * (p._2 - prev._2) -
+                      (prev._1.toDouble - p._1.toDouble) * (ay - prev._2))
+                  if (area > bestArea) { bestArea = area; best = p }
+                  i += 1
+                }
+                out += ((uid, k + 1L, best._1, best._2))
+                prev = best
+                cur = nxt
+                k += 1
+              }
+              out += ((uid, (m - 1).toLong, last._1, last._2))
+            }
+            out.toSeq
+          }
+        }.flatten
+      }
+      .toDF("user_id", "sel_rank", "ts_us", "value")
+      .orderBy("user_id", "sel_rank")
+  }
 }

@@ -88,6 +88,66 @@ class TsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("LTTB selections equal an exact driver-side replay; first/last/bucket structure holds") {
+    val m = 12
+    val got = SparkEntry.queries("q_ts_downsample_lttb")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sel_rank")) ->
+        ((r.getAs[Long]("ts_us"), r.getAs[Double]("value"))))
+      .toMap
+    val rows = U.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want: Map[(Long, Long), (Long, Double)] = rows.groupBy(_._1).toSeq.flatMap { case (uid, rs) =>
+      val pts = rs.sortBy(r => (r._2, r._3)).map(r => (r._2, r._4))
+      if (pts.length <= m)
+        pts.zipWithIndex.toSeq.map { case (p, i) => (uid, i.toLong) -> ((p._1, p._2)) }
+      else {
+        val buckets = m - 2
+        val ni = pts.length - 2L
+        val interior = pts.slice(1, pts.length - 1)
+        val lastPt = pts.last
+        val out = scala.collection.mutable.Map.empty[(Long, Long), (Long, Double)]
+        out((uid, 0L)) = pts.head
+        var prev = pts.head
+        for (k <- 0 until buckets) {
+          val s0 = (k.toLong * ni / buckets).toInt
+          val e0 = ((k + 1).toLong * ni / buckets).toInt
+          val cur = interior.slice(s0, e0)
+          val nxt =
+            if (k < buckets - 1)
+              interior.slice(e0, (((k + 2).toLong * ni) / buckets).toInt)
+            else Array(lastPt)
+          // identical IEEE sequence to the engine: left-to-right sums,
+          // same cross-product form, strict > keeps the earliest
+          var sx = 0.0; var sy = 0.0
+          nxt.foreach { p => sx += p._1.toDouble; sy += p._2 }
+          val ax = sx / nxt.length; val ay = sy / nxt.length
+          var best = cur(0); var bestArea = -1.0
+          cur.foreach { p =>
+            val area = math.abs(
+              (prev._1.toDouble - ax) * (p._2 - prev._2) -
+                (prev._1.toDouble - p._1.toDouble) * (ay - prev._2))
+            if (area > bestArea) { bestArea = area; best = p }
+          }
+          out((uid, k + 1L)) = best
+          prev = best
+        }
+        out((uid, (m - 1).toLong)) = lastPt
+        out.toSeq
+      }
+    }.toMap
+    assert(got === want, "distributed LTTB diverged from the exact replay")
+    // structure: every full-length series emits exactly m ranks 0..m-1
+    got.keys.groupBy(_._1).foreach { case (uid, ks) =>
+      val n = rows.count(_._1 == uid)
+      val expect = math.min(n, m)
+      assert(ks.size === expect, s"series $uid emitted ${ks.size} of $expect")
+      assert(ks.map(_._2).toSeq.sorted === (0L until expect.toLong).toSeq)
+    }
+  }
+
   test("SAX: zero-variance series pins z=0 ('c' segments); a step series hits the a/d extremes") {
     // constant series: the var>0 guard must pin z=0 (NOT divide 0/0 —
     // Spark would null it while DuckDB errors casting NaN) -> all
