@@ -421,6 +421,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ts_downsample_minmax: one series-key hash exchange; q_mix_temperature: weight total broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val mm = executed(q("q_ts_downsample_minmax"))
+    val hashEx = mm.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    // both row_number windows and the filters ride the (user_id, bkt)
+    // partitioning of ONE exchange; the union of two filters of the same
+    // ranked frame must not re-shuffle either branch
+    assert(hashEx.length <= 2, // one per union branch pre-ReuseExchange; >2 means a re-partition leaked in
+      s"q_ts_downsample_minmax re-partitioned ranked data:\n$mm")
+    val mt = executed(q("q_mix_temperature"))
+    assert(mt.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"q_mix_temperature: the 1-row weight total must broadcast:\n$mt")
+  }
+
   test("q_sim_range_search: cosine threshold filters before any exchange — no vector ever shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executed(q("q_sim_range_search"))

@@ -66,6 +66,18 @@ class RegistrySpec extends SparkSpec {
       s"SURVEY.md names nonexistent members: ${missing.map { case (o, m) => s"$o.$m" }}")
   }
 
+  test("MatCache builds once per (session, key) and isolates keys") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(3).toDF("x") }
+    val k = s"registryspec-cache-${System.nanoTime()}"
+    val a = MatCache.df(spark, k)(build())
+    val b = MatCache.df(spark, k)(build())
+    assert(builds === 1, "second lookup must hit the cache, not rebuild")
+    assert(a eq b, "cache must return the same DataFrame instance")
+    MatCache.df(spark, k + ":other")(build())
+    assert(builds === 2, "a different key must build independently")
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val a = q.fn(spark, sfDir).collect()
