@@ -101,17 +101,28 @@ object DedupOps {
     * are <= MaxShingleDf entries BY CONSTRUCTION.
     */
   private[ops] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    // the pair graph is the shared input of the whole graph family
-    // (ngram-jaccard, triangles, PageRank, connected components): derive
-    // the inverted-index pipeline ONCE per session and hand every
-    // consumer the same checkpointed pair list — the offline
-    // "materialize the dedup graph" job, engine-side. The frame is
-    // pair-sized (near-dups only), never corpus-sized.
+    ngramPairStats(s, d)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** The near-dup pair family's ONE cached artifact: candidate pairs that
+    * pass EITHER the symmetric Jaccard cut (>= 0.8, the pair-graph edge
+    * set) OR the asymmetric containment cut (inter >= 0.9·min(|A|,|B|),
+    * the quote/subset signal q_dedup_containment reads), with all the
+    * stats both views need (a, b, na, nb, inter, jaccard). Derived once
+    * per session (MatCache) — the offline "materialize the dedup graph"
+    * job, engine-side; every consumer (ngram-jaccard, containment,
+    * triangles, PageRank, degrees, connected components) filters this
+    * checkpointed pair-sized frame. The UNFILTERED candidate set is
+    * corpus-scaled (1.1M pairs at sf0.1) and must never be cached — both
+    * thresholds apply BEFORE materialization.
+    */
+  private[ops] def ngramPairStats(s: SparkSession, d: String): DataFrame =
     graft.MatCache.df(s, s"ngrampairs:$d") {
-      ngramJaccardPairsUncached(s, d).localCheckpoint()
+      ngramPairStatsUncached(s, d).localCheckpoint()
     }
 
-  private def ngramJaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
+  private def ngramPairStatsUncached(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val ex = sh.select(
       col("doc_id"),
@@ -148,8 +159,9 @@ object DedupOps {
       .withColumn(
         "jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("a"), col("b"), col("jaccard"))
+      .filter(
+        col("jaccard") >= 0.8 ||
+          col("inter") * 10 >= least(col("na"), col("nb")) * 9)
   }
 
   val qs: Seq[Q] = Seq(
@@ -368,6 +380,40 @@ object DedupOps {
           col("a3") === col("a1") && col("b3") === col("b2"))
         .agg(count(lit(1)).as("n_triangles"))
       nodes.crossJoin(edges).crossJoin(tri)
+    },
+
+    // Asymmetric n-gram containment (Broder 1997's other resemblance
+    // measure): pairs where >= 90% of the SMALLER doc's shingles appear in
+    // the larger — the quote / subset / boilerplate-inclusion signal that
+    // symmetric Jaccard dilutes to nothing when sizes differ (a paragraph
+    // quoted inside a long doc has tiny Jaccard but containment ~1).
+    // ALL-INTEGER threshold (inter·10 >= 9·min(na,nb)) and ppm output, so
+    // no float crosses engines. Shares the family's one cached inverted
+    // index derivation ([[ngramPairStats]]); the cap is mirrored in the
+    // oracle so both engines agree by construction.
+    Q(
+      "q_dedup_containment",
+      s"""$NgramJacSqlCte,
+        |cont AS (
+        |  SELECT a, b, sa.n AS na, sb.n AS nb, inter
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = a
+        |  JOIN sizes sb ON sb.doc_id = b
+        |  WHERE inter * 10 >= least(sa.n, sb.n) * 9)
+        |SELECT a, b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST(inter * 1000000 // least(na, nb) AS BIGINT) AS cont_ppm
+        |FROM cont ORDER BY a, b""".stripMargin) { (s, d) =>
+      ngramPairStats(s, d)
+        .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+        .select(
+          col("a"),
+          col("b"),
+          col("na"),
+          col("nb"),
+          col("inter"),
+          expr("inter * 1000000 div least(na, nb)").as("cont_ppm"))
+        .orderBy("a", "b")
     },
 
     // Degree sequence of the near-dup pair graph: per-node degree
