@@ -146,6 +146,56 @@ object CoreOps {
       s.read.parquet(tmp).agg(count(lit(1)).as("n"))
     },
 
+    // Source/sink format coverage beyond parquet (§2.3's "no CSV" gap, in
+    // the direction a lakehouse actually needs): the same sample round
+    // trips through CSV (text) and ORC (columnar), and each format must
+    // reproduce the identical exact aggregates — count, micro-int value
+    // sum, ts extremes. Doubles are micro-floored to BIGINT BEFORE the
+    // write because CSV is a TEXT format: integers round-trip exactly by
+    // construction, where double→decimal-string→double would hinge on
+    // shortest-repr printing. The oracle computes the same aggregates from
+    // the original table — so a single lost or corrupted row in either
+    // format fails the gate.
+    Q(
+      "q_ingest_formats",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_value_micro,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |  FROM events)
+        |SELECT 'csv' AS format, n, sum_value_micro, min_ts_us, max_ts_us FROM a
+        |UNION ALL
+        |SELECT 'orc', n, sum_value_micro, min_ts_us, max_ts_us FROM a
+        |ORDER BY format""".stripMargin) { (s, d) =>
+      val sample = U.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("value_micro"))
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ingest_formats_${java.lang.Integer.toHexString(d.hashCode)}")
+        .toString
+      sample.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      sample.write.mode("overwrite").orc(s"$base/orc")
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(col("value_micro")).as("sum_value_micro"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+          .select(lit(fmt).as("format"), col("n"), col("sum_value_micro"),
+            col("min_ts_us"), col("max_ts_us"))
+      agg(
+        s.read.option("header", "true")
+          .schema("user_id BIGINT, ts_us BIGINT, value_micro BIGINT")
+          .csv(s"$base/csv"),
+        "csv")
+        .unionAll(agg(s.read.orc(s"$base/orc"), "orc"))
+        .orderBy("format")
+    },
+
     // B: column pruning — ReadSchema at the parquet scan is 3 of 11 cols.
     Q(
       "q_scan_project",
