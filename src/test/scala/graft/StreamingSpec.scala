@@ -597,6 +597,20 @@ class StreamingSpec extends SparkSpec {
     assert(survivors2 === survivors)
   }
 
+  test("minhashDedup: an all-short batch indexes nothing matchable but keeps every doc") {
+    // every doc under 3 tokens: no signatures exist, so candidate
+    // generation sees empty frames end to end — the batch must still
+    // record all docs as survivors (null sigs) and no decisions
+    val store = java.nio.file.Files.createTempDirectory("graft_mhshort").toString
+    import spark.implicits._
+    val b = Seq(Doc(1L, "one two"), Doc(2L, "x"), Doc(3L, ""))
+    Streams.minhashDedupBatch(b.toDF(), store, batchId = 0L)
+    val survivors = Streams.dedupSurvivors(spark, store).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors === Set(1L, 2L, 3L))
+    assert(Streams.dedupDecisions(spark, store).collect().isEmpty)
+  }
+
   test("upsertSink: update overrides append, replay is a no-op, partition layout survives") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
