@@ -703,6 +703,61 @@ object AggOps {
         .orderBy("event_type")
     },
 
+    // EXACT-distinct MV — the q_agg_hll_mv story with zero error: daily
+    // (group, day, word, bits) bitmap partials are the STORED artifact
+    // (written to parquet and read back, the real MV path), and a range
+    // query re-merges them with bit_or — associative, order-independent,
+    // and EXACT, unlike the HLL sketch's ±rsd. This is the
+    // incremental-refresh distinct-count shape for bounded integer id
+    // domains (users, devices, SKUs): a new day appends its word rows;
+    // the re-merge reads (groups × days × words) integer rows, never raw
+    // events. Every stored value is a deterministic BIGINT, so unlike the
+    // KLL/HLL MVs this one IS oracle-checkable: DuckDB computes the same
+    // partials and merge inline.
+    Q(
+      "q_agg_bitmap_mv",
+      """WITH nn AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id >= 0),
+        |w AS (
+        |  SELECT event_type, day, user_id // 63 AS word,
+        |    bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
+        |  FROM nn GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT event_type, word, bit_or(bits) AS bits,
+        |    count(*) AS n_partials
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS n_users_mv,
+        |  CAST(sum(n_partials) AS BIGINT) AS n_stored_rows
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val daily = U.events(s, d)
+        .filter(col("user_id") >= 0)
+        .groupBy(
+          col("event_type"),
+          col("ts").cast("date").as("day"),
+          expr("user_id div 63").as("word"))
+        .agg(bit_or(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"))
+          .as("bits"))
+      // the stored MV: daily word rows round-trip through parquet (scratch
+      // keyed by input dir, overwritten per run — same discipline as
+      // q_ingest_roundtrip)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_bitmap_mv_${java.lang.Integer.toHexString(d.hashCode)}")
+        .toString
+      daily.write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"), col("word"))
+        .agg(bit_or(col("bits")).as("bits"), count(lit(1)).as("n_partials"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(bit_count(col("bits"))).as("n_users_mv"),
+          sum(col("n_partials")).as("n_stored_rows"))
+        .orderBy("event_type")
+    },
+
     // Mergeable QUANTILE-sketch MV — the q_agg_hll_mv story for
     // percentiles, and the single most common monitoring query shape the
     // reference's periodic scan implies (p99-per-series-per-day,
