@@ -25,7 +25,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JSON string escape shared by the error map below.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    // Schema drift fails the whole run, but still emits the fail-closed JSON
+    // line WITH the reason — a probe failure must be diagnosable from the
+    // captured stdout alone (r8's 63-query failure carried no reasons).
+    try U.probeTables(spark, sfDir)
+    catch {
+      case e: IllegalStateException =>
+        val msg = jq(e.getMessage.linesIterator.take(4).mkString(" | "))
+        println(s"""{"metric":"total","value":1.0E9,"unit":"sec","queries":{},"failed":[],"errors":{"_schema_probe":$msg},"sf":"$sfDir"}""")
+        println(s"""{"metric":"total","short":true,"value":1.0E9,"unit":"sec","n":0,"failed":["_schema_probe"],"sf":"$sfDir"}""")
+        spark.stop()
+        return
+    }
+
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // key -> first exception line from the most recent failure
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def record(name: String, e: Throwable): Unit = {
+      val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(2).mkString(" | ")
+      errors(name) = s"${e.getClass.getSimpleName}: $first"
+    }
 
     // Untimed warm pass over ALL queries: every join/agg/window/expression
     // codegen path compiles here, not inside a timed pass.
@@ -44,6 +75,7 @@ object Bench {
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: $e")
+              record(name, e)
               false
           }
         // -1 sentinel: a failed query must not masquerade in the JSON as a
@@ -68,9 +100,11 @@ object Bench {
       if (failed.nonEmpty) 1e9
       else if (results.nonEmpty) results.map(_._2).sum
       else 0.0
+    val errJson = errors
+      .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
-          .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+          .mkString("[", ",", "]")},"errors":$errJson,"sf":"$sfDir"}""")
     // Second, SHORT summary line AFTER the big per-query line: a tail
     // capture of this process's stdout truncates the front, which for
     // rounds 4-6 cut the line above before its "value" field — the

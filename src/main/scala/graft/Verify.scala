@@ -18,11 +18,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fail loudly ONCE if the testdata's physical schemas drifted from what
+    // the readers handle (r8: a silent upstream regen broke 63 queries).
+    U.probeTables(spark, sfDir)
+    // key -> first exception line, for failures.json: a failed query must be
+    // diagnosable from the driver artifacts alone, not from a discarded
+    // stderr tail (the r8 diagnosis cost a full round-trip).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
+        failures(name) = s"${e.getClass.getSimpleName}: $first"
+        System.err.println(s"[verify] $name failed: $first")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +55,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(
       Paths.get(s"$outDir/no_oracle_verification.json"), propJson)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
   }
 }

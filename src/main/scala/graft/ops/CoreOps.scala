@@ -38,17 +38,19 @@ object CoreOps {
         |WHERE user_id = 7
         |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-12 23:59:59'
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      // Filter on raw int64 nanos so both predicates reach the parquet scan
-      // as PushedFilters (row-group pruning at scale) — see U.eventsRaw.
+      // Filter in the file's physical encoding so both predicates reach the
+      // parquet scan as PushedFilters (row-group pruning at scale) — see
+      // U.eventsRaw/U.tsRangeUs.
       val startUs = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
       val endUs = java.time.LocalDateTime.parse("2024-01-12T23:59:59")
         .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
-      U.eventsRaw(s, d)
-        .filter(col("user_id") === 7 && U.nanosRange(col("ts"), startUs, endUs))
+      val raw = U.eventsRaw(s, d)
+      raw
+        .filter(col("user_id") === 7 && U.tsRangeUs(raw, startUs, endUs))
         .select(
           col("event_id"),
-          expr("ts DIV 1000").as("ts_us"),
+          U.tsUsCol(raw).as("ts_us"),
           col("user_id"),
           col("event_type"),
           col("value"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 
 /** One declared engine operator (SURVEY.md §2.4): a Spark query plus, where
   * SQL-expressible, the equivalent ANSI SQL the driver runs in DuckDB over
@@ -60,31 +60,63 @@ object U {
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver testdata stores TIMESTAMP(NANOS) (events.ts) and NTZ
-    // millis (orders/lineitem dates). Read nanos as raw int64 and NTZ as
-    // session-UTC instants so every downstream op sees plain TIMESTAMP —
-    // exactly what DuckDB sees (it floors nanos to micros).
+    // Upstream testdata has shipped two physical encodings for timestamps
+    // (TIMESTAMP(NANOS) through round 7; plain NTZ micros from round 8's
+    // regen). Read nanos as raw int64 and NTZ as session-UTC instants so
+    // the raw frame is deterministic under EITHER encoding — downstream
+    // readers ([[events]]) then branch on the observed dtype instead of
+    // hard-pinning one encoding (the r8 failure mode: one upstream regen
+    // broke 63 queries at analysis time).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  def events(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** `events` with `ts` normalized to TimestampType (UTC micros) regardless
+    * of the file's physical encoding: int64 TIMESTAMP(NANOS) is floored to
+    * micros (what DuckDB does too); native timestamp columns pass through.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = tbl(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet dtype $other (expected int64 nanos or timestamp)")
+    }
+  }
 
-  /** `events` with the raw int64-nanos `ts` kept as-is. Time-range predicates
-    * on the *converted* column can't reach the parquet scan (the source can't
-    * translate `timestamp_micros(ts DIV 1000) >= X`); filtering raw nanos
-    * pushes down and prunes row groups — at 100 TB that is the difference
-    * between a stats-skip and a full scan. Convert to timestamp after.
+  /** `events` with `ts` kept in its physical encoding. When the file stores
+    * int64 nanos, range predicates on the *converted* column can't reach the
+    * parquet scan (the source can't translate
+    * `timestamp_micros(ts DIV 1000) >= X`), so scan-adjacent filters must be
+    * phrased against the raw column via [[tsRangeUs]]/[[tsUsCol]] — at
+    * 100 TB that is the difference between a row-group stats-skip and a
+    * full scan. When the file stores native timestamps, plain timestamp
+    * predicates push down as-is (parquet min/max stats are timestamps too).
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame = tbl(s, d, "events")
 
-  /** Inclusive micros range -> exact raw-nanos range: floor(ts/1000) >= a
-    * iff ts >= a*1000; floor(ts/1000) <= b iff ts <= b*1000 + 999. */
-  def nanosRange(tsNs: Column, startUs: Long, endUs: Long): Column =
-    tsNs >= startUs * 1000L && tsNs <= endUs * 1000L + 999L
+  /** Inclusive `[startUs, endUs]` range over [[eventsRaw]]'s `ts`, phrased
+    * for pushdown in whichever encoding the file has. Nanos branch: exact
+    * raw-int64 bounds (floor(ts/1000) >= a iff ts >= a*1000; <= b iff
+    * ts <= b*1000 + 999). Timestamp branch: literal timestamp bounds.
+    */
+  def tsRangeUs(raw: DataFrame, startUs: Long, endUs: Long): Column =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        col("ts") >= startUs * 1000L && col("ts") <= endUs * 1000L + 999L
+      case _ =>
+        col("ts") >= timestamp_micros(lit(startUs)) &&
+          col("ts") <= timestamp_micros(lit(endUs))
+    }
+
+  /** [[eventsRaw]]'s `ts` as epoch micros (BIGINT) in either encoding. */
+  def tsUsCol(raw: DataFrame): Column = raw.schema("ts").dataType match {
+    case LongType => (col("ts") / 1000L).cast("long")
+    case _        => unix_micros(col("ts"))
+  }
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
@@ -95,6 +127,66 @@ object U {
   def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings")
+
+  /** Startup schema probe (r8 post-mortem item): reads every table's footer
+    * schema once and raises ONE clear error naming the table/column whose
+    * physical encoding no longer matches an assumption the engine makes —
+    * fail loudly once at startup, not 63 times obscurely at analysis.
+    * Columns listed here are the ones operators actually touch; dtype sets
+    * are the encodings each reader branch handles.
+    */
+  def probeTables(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType, want: String): Boolean = (dt, want) match {
+      case (_: IntegerType | _: LongType, "int")  => true
+      case (_: DoubleType, "double")              => true
+      case (_: StringType, "string")              => true
+      case (_: LongType | _: TimestampType, "ts") => true // nanos-as-long | native
+      case (ArrayType(_: FloatType | _: DoubleType, _), "vec") => true
+      case _                                      => false
+    }
+    val expect: Seq[(String, Seq[(String, String)])] = Seq(
+      "region"   -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation"   -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "int", "c_name" -> "string", "c_nationkey" -> "int",
+                        "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "int", "s_name" -> "string", "s_nationkey" -> "int",
+                        "s_acctbal" -> "double"),
+      "part"     -> Seq("p_partkey" -> "int", "p_name" -> "string", "p_brand" -> "string",
+                        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+      "orders"   -> Seq("o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "string",
+                        "o_totalprice" -> "double", "o_orderdate" -> "ts",
+                        "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+                        "l_linenumber" -> "int", "l_quantity" -> "double",
+                        "l_extendedprice" -> "double", "l_discount" -> "double",
+                        "l_tax" -> "double", "l_returnflag" -> "string",
+                        "l_linestatus" -> "string", "l_shipdate" -> "ts"),
+      "events"   -> Seq("event_id" -> "int", "ts" -> "ts", "user_id" -> "int",
+                        "event_type" -> "string", "value" -> "double", "props" -> "string"),
+      "documents"  -> Seq("doc_id" -> "int", "text" -> "string", "lang" -> "string",
+                          "source" -> "string", "n_chars" -> "int"),
+      "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "vec", "label" -> "int"))
+    val problems = expect.flatMap { case (t, cols) =>
+      try {
+        val sch = tbl(s, dir, t).schema
+        cols.flatMap { case (c, want) =>
+          sch.find(_.name == c) match {
+            case None => Some(s"$t.$c: column missing (have: ${sch.fieldNames.mkString(",")})")
+            case Some(f) if !ok(f.dataType, want) =>
+              Some(s"$t.$c: dtype ${f.dataType.simpleString} not handled (expected class '$want')")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: Exception => Seq(s"$t: unreadable (${e.getMessage})")
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        s"testdata schema drift under $dir — fix the readers in graft.U before " +
+          s"running anything:\n  ${problems.mkString("\n  ")}")
+  }
 
   /** Whitespace tokenization of `text` — the ONE definition every text
     * operator shares (DedupOps, TextOps, PipelineOps delegate here); the
@@ -212,8 +304,6 @@ object Registry {
       "vs exact driver-side replay of the same 10 integer-arithmetic power iterations (bit equality) — DedupSimSpec 'integer PageRank equals a driver-side replay of the same iterations'",
     "q_dedup_semantic" ->
       "vs q_dedup_embed_cosine all-pairs (precision 1, bit-identical cosines) + planted-near-dup recall — DedupSimSpec 'semantic dedup prunes only genuine pairs' / 'SemDeDup recall on planted near-duplicates'",
-    "q_mm_decode_stub" ->
-      "vs exact per-row byte statistics + partitioning invariance — MultimodalSpec",
     "q_dedup_clusters" ->
       "vs driver-side union-find on the same pair graph — DedupSimSpec",
     "q_agg_heavyhitters" ->
