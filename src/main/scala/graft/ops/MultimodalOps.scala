@@ -1,48 +1,39 @@
 package graft.ops
 
 import graft.{Q, U}
+import graft.multimodal.Ppm
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star, `BASELINE.json:6`): image/audio/
-  * video are opaque `binary` payload columns with typed metadata. The
-  * container has no media codecs, so the DECODE step is a clearly-marked
-  * deterministic STUB (byte statistics standing in for pixels/samples) — the
-  * Spark-side plumbing (schema, binary columns, per-partition batch decode,
-  * frame-sampling explode) is real and tested.
+  * video are opaque `binary` payload columns with typed metadata. The DECODE
+  * step is a real (bounded) codec — binary PPM/P6 ([[graft.multimodal.Ppm]])
+  * — so the whole path is payload bytes → header parse → pixel matrix →
+  * typed features, with integer pixel statistics the DuckDB oracle verifies
+  * end to end. (JPEG/PNG libs aren't in the container; P6 is the real
+  * format that fits that constraint.)
   *
-  * Payloads here are derived from `documents.text` (UTF-8 bytes) since the
-  * driver testdata has no binary column; at 100 TB the same plan reads
-  * parquet binary columns directly, and the per-partition decode pattern
-  * (one decoder instance per partition, streaming batches) is the shape a
-  * real codec drops into.
+  * Payloads are synthesized deterministically per document since the driver
+  * testdata has no binary column; at 100 TB the same plan reads parquet
+  * binary columns directly, and the per-partition decode pattern (one
+  * decoder context per partition, streaming batches) is the shape any
+  * production codec drops into.
   */
 object MultimodalOps {
 
-  /** One decoded media item (what a real decoder would emit per payload). */
-  final case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      mean_byte: Double,
-      max_byte: Int,
-      n_frames: Int)
-
-  /** STUB decoder — stands in for an image/audio decode. Deterministic pure
-    * function of the payload bytes; replace with a real codec at deploy.
+  /** Deterministic bounded test image for `doc_id`: 8 x (1 + n_chars % 8)
+    * RGB, pixel byte i = (doc_id*31 + i*7) mod 256 — closed-form integer
+    * arithmetic both engines reproduce exactly.
     */
-  def decodeStub(docId: Long, payload: Array[Byte], nFrames: Int): MediaFeatures = {
-    var sum = 0L
-    var mx = 0
+  def syntheticImage(docId: Long, nChars: Long): Ppm.Image = {
+    val w = 8
+    val h = 1 + (nChars % 8).toInt
+    val px = new Array[Byte](w * h * 3)
     var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      sum += b
-      if (b > mx) mx = b
+    while (i < px.length) {
+      px(i) = ((docId * 31 + i * 7) % 256).toByte
       i += 1
     }
-    val mean =
-      if (payload.length == 0) 0.0
-      else math.round(sum.toDouble / payload.length * 10000).toDouble / 10000
-    MediaFeatures(docId, payload.length.toLong, mean, mx, nFrames)
+    Ppm.Image(w, h, 255, px)
   }
 
   /** n_frames metadata derived deterministically from doc length. */
@@ -113,22 +104,42 @@ object MultimodalOps {
           .orderBy("doc_id")
     },
 
-    // Per-partition batch decode through the STUB codec: the real pattern —
-    // binary column in, typed features out, one decoder per partition.
-    // Deterministic but not SQL-expressible => ScalaTest-verified.
-    Q.noOracle("q_mm_decode_stub") { (s, d) =>
+    // Per-partition batch decode through the REAL P6 codec: binary payload
+    // column in, header-parsed pixel matrix out, one decoder context per
+    // partition. The payload is a genuine PPM file (synthesized per doc);
+    // the decoder reads width/height/maxval from the HEADER — nothing about
+    // the image shape is smuggled around the binary column. The oracle
+    // recomputes the per-channel pixel sums in closed-form integer
+    // arithmetic (pixel i = (doc_id*31 + i*7) % 256 over an 8 x
+    // (1 + n_chars % 8) RGB raster), so a single mis-parsed header byte or
+    // dropped pixel fails the hash gate.
+    Q(
+      "q_mm_decode",
+      """WITH px AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(generate_series(0, 8*(1 + n_chars % 8)*3 - 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(1 + n_chars % 8 AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id*31 + i*7) % 256 END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id*31 + i*7) % 256 END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id*31 + i*7) % 256 END) AS BIGINT) AS b_sum,
+        |  CAST(max((doc_id*31 + i*7) % 256) AS BIGINT) AS max_px,
+        |  CAST(min((doc_id*31 + i*7) % 256) AS BIGINT) AS min_px
+        |FROM px GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
       val items = U
         .documents(s, d)
-        .select(
-          col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"),
-          nFrames.cast("int").as("n_frames"))
-        .as[(Long, Array[Byte], Int)]
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Ppm.encode(syntheticImage(id, nChars)))
+        } // (doc_id, payload): a real P6 file in a binary column
       items
         .mapPartitions { it =>
-          // one decoder context per partition would be initialized here
-          it.map { case (id, payload, nf) => decodeStub(id, payload, nf) }
+          // one decoder context per partition initializes here
+          it.map { case (id, payload) => Ppm.stats(id, Ppm.decode(payload)) }
         }
         .toDF()
         .orderBy("doc_id")

@@ -1,60 +1,91 @@
 package graft
 
+import graft.multimodal.Ppm
 import org.apache.spark.sql.functions._
 
-/** The decode stub's mapPartitions plumbing is the deliverable
-  * (MultimodalOps.scala): binary column in, typed features out, one decoder
-  * context per partition. These tests pin (a) the stub's arithmetic against
-  * an exact per-row recomputation from the same UTF-8 bytes, and (b) that
-  * the result is invariant to physical partitioning — the property a real
-  * codec swap must preserve.
+/** The decode path's mapPartitions plumbing AND the codec itself are the
+  * deliverable (MultimodalOps.scala + multimodal/Ppm.scala): binary column
+  * in, header-parsed pixel matrix out, one decoder context per partition.
+  * These tests pin (a) the codec as a codec — encode/decode round-trip,
+  * spec-legal header variants, loud failure on malformed input — and
+  * (b) that the distributed result is invariant to physical partitioning,
+  * the property any codec swap must preserve. The pixel-statistics VALUES
+  * are oracle-checked by the driver (q_mm_decode has DuckDB SQL).
   */
 class MultimodalSpec extends SparkSpec {
 
-  test("decode stub equals exact per-row byte statistics") {
-    val got = SparkEntry.queries("q_mm_decode_stub")(spark, sfDir)
+  test("PPM encode/decode round-trips bit-exactly") {
+    for (id <- Seq(0L, 7L, 123L); nChars <- Seq(0L, 3L, 7L, 1000L)) {
+      val img = graft.ops.MultimodalOps.syntheticImage(id, nChars)
+      val back = Ppm.decode(Ppm.encode(img))
+      assert(back.width === img.width)
+      assert(back.height === img.height)
+      assert(back.maxVal === img.maxVal)
+      assert(back.pixels.toSeq === img.pixels.toSeq)
+    }
+  }
+
+  test("PPM decoder accepts spec-legal header variants (comments, whitespace)") {
+    val img = Ppm.Image(2, 1, 255, Array[Byte](1, 2, 3, 4, 5, 6))
+    val variant =
+      "P6 # a comment\n# another line\n\t 2   1 \r\n255\n".getBytes("US-ASCII") ++
+        img.pixels
+    val back = Ppm.decode(variant)
+    assert(back.width === 2 && back.height === 1)
+    assert(back.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("PPM decoder fails loudly on malformed input") {
+    val good = Ppm.encode(Ppm.Image(2, 1, 255, Array[Byte](1, 2, 3, 4, 5, 6)))
+    // wrong magic
+    intercept[IllegalArgumentException](Ppm.decode("P5\n2 1\n255\n??".getBytes))
+    // truncated raster
+    intercept[IllegalArgumentException](Ppm.decode(good.dropRight(1)))
+    // trailing garbage
+    intercept[IllegalArgumentException](Ppm.decode(good :+ 0.toByte))
+    // 16-bit maxval unsupported
+    intercept[IllegalArgumentException](Ppm.decode("P6\n1 1\n65535\n??????".getBytes))
+  }
+
+  test("decode stats equal an exact per-row recomputation from the pixel formula") {
+    val got = SparkEntry.queries("q_mm_decode")(spark, sfDir)
       .collect()
       .map(r =>
         r.getAs[Long]("doc_id") ->
-          ((r.getAs[Long]("n_bytes"), r.getAs[Double]("mean_byte"),
-            r.getAs[Int]("max_byte"), r.getAs[Int]("n_frames"))))
+          ((r.getAs[Long]("width"), r.getAs[Long]("height"),
+            r.getAs[Long]("r_sum"), r.getAs[Long]("g_sum"),
+            r.getAs[Long]("b_sum"), r.getAs[Long]("max_px"),
+            r.getAs[Long]("min_px"))))
       .toMap
 
     val docs = U.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
       .collect()
     assert(docs.length === got.size)
 
     docs.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val bytes = r.getAs[String]("text").getBytes("UTF-8")
-      val unsigned = bytes.map(_ & 0xff)
-      val wantMean =
-        if (bytes.isEmpty) 0.0
-        else math.round(unsigned.map(_.toLong).sum.toDouble / bytes.length * 10000).toDouble / 10000
-      val wantFrames = (r.getAs[Long]("n_chars") % 30 + 1).toInt
-      val (nb, mean, mx, nf) = got(id)
-      assert(nb === bytes.length.toLong, s"doc $id n_bytes")
-      assert(mean === wantMean, s"doc $id mean_byte")
-      assert(mx === (if (unsigned.isEmpty) 0 else unsigned.max), s"doc $id max_byte")
-      assert(nf === wantFrames, s"doc $id n_frames")
+      val n = 8 * (1 + (r.getAs[Long]("n_chars") % 8).toInt) * 3
+      val pix = (0 until n).map(i => (id * 31 + i * 7) % 256)
+      def chan(c: Int) = pix.zipWithIndex.collect { case (v, i) if i % 3 == c => v }.sum
+      val (w, h, rs, gs, bs, mx, mn) = got(id)
+      assert(w === 8L && h === (n / 24).toLong, s"doc $id dims")
+      assert((rs, gs, bs) === ((chan(0), chan(1), chan(2))), s"doc $id channel sums")
+      assert(mx === pix.max && mn === pix.min, s"doc $id extremes")
     }
   }
 
-  test("decode stub output is invariant to physical partitioning") {
+  test("decode output is invariant to physical partitioning") {
     import spark.implicits._
-    val base = U.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+    val base = U.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
 
     def run(numParts: Int) =
       base.repartition(numParts)
-        .as[(Long, Array[Byte], Int)]
-        .mapPartitions(_.map { case (id, p, nf) =>
-          graft.ops.MultimodalOps.decodeStub(id, p, nf)
-        })
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          (id, Ppm.encode(graft.ops.MultimodalOps.syntheticImage(id, nc)))
+        }
+        .mapPartitions(_.map { case (id, p) => Ppm.stats(id, Ppm.decode(p)) })
         .collect()
         .sortBy(_.doc_id)
         .toSeq
