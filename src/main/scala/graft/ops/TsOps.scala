@@ -73,6 +73,82 @@ object TsOps {
   private def wUser = Window.partitionBy(col("user_id"))
   private def wOrdered = wUser.orderBy(col("ts"), col("event_id"))
 
+  /** Pairwise window for the contract q_ts_theilsen: each point pairs with
+    * its TheilSenCap nearest successors in (ts, event_id) order. 32 spans
+    * several hours at the testdata's event cadence — wide enough for a
+    * stable robust slope, narrow enough that per-series cost is O(n·32) at
+    * any series length.
+    */
+  val TheilSenCap = 32
+
+  /** Windowed Theil-Sen (Sen's estimator over the `cap` nearest
+    * successors), join-free: one series-key window exchange computes
+    * lead(ts), lead(value) for k = 1..cap in a single window operator, the
+    * per-pair slope explode is map-side, and the median aggregation reuses
+    * the same hash partitioning. With cap >= max series length this IS the
+    * exact all-pairs estimator ([[theilsenExact]]; TsOpsSpec pins the
+    * equality).
+    */
+  def theilsen(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val dd = U.events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        col("value"))
+    val w = wUser.orderBy(col("ts_us"), col("event_id"))
+    val nbrs = (1 to cap).map { k =>
+      struct(
+        lead(col("ts_us"), k).over(w).as("ts2"),
+        lead(col("value"), k).over(w).as("v2"))
+    }
+    dd.select(
+        col("user_id"), col("ts_us"), col("value"),
+        array(nbrs: _*).as("nbrs"))
+      .select(
+        col("user_id"), col("ts_us"), col("value"),
+        explode(col("nbrs")).as("p"))
+      .filter(col("p.ts2").isNotNull && col("ts_us") < col("p.ts2"))
+      .select(
+        col("user_id"),
+        floor(
+          (col("p.v2") - col("value")) * lit(3600000000.0)
+            / (col("p.ts2") - col("ts_us")) * 1000000 + 0.5)
+          .cast("long").as("sm"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(sm, 0.5D)").as("slope_med_micro"))
+      .orderBy("user_id")
+  }
+
+  /** Exact all-pairs Theil-Sen — the O(n²)-per-series reference form the
+    * windowed contract query reduces to when cap >= series length. Kept as
+    * the ScalaTest twin (and a correct-but-quadratic baseline for bounded
+    * series); the self-join keys on user_id so both sides share ONE reused
+    * exchange.
+    */
+  def theilsenExact(s: SparkSession, d: String): DataFrame = {
+    val dd = U.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    dd.as("a")
+      .join(
+        dd.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.ts_us") < col("b.ts_us"))
+      .select(
+        col("a.user_id").as("user_id"),
+        floor(
+          (col("b.value") - col("a.value")) * lit(3600000000.0)
+            / (col("b.ts_us") - col("a.ts_us")) * 1000000 + 0.5)
+          .cast("long").as("sm"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(sm, 0.5D)").as("slope_med_micro"))
+      .orderBy("user_id")
+  }
+
   /** Epoch-seconds floor bucket, identical in Spark and DuckDB. */
   private def bucket(seconds: Int) =
     (floor(unix_timestamp(col("ts")) / seconds) * seconds).cast("long")
@@ -1065,49 +1141,40 @@ object TsOps {
         .orderBy("user_id")
     },
 
-    // Theil-Sen robust trend per series: the median of all pairwise slopes
+    // Theil-Sen robust trend per series: the median of pairwise slopes
     // (value-units per HOUR, micro-scaled), the estimator that shrugs off
     // the outliers OLS chases — the standard robust drift detector for
-    // sensor/telemetry series. Slope arithmetic is the same IEEE sequence
-    // on both engines (exact sub/mul/div, then floor(x·1e6+0.5) to BIGINT);
-    // the median interpolates two exact integers — deterministic at any
-    // parallelism. Same-timestamp pairs are excluded (strict ts_us <, no
-    // zero division). Scale: the self-join keys on user_id, so BOTH sides
-    // hash-partition on the series key through ONE reused exchange and
-    // pairs never cross series; per-series cost is O(n²) in series length —
-    // inherent to the estimator (production caps the window, same as the
-    // rolling family); the events table itself shuffles once.
+    // sensor/telemetry series. The CONTRACT query is the windowed form
+    // every production deployment runs (Sen's estimator over each point's
+    // TheilSenCap nearest successors): per-series cost O(n·K) instead of
+    // the exact form's O(n²), so the query itself is 100x-safe — and the
+    // plan is join-free: ONE series-key window exchange computes all K
+    // leads, the slope explode is map-side, and the median groups on the
+    // partitioning already in place. (The exact all-pairs form survives as
+    // [[theilsenExact]], a ScalaTest twin: with K >= series length the two
+    // are equal — TsOpsSpec pins that reduction.) Slope arithmetic is the
+    // same IEEE sequence on both engines (exact sub/mul/div, then
+    // floor(x·1e6+0.5) to BIGINT); the median interpolates two exact
+    // integers — deterministic at any parallelism. Same-timestamp pairs
+    // are excluded (strict ts_us <, no zero division); pair order is
+    // pinned by (ts_us, event_id).
     Q(
       "q_ts_theilsen",
-      """WITH d AS (
-        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+      s"""WITH d AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events),
         |p AS (
         |  SELECT a.user_id,
         |    CAST(floor((b.value - a.value) * 3600000000.0
         |      / (b.ts_us - a.ts_us) * 1000000 + 0.5) AS BIGINT) AS sm
         |  FROM d a JOIN d b
-        |    ON a.user_id = b.user_id AND a.ts_us < b.ts_us)
+        |    ON a.user_id = b.user_id
+        |    AND b.rn - a.rn BETWEEN 1 AND $TheilSenCap
+        |    AND a.ts_us < b.ts_us)
         |SELECT user_id, count(*) AS n_pairs, median(sm) AS slope_med_micro
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val dd = U.events(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      dd.as("a")
-        .join(
-          dd.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.ts_us") < col("b.ts_us"))
-        .select(
-          col("a.user_id").as("user_id"),
-          floor(
-            (col("b.value") - col("a.value")) * lit(3600000000.0)
-              / (col("b.ts_us") - col("a.ts_us")) * 1000000 + 0.5)
-            .cast("long").as("sm"))
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          expr("percentile(sm, 0.5D)").as("slope_med_micro"))
-        .orderBy("user_id")
+      theilsen(s, d, TheilSenCap)
     },
 
     // LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson

@@ -369,9 +369,9 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, s"expected the exact LEFT SEMI verify join:\n$plan")
   }
 
-  test("q_sim_knn_graph / q_ts_theilsen: the self-join never pays two shuffles of the input") {
+  test("q_sim_knn_graph: the self-join never pays two shuffles of the input") {
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    for (name <- Seq("q_sim_knn_graph", "q_ts_theilsen")) {
+    for (name <- Seq("q_sim_knn_graph")) {
       val plan = executed(q(name))
       // at test scale Spark may broadcast one self-join side (zero input
       // shuffles — even better); when it shuffle-joins, the two sides must
@@ -381,6 +381,23 @@ class PlanSpec extends SparkSpec {
       assert(reused || bcastSelf,
         s"$name: self-join sides neither broadcast nor share an exchange:\n$plan")
     }
+  }
+
+  test("q_ts_theilsen: windowed estimator is join-free — one series-key hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val plan = executed(q("q_ts_theilsen"))
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"windowed Theil-Sen must not self-join:\n$plan")
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    // ONE window shuffle on user_id serves the K leads, the slope explode,
+    // and the median aggregation (same partitioning end to end)
+    assert(hashEx.length === 1,
+      s"expected exactly one hash exchange, got ${hashEx.length}:\n$plan")
   }
 
   test("q_ts_sax / q_win_pattern: one series-key hash exchange serves the whole window+agg chain") {

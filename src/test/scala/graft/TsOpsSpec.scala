@@ -234,4 +234,35 @@ class TsOpsSpec extends SparkSpec {
     assert(out(11L) === Some(10L), "equal-ts signup must be at-or-before the purchase")
     assert(out(12L) === None, "earlier purchase has no signup yet")
   }
+
+  test("windowed Theil-Sen with cap >= series length equals the exact all-pairs form") {
+    // The contract query (q_ts_theilsen, cap = TheilSenCap) is the windowed
+    // estimator; this pins its machinery to the exact O(n^2) reference:
+    // identical pair set (strict ts order, equal-ts pairs excluded) and
+    // identical IEEE slope sequence, so the results are bit-equal.
+    import graft.ops.TsOps
+    val maxLen = U.events(spark, sfDir)
+      .groupBy($"user_id").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).collect()(0).getLong(0)
+    val capped = TsOps.theilsen(spark, sfDir, maxLen.toInt).collect().toSeq
+    val exact = TsOps.theilsenExact(spark, sfDir).collect().toSeq
+    assert(capped === exact)
+  }
+
+  test("windowed Theil-Sen (contract cap) pairs each point with at most cap successors") {
+    import graft.ops.TsOps
+    val out = TsOps.theilsen(spark, sfDir, TsOps.TheilSenCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counts = U.events(spark, sfDir)
+      .groupBy($"user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (uid, nPairs) =>
+      val n = counts(uid)
+      val cap = TsOps.TheilSenCap.toLong
+      // upper bound: each of the n points contributes at most cap pairs
+      assert(nPairs <= n * cap, s"user $uid: $nPairs pairs for n=$n")
+      assert(nPairs > 0, s"user $uid: no pairs")
+    }
+  }
 }
