@@ -150,14 +150,14 @@ object CoreOps {
 
     // Source/sink format coverage beyond parquet (§2.3's "no CSV" gap, in
     // the direction a lakehouse actually needs): the same sample round
-    // trips through CSV (text) and ORC (columnar), and each format must
-    // reproduce the identical exact aggregates — count, micro-int value
-    // sum, ts extremes. Doubles are micro-floored to BIGINT BEFORE the
-    // write because CSV is a TEXT format: integers round-trip exactly by
-    // construction, where double→decimal-string→double would hinge on
-    // shortest-repr printing. The oracle computes the same aggregates from
-    // the original table — so a single lost or corrupted row in either
-    // format fails the gate.
+    // trips through CSV (text), JSON lines (text), and ORC (columnar), and
+    // each format must reproduce the identical exact aggregates — count,
+    // micro-int value sum, ts extremes. Doubles are micro-floored to BIGINT
+    // BEFORE the write because CSV/JSON are TEXT formats: integers
+    // round-trip exactly by construction, where
+    // double→decimal-string→double would hinge on shortest-repr printing.
+    // The oracle computes the same aggregates from the original table — so
+    // a single lost or corrupted row in any format fails the gate.
     Q(
       "q_ingest_formats",
       """WITH a AS (
@@ -168,6 +168,8 @@ object CoreOps {
         |    CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
         |  FROM events)
         |SELECT 'csv' AS format, n, sum_value_micro, min_ts_us, max_ts_us FROM a
+        |UNION ALL
+        |SELECT 'json', n, sum_value_micro, min_ts_us, max_ts_us FROM a
         |UNION ALL
         |SELECT 'orc', n, sum_value_micro, min_ts_us, max_ts_us FROM a
         |ORDER BY format""".stripMargin) { (s, d) =>
@@ -180,7 +182,9 @@ object CoreOps {
         s"graft_ingest_formats_${java.lang.Integer.toHexString(d.hashCode)}")
         .toString
       sample.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      sample.write.mode("overwrite").json(s"$base/json")
       sample.write.mode("overwrite").orc(s"$base/orc")
+      val schema = "user_id BIGINT, ts_us BIGINT, value_micro BIGINT"
       def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
         df.agg(
           count(lit(1)).as("n"),
@@ -190,10 +194,9 @@ object CoreOps {
           .select(lit(fmt).as("format"), col("n"), col("sum_value_micro"),
             col("min_ts_us"), col("max_ts_us"))
       agg(
-        s.read.option("header", "true")
-          .schema("user_id BIGINT, ts_us BIGINT, value_micro BIGINT")
-          .csv(s"$base/csv"),
+        s.read.option("header", "true").schema(schema).csv(s"$base/csv"),
         "csv")
+        .unionAll(agg(s.read.schema(schema).json(s"$base/json"), "json"))
         .unionAll(agg(s.read.orc(s"$base/orc"), "orc"))
         .orderBy("format")
     },

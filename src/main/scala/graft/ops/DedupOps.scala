@@ -310,6 +310,14 @@ object DedupOps {
         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT a, b, n_shared FROM pairs ORDER BY a, b""".stripMargin) { (s, d) =>
       val W = 20
+      // The digest table is consumed twice (hot-window census + anti-join
+      // probe side), and without materialization each consumer re-runs the
+      // expensive derivation — full text scan, window explode, md5 — which
+      // .explain confirmed as TWO parquet scans. Checkpointing the
+      // (doc_id, 32-byte digest) pairs once is the offline
+      // "write the shingle index" step a production dedup pipeline runs
+      // anyway: linear in corpus tokens but digests-only (text never
+      // leaves the first scan), and strictly cheaper than re-deriving.
       val wins = graft.U.documents(s, d)
         .select(col("doc_id"), graft.U.words.as("w"))
         .filter(size(col("w")) >= W)
@@ -321,6 +329,7 @@ object DedupOps {
           col("doc_id"),
           md5(array_join(slice(col("w"), col("i"), lit(W)), " ")).as("h"))
         .distinct()
+        .localCheckpoint()
       val hot = wins
         .groupBy(col("h"))
         .agg(count(lit(1)).as("df"))
