@@ -2,6 +2,8 @@ package graft
 
 import graft.multimodal.Ppm
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** The decode path's mapPartitions plumbing AND the codec itself are the
   * deliverable (MultimodalOps.scala + multimodal/Ppm.scala): binary column
@@ -13,6 +15,56 @@ import org.apache.spark.sql.functions._
   * are oracle-checked by the driver (q_mm_decode has DuckDB SQL).
   */
 class MultimodalSpec extends SparkSpec {
+
+  /** Deterministic sampling driver (same pattern as FunctionsSpec: the
+    * scalatestplus bridge isn't on the offline classpath).
+    */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    while (produced < n) {
+      gen(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+    }
+  }
+
+  private val imageGen: Gen[Ppm.Image] = for {
+    w <- Gen.choose(1, 32)
+    h <- Gen.choose(1, 32)
+    maxVal <- Gen.choose(1, 255)
+    px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+  } yield Ppm.Image(w, h, maxVal, px.map(_.toByte).toArray)
+
+  test("property: encode/decode round-trips arbitrary images bit-exactly") {
+    forAllSamples(imageGen) { img =>
+      val back = Ppm.decode(Ppm.encode(img))
+      assert(back.width === img.width)
+      assert(back.height === img.height)
+      assert(back.maxVal === img.maxVal)
+      assert(back.pixels.toSeq === img.pixels.toSeq)
+    }
+  }
+
+  test("property: any single-byte header corruption either fails or decodes different dims") {
+    // Raster bytes are payload (any value is legal); header bytes are
+    // structure. Corrupting each HEADER byte must never silently yield the
+    // same image back — either the parse fails or the parsed shape/pixels
+    // differ. (Guards against a parser that ignores what it claims to read.)
+    val img = Ppm.Image(3, 2, 255, Array.tabulate(18)(i => (i * 11 % 256).toByte))
+    val enc = Ppm.encode(img)
+    val headerLen = enc.length - img.pixels.length
+    for (pos <- 0 until headerLen; delta <- Seq(1, 128)) {
+      val mut = enc.clone()
+      mut(pos) = (mut(pos) + delta).toByte
+      val same =
+        try {
+          val b = Ppm.decode(mut)
+          b.width == img.width && b.height == img.height &&
+          b.maxVal == img.maxVal && b.pixels.sameElements(img.pixels)
+        } catch { case _: IllegalArgumentException => false }
+      assert(!same, s"header byte $pos +$delta: decoder ignored the corruption")
+    }
+  }
 
   test("PPM encode/decode round-trips bit-exactly") {
     for (id <- Seq(0L, 7L, 123L); nChars <- Seq(0L, 3L, 7L, 1000L)) {
