@@ -87,6 +87,33 @@ object Ppm {
     Image(width, height, maxVal, px)
   }
 
+  /** Nearest-neighbor downsample by an integer factor: output dims are
+    * ceil(w/f) x ceil(h/f), output pixel (y, x) samples input
+    * (y*f, x*f) — top-left anchoring, the standard NN convention. Exact
+    * integer geometry, so an oracle can recompute the resized raster in
+    * closed form.
+    */
+  def resizeNN(img: Image, factor: Int): Image = {
+    require(factor >= 1, s"resize factor: $factor")
+    val w2 = (img.width + factor - 1) / factor
+    val h2 = (img.height + factor - 1) / factor
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = (y * factor * img.width + x * factor) * 3
+        val dst = (y * w2 + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, img.maxVal, out)
+  }
+
   /** Integer pixel statistics of a decoded image: per-channel sums plus
     * global max/min — everything a DuckDB oracle can recompute exactly.
     */

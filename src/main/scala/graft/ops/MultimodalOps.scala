@@ -73,35 +73,47 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")
     },
 
-    // STUB resize: stride-k byte subsampling — the shape of an image/audio
-    // downsample (every k-th sample), with the payload staying a binary
-    // column end to end. Real resize drops into the same mapPartitions slot
-    // as the decode stub; this one is expressible as pure column ops so the
-    // oracle covers the plumbing (lengths + head bytes of the resized
-    // payload).
+    // REAL resize: the payload decodes through the P6 codec, then a
+    // nearest-neighbor factor-2 downsample runs on the decoded pixel
+    // matrix (output (y,x) samples input (2y,2x); dims ceil(w/2) x
+    // ceil(h/2)) — decode -> transform -> stats, the actual media
+    // pipeline shape. The oracle recomputes the resized raster in closed
+    // form: resized flat index j maps to source byte
+    // i = 48*(j/12) + 6*((j/3)%4) + j%3 on the 8-wide synthetic image, so
+    // one wrong sample coordinate fails the hash gate.
     Q(
-      "q_mm_resize_stub",
-      """WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+      "q_mm_resize",
+      """WITH px AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(generate_series(0, 4*((1 + n_chars % 8 + 1) // 2)*3 - 1)) AS j
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, j % 3 AS c,
+        |    (doc_id*31 + (48*(j // 12) + 6*((j // 3) % 4) + (j % 3))*7) % 256 AS v
+        |  FROM px)
         |SELECT doc_id,
-        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-        |  CAST((octet_length(payload) + 3) // 4 AS BIGINT) AS resized_bytes,
-        |  substr(text, 1, 1) AS b0,
-        |  substr(text, 5, 1) AS b1,
-        |  substr(text, 9, 1) AS b2
-        |FROM p JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin) {
-      (s, d) =>
-        val payload = encode(col("text"), "UTF-8")
-        val nBytes = length(payload).cast("long")
-        U.documents(s, d)
-          .select(
-            col("doc_id"),
-            nBytes.as("n_bytes"),
-            // ceil(n/4) in integer arithmetic, identical both engines
-            ((nBytes + 3) / 4).cast("long").as("resized_bytes"),
-            substring(col("text"), 1, 1).as("b0"),
-            substring(col("text"), 5, 1).as("b1"),
-            substring(col("text"), 9, 1).as("b2"))
-          .orderBy("doc_id")
+        |  CAST(4 AS BIGINT) AS width,
+        |  CAST((1 + n_chars % 8 + 1) // 2 AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+        |  CAST(max(v) AS BIGINT) AS max_px,
+        |  CAST(min(v) AS BIGINT) AS min_px
+        |FROM m GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      U.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Ppm.encode(syntheticImage(id, nChars)))
+        }
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            Ppm.stats(id, Ppm.resizeNN(Ppm.decode(payload), 2))
+          }
+        }
+        .toDF()
+        .orderBy("doc_id")
     },
 
     // Per-partition batch decode through the REAL P6 codec: binary payload

@@ -66,6 +66,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeNN samples exact top-left-anchored coordinates; dims are ceil(d/f)") {
+    // 3x3 image with pixel value = flat index: factor 2 keeps rows {0,2} x
+    // cols {0,2} => sampled source pixel starts 0,6,18,24 (x3 bytes each).
+    val img = Ppm.Image(3, 3, 255, Array.tabulate(27)(_.toByte))
+    val r = Ppm.resizeNN(img, 2)
+    assert(r.width === 2 && r.height === 2)
+    assert(r.pixels.toSeq === Seq(0, 1, 2, 6, 7, 8, 18, 19, 20, 24, 25, 26).map(_.toByte))
+    // factor 1 is identity; factor >= dim collapses to the single anchor pixel
+    assert(Ppm.resizeNN(img, 1).pixels.toSeq === img.pixels.toSeq)
+    val one = Ppm.resizeNN(img, 3)
+    assert(one.width === 1 && one.height === 1 && one.pixels.toSeq === Seq[Byte](0, 1, 2))
+  }
+
+  test("property: resizeNN dims and samples match the closed-form mapping") {
+    forAllSamples(imageGen, n = 40) { img =>
+      val f = 1 + (img.width + img.height) % 3 // deterministic factor 1..3
+      val r = Ppm.resizeNN(img, f)
+      assert(r.width === (img.width + f - 1) / f)
+      assert(r.height === (img.height + f - 1) / f)
+      for (y <- 0 until r.height; x <- 0 until r.width; c <- 0 until 3)
+        assert(
+          r.pixels((y * r.width + x) * 3 + c) ===
+            img.pixels((y * f * img.width + x * f) * 3 + c))
+    }
+  }
+
   test("PPM encode/decode round-trips bit-exactly") {
     for (id <- Seq(0L, 7L, 123L); nChars <- Seq(0L, 3L, 7L, 1000L)) {
       val img = graft.ops.MultimodalOps.syntheticImage(id, nChars)
