@@ -1,16 +1,18 @@
 package graft.ops
 
 import graft.{Q, U}
-import graft.multimodal.Ppm
+import graft.multimodal.{Ppm, Wav}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star, `BASELINE.json:6`): image/audio/
   * video are opaque `binary` payload columns with typed metadata. The DECODE
-  * step is a real (bounded) codec — binary PPM/P6 ([[graft.multimodal.Ppm]])
-  * — so the whole path is payload bytes → header parse → pixel matrix →
-  * typed features, with integer pixel statistics the DuckDB oracle verifies
-  * end to end. (JPEG/PNG libs aren't in the container; P6 is the real
-  * format that fits that constraint.)
+  * steps are real (bounded) codecs — binary PPM/P6 for images
+  * ([[graft.multimodal.Ppm]]) and RIFF/WAVE PCM16 for audio
+  * ([[graft.multimodal.Wav]]) — so the whole path is payload bytes → header
+  * parse → pixel/sample matrix → typed features, with integer statistics
+  * the DuckDB oracle verifies end to end. (JPEG/PNG/MP3 libs aren't in the
+  * container; P6 and PCM WAV are the real formats that fit that
+  * constraint.)
   *
   * Payloads are synthesized deterministically per document since the driver
   * testdata has no binary column; at 100 TB the same plan reads parquet
@@ -34,6 +36,23 @@ object MultimodalOps {
       i += 1
     }
     Ppm.Image(w, h, 255, px)
+  }
+
+  /** Deterministic bounded test clip for `doc_id`: 64 + n_chars % 64 mono
+    * PCM16 samples at 16 kHz, sample i = (doc_id*131 + i*7919) mod 65536
+    * - 32768 — the large prime step wraps the 16-bit range every ~8
+    * samples, so sign crossings are frequent and the zero-crossing stat is
+    * non-degenerate.
+    */
+  def syntheticAudio(docId: Long, nChars: Long): Wav.Audio = {
+    val n = (64 + nChars % 64).toInt
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (((docId * 131 + i * 7919L) % 65536) - 32768).toShort
+      i += 1
+    }
+    Wav.Audio(16000, s)
   }
 
   /** n_frames metadata derived deterministically from doc length. */
@@ -111,6 +130,48 @@ object MultimodalOps {
           it.map { case (id, payload) =>
             Ppm.stats(id, Ppm.resizeNN(Ppm.decode(payload), 2))
           }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // The AUDIO modality through the REAL RIFF/WAVE PCM16 codec: synthesize
+    // a genuine mono WAV file per doc, chunk-walk decode it (fmt validated
+    // before data; unknown chunks skipped — a real WAV reader), and emit
+    // integer sample statistics the oracle recomputes in closed form
+    // (sample i = (doc_id*131 + i*7919) % 65536 - 32768), including the
+    // zero-crossing count via lag — one flipped sample byte fails the gate.
+    Q(
+      "q_mm_audio_decode",
+      """WITH s AS (
+        |  SELECT doc_id, unnest(generate_series(0, 64 + n_chars % 64 - 1)) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, i, (doc_id*131 + i*7919) % 65536 - 32768 AS v FROM s),
+        |z AS (
+        |  SELECT doc_id, v,
+        |    CASE WHEN lag(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+        |          AND ((lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0) <> (v < 0))
+        |         THEN 1 ELSE 0 END AS zc
+        |  FROM v)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(max(v) AS BIGINT) AS max_s,
+        |  CAST(min(v) AS BIGINT) AS min_s,
+        |  CAST(sum(v*v) AS BIGINT) AS energy,
+        |  CAST(sum(zc) AS BIGINT) AS zero_cross
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      U.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Wav.encode(syntheticAudio(id, nChars)))
+        } // (doc_id, payload): a real WAV file in a binary column
+        .mapPartitions { it =>
+          it.map { case (id, payload) => Wav.stats(id, Wav.decode(payload)) }
         }
         .toDF()
         .orderBy("doc_id")

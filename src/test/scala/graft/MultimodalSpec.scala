@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Ppm
+import graft.multimodal.{Ppm, Wav}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -123,6 +123,76 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ppm.decode(good :+ 0.toByte))
     // 16-bit maxval unsupported
     intercept[IllegalArgumentException](Ppm.decode("P6\n1 1\n65535\n??????".getBytes))
+  }
+
+  private val audioGen: Gen[Wav.Audio] = for {
+    rate <- Gen.choose(8000, 48000)
+    n <- Gen.choose(0, 200)
+    s <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+  } yield Wav.Audio(rate, s.map(_.toShort).toArray)
+
+  test("property: WAV encode/decode round-trips arbitrary PCM16 clips bit-exactly") {
+    forAllSamples(audioGen, n = 60) { a =>
+      val back = Wav.decode(Wav.encode(a))
+      assert(back.sampleRate === a.sampleRate)
+      assert(back.samples.toSeq === a.samples.toSeq)
+    }
+  }
+
+  test("WAV decoder walks chunk lists: unknown chunks (incl. odd-length) are skipped") {
+    val a = Wav.Audio(16000, Array[Short](5, -5, 300, -32768, 32767))
+    val enc = Wav.encode(a)
+    // splice a LIST chunk (odd body length 7 => 1 pad byte per RIFF spec)
+    // between fmt and data: header stops at byte 36 in the canonical layout
+    val listChunk =
+      "LIST".getBytes("US-ASCII") ++ Array[Byte](7, 0, 0, 0) ++
+        new Array[Byte](7) ++ Array[Byte](0)
+    val spliced = enc.take(36) ++ listChunk ++ enc.drop(36)
+    // fix the RIFF size field (bytes 4..7, LE)
+    val total = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((total >> (8 * k)) & 0xff).toByte
+    val back = Wav.decode(spliced)
+    assert(back.sampleRate === a.sampleRate)
+    assert(back.samples.toSeq === a.samples.toSeq)
+  }
+
+  test("WAV decoder fails loudly on malformed input") {
+    val good = Wav.encode(Wav.Audio(16000, Array[Short](1, 2, 3)))
+    intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ good.drop(4)))
+    // stereo declared in fmt
+    val stereo = good.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](Wav.decode(stereo))
+    // 8-bit declared in fmt
+    val bits8 = good.clone(); bits8(34) = 8
+    intercept[IllegalArgumentException](Wav.decode(bits8))
+    // non-PCM codec id
+    val ulaw = good.clone(); ulaw(20) = 7
+    intercept[IllegalArgumentException](Wav.decode(ulaw))
+    // data chunk overrunning the file
+    intercept[IllegalArgumentException](Wav.decode(good.dropRight(2)))
+  }
+
+  test("audio decode stats equal an exact per-row recomputation from the sample formula") {
+    val got = SparkEntry.queries("q_mm_audio_decode")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("sum_s"),
+          r.getAs[Long]("energy"), r.getAs[Long]("zero_cross"))))
+      .toMap
+    val docs = U.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+    assert(docs.length === got.size)
+    docs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (64 + r.getAs[Long]("n_chars") % 64).toInt
+      val s = (0 until n).map(i => (id * 131 + i * 7919L) % 65536 - 32768)
+      val zc = s.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0))
+      val (gn, gsum, ge, gzc) = got(id)
+      assert(gn === n.toLong, s"doc $id n_samples")
+      assert(gsum === s.sum, s"doc $id sum")
+      assert(ge === s.map(v => v * v).sum, s"doc $id energy")
+      assert(gzc === zc.toLong, s"doc $id zero_cross")
+    }
   }
 
   test("decode stats equal an exact per-row recomputation from the pixel formula") {
