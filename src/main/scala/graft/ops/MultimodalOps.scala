@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, U}
-import graft.multimodal.{Ppm, Wav}
+import graft.multimodal.{Ppm, Wav, Y4m}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star, `BASELINE.json:6`): image/audio/
@@ -53,6 +53,19 @@ object MultimodalOps {
       i += 1
     }
     Wav.Audio(16000, s)
+  }
+
+  /** Deterministic bounded test clip for `doc_id`: 1 + n_chars % 5 frames
+    * of 4x4 C444 YUV at 25 fps, byte i of frame f =
+    * (doc_id*37 + f*101 + i*13) mod 256 — frame-dependent, so the motion
+    * (frame-differencing) statistic is non-degenerate.
+    */
+  def syntheticVideo(docId: Long, nChars: Long): Y4m.Video = {
+    val nf = (1 + nChars % 5).toInt
+    val frames = Vector.tabulate(nf) { f =>
+      Array.tabulate(48)(i => ((docId * 37 + f * 101 + i * 13) % 256).toByte)
+    }
+    Y4m.Video(4, 4, 25, 1, frames)
   }
 
   /** n_frames metadata derived deterministically from doc length. */
@@ -130,6 +143,51 @@ object MultimodalOps {
           it.map { case (id, payload) =>
             Ppm.stats(id, Ppm.resizeNN(Ppm.decode(payload), 2))
           }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // The VIDEO modality through the REAL YUV4MPEG2 codec: synthesize a
+    // genuine .y4m stream per doc (tagged ASCII header + FRAME-marked raw
+    // C444 planes), decode it with a spec-shaped parser (order-free header
+    // tags, unknown tags ignored, per-frame marker walk), and emit integer
+    // statistics including MOTION — frame differencing, the basic temporal
+    // activity feature — all recomputed closed-form by the oracle.
+    Q(
+      "q_mm_video_decode",
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_chars % 5)) AS f
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, f, unnest(generate_series(0, 47)) AS i FROM fr),
+        |v AS (
+        |  SELECT doc_id, f, i, (doc_id*37 + f*101 + i*13) % 256 AS v,
+        |    CASE WHEN f > 0
+        |         THEN abs((doc_id*37 + f*101 + i*13) % 256
+        |                  - (doc_id*37 + (f-1)*101 + i*13) % 256)
+        |         ELSE 0 END AS dm
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(max(f) + 1 AS BIGINT) AS n_frames,
+        |  CAST(4 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN i < 16 THEN v END) AS BIGINT) AS y_sum,
+        |  CAST(sum(CASE WHEN i >= 16 AND i < 32 THEN v END) AS BIGINT) AS u_sum,
+        |  CAST(sum(CASE WHEN i >= 32 THEN v END) AS BIGINT) AS v_sum,
+        |  CAST(max(v) AS BIGINT) AS max_b,
+        |  CAST(min(v) AS BIGINT) AS min_b,
+        |  CAST(sum(dm) AS BIGINT) AS motion
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      U.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Y4m.encode(syntheticVideo(id, nChars)))
+        } // (doc_id, payload): a real .y4m stream in a binary column
+        .mapPartitions { it =>
+          it.map { case (id, payload) => Y4m.stats(id, Y4m.decode(payload)) }
         }
         .toDF()
         .orderBy("doc_id")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Ppm, Wav}
+import graft.multimodal.{Ppm, Wav, Y4m}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -170,6 +170,79 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Wav.decode(ulaw))
     // data chunk overrunning the file
     intercept[IllegalArgumentException](Wav.decode(good.dropRight(2)))
+  }
+
+  private val videoGen: Gen[Y4m.Video] = for {
+    w <- Gen.choose(1, 8)
+    h <- Gen.choose(1, 8)
+    nf <- Gen.choose(1, 6)
+    frames <- Gen.listOfN(
+      nf, Gen.listOfN(w * h * 3, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+  } yield Y4m.Video(w, h, 25, 1, frames.toVector)
+
+  test("property: Y4M encode/decode round-trips arbitrary C444 clips bit-exactly") {
+    forAllSamples(videoGen, n = 50) { v =>
+      val back = Y4m.decode(Y4m.encode(v))
+      assert(back.width === v.width && back.height === v.height)
+      assert(back.fpsNum === v.fpsNum && back.fpsDen === v.fpsDen)
+      assert(back.frames.length === v.frames.length)
+      back.frames.zip(v.frames).foreach { case (a, b) =>
+        assert(a.toSeq === b.toSeq)
+      }
+    }
+  }
+
+  test("Y4M decoder handles real-world header shapes; fails loudly on malformed input") {
+    val v = Y4m.Video(2, 1, 30, 1, Vector(Array[Byte](1, 2, 3, 4, 5, 6)))
+    // order-free tags + unknown X metadata tag, per the spec
+    val reordered =
+      ("YUV4MPEG2 C444 XCOLORRANGE=FULL H1 F30:1 W2 Ip A1:1\nFRAME\n"
+        .getBytes("US-ASCII")) ++ v.frames(0)
+    val back = Y4m.decode(reordered)
+    assert(back.width === 2 && back.height === 1)
+    assert(back.frames(0).toSeq === v.frames(0).toSeq)
+
+    val good = Y4m.encode(v)
+    intercept[IllegalArgumentException](Y4m.decode("JPEG".getBytes))
+    // unsupported chroma subsampling must refuse, not mis-slice planes
+    intercept[IllegalArgumentException](
+      Y4m.decode(("YUV4MPEG2 W2 H1 F30:1 C420\nFRAME\n".getBytes("US-ASCII")
+        ++ Array[Byte](1, 2, 3))))
+    // truncated frame body
+    intercept[IllegalArgumentException](Y4m.decode(good.dropRight(1)))
+    // garbage where the FRAME marker must be
+    intercept[IllegalArgumentException](
+      Y4m.decode(good.take(good.length - v.frames(0).length - 6)
+        ++ "FRAMX\n".getBytes ++ v.frames(0)))
+    // missing dims
+    intercept[IllegalArgumentException](
+      Y4m.decode("YUV4MPEG2 F30:1\nFRAME\n".getBytes ++ v.frames(0)))
+  }
+
+  test("video decode stats equal an exact per-row recomputation from the frame formula") {
+    val got = SparkEntry.queries("q_mm_video_decode")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("y_sum"),
+          r.getAs[Long]("u_sum"), r.getAs[Long]("v_sum"),
+          r.getAs[Long]("motion"))))
+      .toMap
+    val docs = U.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+    assert(docs.length === got.size)
+    docs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nf = (1 + r.getAs[Long]("n_chars") % 5).toInt
+      def px(f: Int, i: Int) = (id * 37 + f * 101 + i * 13) % 256
+      val all = for (f <- 0 until nf; i <- 0 until 48) yield (f, i, px(f, i))
+      val motion = all.collect { case (f, i, v) if f > 0 => math.abs(v - px(f - 1, i)) }.sum
+      val (gn, gy, gu, gv, gm) = got(id)
+      assert(gn === nf.toLong, s"doc $id n_frames")
+      assert(gy === all.collect { case (_, i, v) if i < 16 => v }.sum, s"doc $id y_sum")
+      assert(gu === all.collect { case (_, i, v) if i >= 16 && i < 32 => v }.sum, s"doc $id u_sum")
+      assert(gv === all.collect { case (_, i, v) if i >= 32 => v }.sum, s"doc $id v_sum")
+      assert(gm === motion, s"doc $id motion")
+    }
   }
 
   test("audio decode stats equal an exact per-row recomputation from the sample formula") {
