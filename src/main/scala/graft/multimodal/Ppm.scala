@@ -79,9 +79,13 @@ object Ppm {
     // exactly ONE whitespace byte separates the header from the raster
     if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
     pos += 1
-    val n = width * height * 3
-    if (bytes.length - pos != n)
-      fail(s"raster length ${bytes.length - pos} != $n")
+    // Long arithmetic: header dims are individually capped at 2^24 but the
+    // product can wrap Int, and a crafted wrap-around must not alias a
+    // "consistent" raster length
+    val nL = width.toLong * height * 3L
+    if ((bytes.length - pos).toLong != nL)
+      fail(s"raster length ${bytes.length - pos} != $nL")
+    val n = nL.toInt
     val px = new Array[Byte](n)
     System.arraycopy(bytes, pos, px, 0, n)
     Image(width, height, maxVal, px)

@@ -83,7 +83,11 @@ object Y4m {
     }
     if (w <= 0 || h <= 0) fail(s"missing/bad dims W$w H$h")
     if (fn <= 0 || fd <= 0) fail(s"missing/bad frame rate F$fn:$fd")
-    val frameLen = w * h * 3
+    // Long product first: crafted dims can wrap Int and alias a negative
+    // or small frame length
+    val frameLenL = w.toLong * h * 3L
+    if (frameLenL > bytes.length) fail(s"frame size $frameLenL exceeds stream")
+    val frameLen = frameLenL.toInt
     val frames = ArrayBuffer.empty[Array[Byte]]
     var pos = hEnd + 1
     while (pos < bytes.length) {
