@@ -72,24 +72,38 @@ object MultimodalOps {
   private val nFrames = (col("n_chars") % 30 + 1).cast("long")
 
   val qs: Seq[Q] = Seq(
-    // Binary payload + typed metadata projection (oracle-checkable).
+    // Typed metadata projection for all three modalities, WITHOUT touching
+    // payloads — the point of metadata columns at 100 TB is answering
+    // "what's in this row" from a pure column scan while the binary stays
+    // unread. Sizes are the EXACT encoded byte counts of each doc's
+    // synthetic media (PPM: 11-byte header + 24h raster; WAV: canonical
+    // 44-byte header + 2 bytes/sample; Y4M: 35-byte header + 54/frame) —
+    // MultimodalSpec pins each formula against the real encoder's output
+    // length, so metadata can never drift from what the codecs produce.
     Q(
       "q_mm_meta",
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
-        |  CAST(n_chars % 30 + 1 AS BIGINT) AS n_frames
+        |  CAST(8 AS BIGINT) AS img_w,
+        |  CAST(1 + n_chars % 8 AS BIGINT) AS img_h,
+        |  CAST(11 + 24 * (1 + n_chars % 8) AS BIGINT) AS img_bytes,
+        |  CAST(64 + n_chars % 64 AS BIGINT) AS audio_samples,
+        |  CAST(44 + 2 * (64 + n_chars % 64) AS BIGINT) AS audio_bytes,
+        |  CAST(1 + n_chars % 5 AS BIGINT) AS video_frames,
+        |  CAST(35 + 54 * (1 + n_chars % 5) AS BIGINT) AS video_bytes
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val payload = encode(col("text"), "UTF-8")
-      val nBytes = length(payload).cast("long")
+      val imgH = col("n_chars") % 8 + 1
+      val audioN = col("n_chars") % 64 + 64
+      val videoF = col("n_chars") % 5 + 1
       U.documents(s, d)
         .select(
           col("doc_id"),
-          nBytes.as("n_bytes"),
-          (nBytes % 640).as("fake_width"),
-          ((nBytes * 7) % 480).as("fake_height"),
-          nFrames.as("n_frames"))
+          lit(8L).as("img_w"),
+          imgH.cast("long").as("img_h"),
+          (lit(11) + lit(24) * imgH).cast("long").as("img_bytes"),
+          audioN.cast("long").as("audio_samples"),
+          (lit(44) + lit(2) * audioN).cast("long").as("audio_bytes"),
+          videoF.cast("long").as("video_frames"),
+          (lit(35) + lit(54) * videoF).cast("long").as("video_bytes"))
         .orderBy("doc_id")
     },
 

@@ -268,6 +268,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q_mm_meta size formulas equal the real encoders' output lengths") {
+    // metadata is computed as a pure column scan (payloads unread); these
+    // checks are what license that shortcut — the formulas must equal the
+    // actual encoded sizes for every reachable n_chars residue
+    import graft.ops.MultimodalOps.{syntheticAudio, syntheticImage, syntheticVideo}
+    for (id <- Seq(0L, 7L, 999L); nChars <- 0L to 70L) {
+      val imgBytes = Ppm.encode(syntheticImage(id, nChars)).length.toLong
+      val audioBytes = Wav.encode(syntheticAudio(id, nChars)).length.toLong
+      val videoBytes = Y4m.encode(syntheticVideo(id, nChars)).length.toLong
+      assert(imgBytes === 11 + 24 * (1 + nChars % 8), s"img n_chars=$nChars")
+      assert(audioBytes === 44 + 2 * (64 + nChars % 64), s"audio n_chars=$nChars")
+      assert(videoBytes === 35 + 54 * (1 + nChars % 5), s"video n_chars=$nChars")
+    }
+  }
+
   test("decode stats equal an exact per-row recomputation from the pixel formula") {
     val got = SparkEntry.queries("q_mm_decode")(spark, sfDir)
       .collect()
