@@ -224,6 +224,45 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Dataset card: the per-(source, lang) corpus summary a training run
+    // publishes alongside the data (datasheets/data-statements practice) —
+    // volume (docs/tokens/chars), exact-duplicate count, and the group's
+    // share of the corpus in parts-per-million. ONE scan, one two-phase
+    // aggregate; the only extra exchange is countDistinct's expand, and
+    // the corpus-total share rides a 1-row broadcast. All integer outputs
+    // (ppm via integer division) — no float crosses engines.
+    Q(
+      "q_pipeline_dataset_card",
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dupes
+        |  FROM documents GROUP BY source, lang),
+        |t AS (SELECT sum(n_docs) AS total_docs FROM g)
+        |SELECT source, lang, n_docs, n_tokens, sum_chars, n_exact_dupes,
+        |  CAST((n_docs * 1000000) // total_docs AS BIGINT) AS share_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin) { (s, d) =>
+      val g = U.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(U.words).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          (count(lit(1)) - countDistinct(md5(col("text"))))
+            .as("n_exact_dupes"))
+      val total = g.agg(sum(col("n_docs")).as("total_docs"))
+      g.crossJoin(broadcast(total))
+        .select(
+          col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("sum_chars"), col("n_exact_dupes"),
+          // integral DIV, not `/`: long / long is a double divide in Spark
+          // and the cast-back truncation can sit 1 ulp off the exact floor
+          expr("(n_docs * 1000000) div total_docs").cast("long")
+            .as("share_ppm"))
+        .orderBy("source", "lang")
+    },
+
     // Near-dup cluster resolution: connected components over the exact
     // n-gram-Jaccard pair graph, as min-label propagation to fixpoint.
     // Each iteration is one join + one aggregate (all shuffles on the node
