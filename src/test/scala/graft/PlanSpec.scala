@@ -383,6 +383,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multimodal decode family is map-side: payloads never cross a hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    for (name <- Seq("q_mm_decode", "q_mm_resize", "q_mm_audio_decode", "q_mm_video_decode")) {
+      val plan = executed(q(name))
+      // at 100 TB the decode must run where the payload lives: the only
+      // exchange allowed is the final presentation sort (range partitioning
+      // over the already-tiny stats rows) — a hash exchange would mean
+      // binary payloads or raw text shuffled before decoding
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(hashEx.isEmpty,
+        s"$name: decode pipeline must be map-side, found hash exchanges:\n$plan")
+    }
+  }
+
+  test("q_pipeline_dataset_card: no exchange carries document text, only digests + partials") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_pipeline_dataset_card"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected the aggregation exchange")
+    exchanges.foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"exchange shuffles raw document text: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q_ts_theilsen: windowed estimator is join-free — one series-key hash exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
