@@ -307,7 +307,12 @@ object TextOps {
       val w = U.documents(s, d)
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
       val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      // df derives FROM tf, not from a second pass over w: tf rows are
+      // unique (doc, term) pairs, so count-per-term == distinct-doc count —
+      // the corpus explode runs ONCE and the df aggregation consumes the
+      // already-aggregated (smaller) frame, with the tf exchange reused
+      // between the join side and this derivation
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val wk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df"), col("term"))
