@@ -253,6 +253,11 @@ object AggOps {
         |FROM nval
         |WHERE value > (SELECT CAST(sum(value) AS DECIMAL(28,6)) * CAST(0.05 AS DECIMAL(3,2)) FROM nval)
         |ORDER BY value_micro DESC, n_name""".stripMargin) { (s, d) =>
+      // checkpoint the per-nation aggregate: it is consumed twice (probe
+      // rows + the 5% threshold) and without materialization the 3-table
+      // join re-executes for the 1-row scalar — the frame is 25 rows, the
+      // recompute is the whole fact join (what DuckDB's materialized-CTE
+      // semantics avoid by default)
       val nval = U.lineitem(s, d)
         .join(U.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(U.nation(s, d), col("s_nationkey") === col("n_nationkey"))
@@ -260,6 +265,7 @@ object AggOps {
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(U.Dec))
             .cast(U.Dec).as("value"))
+        .localCheckpoint()
       val Dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
       val frac = lit(BigDecimal("0.05"))
         .cast(org.apache.spark.sql.types.DecimalType(3, 2))

@@ -783,6 +783,9 @@ object JoinOps {
         |FROM supplier JOIN rev ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      // per-supplier revenue is consumed twice (max cut + probe rows):
+      // checkpoint the node-sized aggregate so the quarter's lineitem scan
+      // runs once, not once per consumer
       val rev = U.lineitem(s, d)
         .filter(
           col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -790,6 +793,7 @@ object JoinOps {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(U.Dec))
           .as("total_rev"))
+        .localCheckpoint()
       val top = rev.agg(max(col("total_rev")).as("max_rev"))
       rev
         .crossJoin(broadcast(top))

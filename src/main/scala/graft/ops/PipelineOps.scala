@@ -243,6 +243,9 @@ object PipelineOps {
         |SELECT source, lang, n_docs, n_tokens, sum_chars, n_exact_dupes,
         |  CAST((n_docs * 1000000) // total_docs AS BIGINT) AS share_ppm
         |FROM g, t ORDER BY source, lang""".stripMargin) { (s, d) =>
+      // checkpoint the ~(sources x langs)-row aggregate: consumed twice
+      // (probe rows + corpus total) — without it the corpus scan with the
+      // countDistinct expand runs once per consumer
       val g = U.documents(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(
@@ -251,6 +254,7 @@ object PipelineOps {
           sum(col("n_chars")).as("sum_chars"),
           (count(lit(1)) - countDistinct(md5(col("text"))))
             .as("n_exact_dupes"))
+        .localCheckpoint()
       val total = g.agg(sum(col("n_docs")).as("total_docs"))
       g.crossJoin(broadcast(total))
         .select(
@@ -431,12 +435,14 @@ object PipelineOps {
         |SELECT source, lang, n_docs, weight_micro,
         |  CAST(weight_micro * 1000000 // tw AS BIGINT) AS share_ppm
         |FROM w, tot ORDER BY source, lang""".stripMargin) { (s, d) =>
+      // same twice-consumed-aggregate discipline as q_pipeline_dataset_card
       val w = U.documents(s, d)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn(
           "weight_micro",
           floor(sqrt(col("n_docs")) * 1000000 + 0.5).cast("long"))
+        .localCheckpoint()
       w.crossJoin(broadcast(w.agg(sum(col("weight_micro")).as("tw"))))
         .select(
           col("source"),

@@ -446,6 +446,10 @@ object TextOps {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       def tf(term: String) =
         size(filter(col("w"), x => x === term)).cast("long")
+      // the per-doc tf frame (4 longs/doc — the retrieval index, text left
+      // behind at the scan) is consumed twice: df weights + scoring probe.
+      // Checkpoint it so the corpus tokenization runs once per query, not
+      // once per consumer
       val f = U.documents(s, d)
         .select(col("doc_id"), U.words.as("w"))
         .select(
@@ -453,6 +457,7 @@ object TextOps {
           tf("spark").as("tf_spark"),
           tf("filter").as("tf_filter"),
           tf("window").as("tf_window"))
+        .localCheckpoint()
       val dfs = f.agg(
         expr("1000000 div count(CASE WHEN tf_spark > 0 THEN 1 END)")
           .as("w_spark"),
