@@ -806,7 +806,7 @@ object SimOps {
       bestPqCell(col("cbs"), lit(i), sv, dot(sv, sv)).as(s"c$i")
     }
     df.crossJoin(broadcast(pqBooksRow(books)))
-      .select(df.columns.map(col) ++ codes: _*)
+      .select(df.columns.toIndexedSeq.map(col) ++ codes: _*)
   }
 
   /** IVF-PQ search body: coarse IVF cells prune to `nprobe` of 16, ADC

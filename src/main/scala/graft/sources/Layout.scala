@@ -239,7 +239,7 @@ object Layout {
             broadcast(updates.select(col(seriesCol), col(tsCol))),
             Seq(seriesCol, tsCol),
             "left_anti")
-          .unionByName(updates.select(live.columns.map(col): _*))
+          .unionByName(updates.select(live.columns.toIndexedSeq.map(col): _*))
       } else updates
     merged
       .sortWithinPartitions(col(seriesCol), col(tsCol))

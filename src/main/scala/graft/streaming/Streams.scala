@@ -515,7 +515,7 @@ object Streams {
     val others = batch.columns.filterNot(c => c == seriesCol || c == tsCol)
     val w = Window
       .partitionBy(col(seriesCol), col(tsCol))
-      .orderBy(others.map(c => col(c).desc_nulls_last): _*)
+      .orderBy(others.toIndexedSeq.map(c => col(c).desc_nulls_last): _*)
     val deduped = batch
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
