@@ -39,11 +39,23 @@ object Bench {
     // Schema drift fails the whole run, but still emits the fail-closed JSON
     // line WITH the reason — a probe failure must be diagnosable from the
     // captured stdout alone (r8's 63-query failure carried no reasons).
+    // Durable copy of the full main JSON line: a tail capture of stdout lost
+    // half the per-query map in round 9, so the line is also written to a
+    // file the way Verify writes failures.json (path overridable for tests).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    def persist(line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] write $outPath failed: $e") }
+
     try U.probeTables(spark, sfDir)
     catch {
       case e: IllegalStateException =>
         val msg = jq(e.getMessage.linesIterator.take(4).mkString(" | "))
-        println(s"""{"metric":"total","value":1.0E9,"unit":"sec","queries":{},"failed":[],"errors":{"_schema_probe":$msg},"sf":"$sfDir"}""")
+        // both lines carry the same failed list — tooling keying off either
+        // line must see the probe failure (r9 advice: they disagreed)
+        val mainLine = s"""{"metric":"total","value":1.0E9,"unit":"sec","queries":{},"failed":["_schema_probe"],"errors":{"_schema_probe":$msg},"sf":"$sfDir"}"""
+        println(mainLine)
+        persist(mainLine)
         println(s"""{"metric":"total","short":true,"value":1.0E9,"unit":"sec","n":0,"failed":["_schema_probe"],"sf":"$sfDir"}""")
         spark.stop()
         return
@@ -102,9 +114,11 @@ object Bench {
       else 0.0
     val errJson = errors
       .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    println(
+    val mainLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
-          .mkString("[", ",", "]")},"errors":$errJson,"sf":"$sfDir"}""")
+          .mkString("[", ",", "]")},"errors":$errJson,"sf":"$sfDir"}"""
+    println(mainLine)
+    persist(mainLine)
     // Second, SHORT summary line AFTER the big per-query line: a tail
     // capture of this process's stdout truncates the front, which for
     // rounds 4-6 cut the line above before its "value" field — the

@@ -18,23 +18,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Fail loudly ONCE if the testdata's physical schemas drifted from what
-    // the readers handle (r8: a silent upstream regen broke 63 queries).
-    U.probeTables(spark, sfDir)
-    // key -> first exception line, for failures.json: a failed query must be
-    // diagnosable from the driver artifacts alone, not from a discarded
-    // stderr tail (the r8 diagnosis cost a full round-trip).
-    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .linesIterator.take(3).mkString(" | ")
-        failures(name) = s"${e.getClass.getSimpleName}: $first"
-        System.err.println(s"[verify] $name failed: $first")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +30,38 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // key -> first exception line, for failures.json: a failed query must be
+    // diagnosable from the driver artifacts alone, not from a discarded
+    // stderr tail (the r8 diagnosis cost a full round-trip).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeFailures(): Unit = {
+      val failJson = failures
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    }
+    // Fail loudly ONCE if the testdata's physical schemas drifted from what
+    // the readers handle (r8: a silent upstream regen broke 63 queries) —
+    // but write failures.json FIRST so the abort is diagnosable from driver
+    // artifacts alone (Bench already did this; Verify didn't, r9 advice).
+    try U.probeTables(spark, sfDir)
+    catch {
+      case e: IllegalStateException =>
+        failures("_schema_probe") =
+          e.getMessage.linesIterator.take(4).mkString(" | ")
+        writeFailures()
+        spark.stop()
+        throw e
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
+        failures(name) = s"${e.getClass.getSimpleName}: $first"
+        System.err.println(s"[verify] $name failed: $first")
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -55,9 +70,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(
       Paths.get(s"$outDir/no_oracle_verification.json"), propJson)
-    val failJson = failures
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    writeFailures()
     spark.stop()
   }
 }

@@ -116,6 +116,10 @@ object Wav {
       zero_cross: Long)
 
   def stats(docId: Long, a: Audio): AudioStats = {
+    // A zero-sample data chunk is spec-legal; without this guard the
+    // Long.MinValue/MaxValue scan sentinels would leak out as real extremes.
+    if (a.samples.isEmpty)
+      return AudioStats(docId, 0L, a.sampleRate.toLong, 0L, 0L, 0L, 0L, 0L)
     var sum = 0L
     var mx = Long.MinValue
     var mn = Long.MaxValue

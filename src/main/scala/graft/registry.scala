@@ -112,9 +112,14 @@ object U {
           col("ts") <= timestamp_micros(lit(endUs))
     }
 
-  /** [[eventsRaw]]'s `ts` as epoch micros (BIGINT) in either encoding. */
+  /** [[eventsRaw]]'s `ts` as epoch micros (BIGINT) in either encoding.
+    * Nanos branch MUST be integral `DIV`: `/` on longs is double division,
+    * and 2024-epoch nanos (~1.7e18) exceed double's 53-bit exact range, so
+    * `(ts / 1000L).cast("long")` is off by 1 µs for ~12% of values — exactly
+    * the oracle divergence this helper exists to prevent.
+    */
   def tsUsCol(raw: DataFrame): Column = raw.schema("ts").dataType match {
-    case LongType => (col("ts") / 1000L).cast("long")
+    case LongType => expr("ts DIV 1000")
     case _        => unix_micros(col("ts"))
   }
   def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")

@@ -65,6 +65,27 @@ class SchemaDriftSpec extends SparkSpec {
     assert(run(nanosDir) === run(microsDir))
   }
 
+  test("tsUsCol is exact on nanos values that misround under double division") {
+    // Regression (r9 advice, high): `(ts / 1000L).cast("long")` is DOUBLE
+    // division in Spark; 2024-epoch nanos (~1.7e18) exceed double's 53-bit
+    // exact range (ulp = 256 at this magnitude), so ~12% of values truncate
+    // 1 µs low. Only integral `ts DIV 1000` is exact. 2000 consecutive
+    // micros values guarantee many misrounding nanos representatives — the
+    // single round-tripping fixture value above masked the bug.
+    import spark.implicits._
+    val base = new java.io.File("target/schema-drift-divfix").getAbsolutePath
+    val us = (0L until 2000L).map(1704412800123456L + _)
+    us.zipWithIndex
+      .map { case (u, i) => (i.toLong, u * 1000L, 7L, "e", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val raw = U.eventsRaw(spark, base)
+    assert(raw.schema("ts").dataType === LongType)
+    val got = raw.select(U.tsUsCol(raw).as("us"))
+      .orderBy("us").collect().map(_.getLong(0)).toSeq
+    assert(got === us)
+  }
+
   test("q_select_by_id_range is encoding-agnostic end-to-end") {
     val (nanosDir, microsDir) = fixtures()
     val fn = SparkEntry.queries("q_select_by_id_range")
