@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * constraint.)
   *
   * Payloads are synthesized deterministically per document since the driver
-  * testdata has no binary column; at 100 TB the same plan reads parquet
-  * binary columns directly, and the per-partition decode pattern (one
-  * decoder context per partition, streaming batches) is the shape any
-  * production codec drops into.
+  * testdata has no binary column — but they are then written to a parquet
+  * BINARY column and READ BACK before any decode runs ([[MediaStore]]), so
+  * the decode queries exercise the true storage path: column-pruned parquet
+  * binary scan → header parse → pixel/sample matrix → typed features, one
+  * decoder context per partition. At 100 TB only the synthesize step
+  * disappears; the read side is already the production plan.
   */
 object MultimodalOps {
 
@@ -70,6 +72,55 @@ object MultimodalOps {
 
   /** n_frames metadata derived deterministically from doc length. */
   private val nFrames = (col("n_chars") % 30 + 1).cast("long")
+
+  /** Parquet-backed media payload store: one row per document with the three
+    * encoded payloads as parquet BINARY columns (`img` P6, `wav` RIFF/WAVE,
+    * `y4m` YUV4MPEG2). Materialized ONCE per (session, testdata dir) under
+    * the JVM temp dir, then every decode query READS THE BINARY COLUMN BACK
+    * FROM PARQUET before decoding — the actual storage path a production
+    * media pipeline uses (payload bytes live in parquet; a decode job scans
+    * the binary column and parses). At 100 TB the synthesize+write step
+    * doesn't exist (the payloads already sit in parquet); here it stands in
+    * for ingest, and the read side — column-pruned binary scan, one decoder
+    * per partition, map-side stats — is exactly the production plan.
+    */
+  object MediaStore {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+    private def storeDir(d: String): String = {
+      val abs = new java.io.File(d).getAbsolutePath
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s"${sys.props("java.io.tmpdir")}/graft-media-${md.take(12)}"
+    }
+
+    def payloads(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      val path = built.computeIfAbsent(
+        (System.identityHashCode(s), d),
+        _ => {
+          val dir = storeDir(d)
+          // overwrite on first use per session: the driver regenerates
+          // /root/testdata between rounds, so a stale store must never
+          // survive a testdata regen (the r8 failure class)
+          U.documents(s, d)
+            .select(col("doc_id"), col("n_chars"))
+            .as[(Long, Long)]
+            .map { case (id, n) =>
+              (id,
+                Ppm.encode(syntheticImage(id, n)),
+                Wav.encode(syntheticAudio(id, n)),
+                Y4m.encode(syntheticVideo(id, n)))
+            }
+            .toDF("doc_id", "img", "wav", "y4m")
+            .write.mode("overwrite").parquet(dir)
+          dir
+        })
+      s.read.parquet(path)
+    }
+  }
 
   val qs: Seq[Q] = Seq(
     // Typed metadata projection for all three modalities, WITHOUT touching
@@ -147,12 +198,10 @@ object MultimodalOps {
         |  CAST(min(v) AS BIGINT) AS min_px
         |FROM m GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      U.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Ppm.encode(syntheticImage(id, nChars)))
-        }
+      // binary column read back FROM PARQUET (column-pruned to img only)
+      MediaStore.payloads(s, d)
+        .select(col("doc_id"), col("img"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
             Ppm.stats(id, Ppm.resizeNN(Ppm.decode(payload), 2))
@@ -194,12 +243,10 @@ object MultimodalOps {
         |  CAST(sum(dm) AS BIGINT) AS motion
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      U.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Y4m.encode(syntheticVideo(id, nChars)))
-        } // (doc_id, payload): a real .y4m stream in a binary column
+      // a real .y4m stream in a parquet binary column, read back and decoded
+      MediaStore.payloads(s, d)
+        .select(col("doc_id"), col("y4m"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) => Y4m.stats(id, Y4m.decode(payload)) }
         }
@@ -236,12 +283,10 @@ object MultimodalOps {
         |  CAST(sum(zc) AS BIGINT) AS zero_cross
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      U.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Wav.encode(syntheticAudio(id, nChars)))
-        } // (doc_id, payload): a real WAV file in a binary column
+      // a real WAV file in a parquet binary column, read back and decoded
+      MediaStore.payloads(s, d)
+        .select(col("doc_id"), col("wav"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) => Wav.stats(id, Wav.decode(payload)) }
         }
@@ -274,14 +319,10 @@ object MultimodalOps {
         |  CAST(min((doc_id*31 + i*7) % 256) AS BIGINT) AS min_px
         |FROM px GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val items = U
-        .documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Ppm.encode(syntheticImage(id, nChars)))
-        } // (doc_id, payload): a real P6 file in a binary column
-      items
+      // a real P6 file in a parquet binary column, read back and decoded
+      MediaStore.payloads(s, d)
+        .select(col("doc_id"), col("img"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           // one decoder context per partition initializes here
           it.map { case (id, payload) => Ppm.stats(id, Ppm.decode(payload)) }

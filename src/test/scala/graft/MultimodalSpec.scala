@@ -311,6 +311,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MediaStore: payloads round-trip through a parquet BinaryType column") {
+    import org.apache.spark.sql.types._
+    val store = graft.ops.MultimodalOps.MediaStore.payloads(spark, sfDir)
+    // the store IS a parquet file with genuine binary columns
+    assert(store.schema("img").dataType === BinaryType)
+    assert(store.schema("wav").dataType === BinaryType)
+    assert(store.schema("y4m").dataType === BinaryType)
+    // bytes read back from parquet decode identically to a direct encode —
+    // the storage hop is lossless for all three codecs
+    val docs = U.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getAs[Number]("doc_id").longValue,
+        r.getAs[Number]("n_chars").longValue))
+    val byId = store.orderBy("doc_id").limit(5).collect()
+      .map(r => r.getAs[Number]("doc_id").longValue ->
+        ((r.getAs[Array[Byte]]("img"), r.getAs[Array[Byte]]("wav"),
+          r.getAs[Array[Byte]]("y4m")))).toMap
+    docs.foreach { case (id, n) =>
+      val (img, wav, y4m) = byId(id)
+      assert(Ppm.stats(id, Ppm.decode(img)) ===
+        Ppm.stats(id, graft.ops.MultimodalOps.syntheticImage(id, n)))
+      assert(Wav.stats(id, Wav.decode(wav)) ===
+        Wav.stats(id, graft.ops.MultimodalOps.syntheticAudio(id, n)))
+      assert(Y4m.stats(id, Y4m.decode(y4m)) ===
+        Y4m.stats(id, graft.ops.MultimodalOps.syntheticVideo(id, n)))
+    }
+    // session-scoped: a second call reuses the materialized store (same
+    // underlying files, no rewrite)
+    val again = graft.ops.MultimodalOps.MediaStore.payloads(spark, sfDir)
+    assert(again.inputFiles.sorted.toSeq === store.inputFiles.sorted.toSeq)
+  }
+
+  test("q_mm_audio_decode scans ONLY (doc_id, wav) from the media store") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = withPlanShapeConf()(
+      executedPlan(SparkEntry.queries("q_mm_audio_decode")(spark, sfDir)))
+    val scan = plan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    // img and y4m payloads must NOT be read for an audio job — at 100 TB
+    // the pruned columns are most of the bytes in the store
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "wav"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("decode output is invariant to physical partitioning") {
     import spark.implicits._
     val base = U.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
