@@ -70,6 +70,25 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(
       Paths.get(s"$outDir/no_oracle_verification.json"), propJson)
+    // ... and the VERDICTS: each no-oracle key re-verified inside this run
+    // (r9 advice item 6 — the driver artifact no longer has to trust that
+    // the ScalaTest twins ran). ok=false rows also land in failures.json so
+    // one artifact carries every red flag.
+    val propResults = ops.PropertyChecks.runAll(spark, sfDir)
+    val resJson = propResults.map { case (k, depth, r) =>
+      val (ok, detail) = r match {
+        case Left(m)  => ("false", m)
+        case Right(m) => ("true", m)
+      }
+      s"${q(k)}: {\"ok\": $ok, \"depth\": ${q(depth)}, \"detail\": ${q(detail)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_results.json"), resJson)
+    propResults.foreach { case (k, _, r) =>
+      r.left.foreach { msg =>
+        failures(s"property:$k") = msg
+        System.err.println(s"[verify] property $k FAILED: $msg")
+      }
+    }
     writeFailures()
     spark.stop()
   }

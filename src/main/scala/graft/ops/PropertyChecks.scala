@@ -1,0 +1,437 @@
+package graft.ops
+
+import graft.{Registry, U}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Machine-checkable verdicts for the no-oracle registry keys (r9 advice
+  * item 6): `Registry.propertyVerification` NAMES each key's ScalaTest twin,
+  * but the driver's correctness artifact had to trust that the suite ran.
+  * These checks re-verify each no-oracle key inside `Verify` itself, so
+  * `no_oracle_results.json` carries a pass/fail the driver can gate on
+  * without trusting anything outside its own run.
+  *
+  * Depth discipline: wherever a key has an exact engine-expressible
+  * counterpart, the check is STRONG — recompute the claimed values engine-
+  * side (exact cosines, exact Jaccard, exact counts/quantiles) or replay the
+  * bounded per-series fold driver-side, and compare bit-for-bit. Keys whose
+  * deep verification needs a full training-loop replay (kmeans/PQ) keep that
+  * replay in ScalaTest (DedupSimSpec) and get structural INVARIANT checks
+  * here; the JSON verdict says which depth ran. Every check returns
+  * Left(failure detail) or Right(pass detail).
+  */
+object PropertyChecks {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VecDot.vecDot(a, b)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def run(s: SparkSession, d: String, key: String): DataFrame =
+    Registry.byName(key).fn(s, d)
+
+  /** Exact cosine (round 4) of every row's vec_id against the vec_id=0
+    * query vector — the genuineness oracle for all three ANN variants.
+    */
+  private def annGenuine(
+      s: SparkSession, d: String, key: String): Either[String, String] = {
+    val res = run(s, d, key).select(col("vec_id"), col("cos_sim"))
+    val e = U.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val exact = e.crossJoin(broadcast(qv))
+      .select(
+        col("vec_id"),
+        round(dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("qn")), 4)
+          .as("exact_cos"))
+    val bad = res.join(exact, "vec_id")
+      .filter(abs(col("cos_sim") - col("exact_cos")) > 1e-9)
+      .count()
+    val n = res.count()
+    if (bad > 0) Left(s"$bad/$n returned cosines differ from exact recompute")
+    else Right(s"all $n returned cosines equal the exact recompute (strong)")
+  }
+
+  /** Result pairs must be a subset of the exact all-pairs relation with
+    * identical cosines (precision 1). Recall is reported, not gated — the
+    * recall floor is established on planted fixtures in DedupSimSpec.
+    */
+  private def pairsSubsetOfExact(
+      s: SparkSession, d: String, key: String,
+      pairCols: (String, String)): Either[String, String] = {
+    val (ca, cb) = pairCols
+    val res = run(s, d, key)
+      .select(col(ca).as("a"), col(cb).as("b"), col("cos_sim"))
+    val exact = run(s, d, "q_dedup_embed_cosine")
+    val wrong = res.join(
+      exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
+      .filter(col("exact_cos").isNull ||
+        abs(col("cos_sim") - col("exact_cos")) > 1e-9)
+      .count()
+    val nRes = res.count()
+    val nEx = exact.count()
+    if (wrong > 0) Left(s"$wrong/$nRes pairs not in the exact all-pairs relation")
+    else Right(s"precision 1: all $nRes pairs exact (recall $nRes/$nEx; " +
+      "recall floor gated on planted fixtures in DedupSimSpec) (strong)")
+  }
+
+  /** Driver-side replay of a [[TsOps.foldSeries]]-shaped recurrence over
+    * identically-ordered rows (bounded: events at verify scale), compared
+    * bit-exact after the query's own rounding.
+    */
+  private def foldReplay(
+      s: SparkSession, d: String, key: String,
+      seed: Double => Array[Double],
+      step: (Array[Double], Double, Long) => Array[Double])
+      : Either[String, String] = {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = U.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val expected = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
+    var curUid = Long.MinValue
+    var st: Array[Double] = null
+    var t = 0L
+    var n = 0L
+    def flush(): Unit = if (st != null) expected(curUid) = (n, st)
+    rows.foreach { case (uid, v) =>
+      if (uid != curUid) { flush(); curUid = uid; st = seed(v); t = 1L; n = 1L }
+      else { st = step(st, v, t); t += 1; n += 1 }
+    }
+    flush()
+    val got = run(s, d, key).collect()
+    val bad = got.flatMap { r =>
+      val uid = r.getLong(0)
+      expected.get(uid) match {
+        case None => Some(s"user $uid unexpected")
+        case Some((en, est)) =>
+          val gotVals = (2 until r.length).map(r.getDouble)
+          val expVals = est.map(r6).toSeq
+          if (r.getLong(1) != en) Some(s"user $uid n mismatch")
+          else if (gotVals != expVals) Some(s"user $uid values mismatch")
+          else None
+      }
+    }
+    if (got.length != expected.size)
+      Left(s"row count ${got.length} != ${expected.size} series")
+    else if (bad.nonEmpty) Left(bad.take(3).mkString("; "))
+    else Right(s"bit-exact driver replay over ${expected.size} series (strong)")
+  }
+
+  /** key -> (depth, check). Depth is recorded in the JSON so a consumer
+    * knows whether the verdict is a strong recompute or an invariant.
+    */
+  val checks: Map[String, (String, (SparkSession, String) => Either[String, String])] = Map(
+    "q_agg_approx_distinct" -> ("strong", (s, d) => {
+      // rsd=0.02 (AggOps): gate at 5 sigma
+      val res = run(s, d, "q_agg_approx_distinct")
+      val exact = U.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val bad = res.join(exact, "l_returnflag")
+        .filter(abs(col("approx_parts") - col("exact_parts")) >
+          greatest(lit(5.0), col("exact_parts") * 0.1))
+        .count()
+      if (bad > 0) Left(s"$bad groups outside 5x rsd bound of exact distinct")
+      else Right("all groups within 5x rsd=0.02 of exact countDistinct (strong)")
+    }),
+
+    "q_agg_approx_quantile" -> ("strong", (s, d) => {
+      // accuracy=1000 => rank error 1e-3; gate with a +-0.05 rank bracket
+      val res = run(s, d, "q_agg_approx_quantile")
+      val exact = U.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.90)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.99)").as("hi95"))
+      val bad = res.join(exact, "l_returnflag")
+        .filter(col("p50") < col("lo50") || col("p50") > col("hi50") ||
+          col("p95") < col("lo95") || col("p95") > col("hi95"))
+        .count()
+      if (bad > 0) Left(s"$bad groups outside the exact-quantile bracket")
+      else Right("p50/p95 inside exact rank brackets [0.45,0.55]/[0.90,0.99] (strong)")
+    }),
+
+    "q_dedup_near_minhash" -> ("strong", (s, d) => {
+      // (a) every reported jaccard equals the exact shingle-set Jaccard;
+      // (b) no exact pair at 0.8 (the oracle'd relation) is missed
+      val res = run(s, d, "q_dedup_near_minhash")
+      val sh = U.shingled(s, d)
+      val withSets = res
+        .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+        .withColumn("exact_j",
+          round(col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")), 4))
+      val wrong = withSets
+        .filter(abs(col("jaccard") - col("exact_j")) > 1e-9 || col("jaccard") < 0.7)
+        .count()
+      val missed = DedupOps.ngramJaccardPairs(s, d)
+        .join(res.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .count()
+      if (wrong > 0) Left(s"$wrong pairs with non-exact jaccard or < 0.7")
+      else if (missed > 0) Left(s"$missed exact 0.8-pairs missed by LSH banding")
+      else Right("all reported jaccards exact; zero exact 0.8-pairs missed (strong)")
+    }),
+
+    "q_dedup_simhash" -> ("strong", (s, d) => {
+      import graft.functions.SimHash64.simhash64
+      val res = run(s, d, "q_dedup_simhash")
+      val fp = U.documents(s, d).select(col("doc_id"), simhash64(U.words).as("sh"))
+      val wrong = res
+        .join(fp.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(fp.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .filter(
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long") =!= col("hamming") ||
+            col("hamming") > 3 || col("a") >= col("b"))
+        .count()
+      val n = res.count()
+      if (wrong > 0) Left(s"$wrong/$n pairs with wrong hamming / >3 / a>=b")
+      else Right(s"all $n pair hammings recomputed exact, <=3, a<b (strong)")
+    }),
+
+    "q_dedup_embed_lsh" -> ("strong",
+      (s, d) => pairsSubsetOfExact(s, d, "q_dedup_embed_lsh", ("a", "b"))),
+
+    "q_sim_ann_lsh" -> ("strong", (s, d) => annGenuine(s, d, "q_sim_ann_lsh")),
+    "q_sim_ann_ivf" -> ("strong", (s, d) => annGenuine(s, d, "q_sim_ann_ivf")),
+    "q_sim_ann_ivfpq" -> ("strong", (s, d) => annGenuine(s, d, "q_sim_ann_ivfpq")),
+
+    "q_embed_kmeans" -> ("invariant", (s, d) => {
+      // deep loop replay lives in DedupSimSpec; structural checks here
+      val res = run(s, d, "q_embed_kmeans").collect()
+      val nVecs = U.embeddings(s, d).filter(col("vec_id") >= 1).count()
+      val cells = res.map(_.getLong(0))
+      val sumN = res.map(_.getLong(1)).sum
+      val cosOk = res.forall(r => math.abs(r.getDouble(2)) <= 1.0)
+      // cells are 1-based centroid ordinals: 1..16
+      if (cells.exists(c => c < 1 || c > 16)) Left("cell outside [1,16]")
+      else if (sumN != nVecs) Left(s"assigned $sumN != $nVecs vectors")
+      else if (!cosOk) Left("avg_cos outside [-1,1]")
+      else Right(s"partition of all $nVecs vectors into valid cells, " +
+        "avg_cos in range (invariant; training replay in DedupSimSpec)")
+    }),
+
+    "q_graph_pagerank" -> ("invariant", (s, d) => {
+      val S = 1000000000L
+      val res = run(s, d, "q_graph_pagerank")
+      val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
+      val nodes = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+      val n = nodes.count()
+      val extra = res.join(nodes, Seq("doc_id"), "left_anti").count()
+      val missing = nodes.join(res, Seq("doc_id"), "left_anti").count()
+      val base = (15L * S) / (100L * n)
+      val stats = res.agg(
+        sum(col("rank_micro")), min(col("rank_micro"))).collect()(0)
+      val total = stats.getLong(0)
+      val mn = stats.getLong(1)
+      if (extra + missing > 0) Left(s"node set mismatch: +$extra/-$missing")
+      else if (mn < base) Left(s"rank $mn below damping floor $base")
+      else if (total > S || total < (S * 8) / 10)
+        Left(s"total mass $total outside (0.8e9, 1e9]")
+      else Right(s"node set exact, ranks >= damping floor, mass $total " +
+        "conserved within integer truncation (invariant; bit replay in DedupSimSpec)")
+    }),
+
+    "q_dedup_semantic" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_dedup_semantic")
+      val exact = run(s, d, "q_dedup_embed_cosine")
+      // every pruned (dup_of, vec_id) is a genuine exact pair, same cosine
+      val wrong = res
+        .select(col("dup_of").as("a"), col("vec_id").as("b"), col("cos_sim"))
+        .join(exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
+        .filter(col("exact_cos").isNull ||
+          abs(col("cos_sim") - col("exact_cos")) > 1e-9)
+        .count()
+      val order = res.filter(col("dup_of") >= col("vec_id")).count()
+      val n = res.count()
+      if (wrong > 0) Left(s"$wrong/$n pruned pairs not genuine exact pairs")
+      else if (order > 0) Left(s"$order rows violate keep-min-id (dup_of < vec_id)")
+      else Right(s"precision 1: all $n pruned pairs genuine, keep-min-id holds (strong)")
+    }),
+
+    "q_dedup_clusters" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_dedup_clusters")
+      val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
+      // (a) every edge's endpoints share a label
+      val split = pairs
+        .join(res.select(col("doc_id").as("a"), col("cluster_id").as("ca")), "a")
+        .join(res.select(col("doc_id").as("b"), col("cluster_id").as("cb")), "b")
+        .filter(col("ca") =!= col("cb")).count()
+      // (b) each cluster's label is the minimum member id
+      val badLabel = res.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("mn"))
+        .filter(col("cluster_id") =!= col("mn")).count()
+      // (c) output node set == pair-graph node set
+      val nodes = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
+      val setDiff = res.join(nodes, Seq("doc_id"), "left_anti").count() +
+        nodes.join(res, Seq("doc_id"), "left_anti").count()
+      if (split > 0) Left(s"$split edges split across clusters")
+      else if (badLabel > 0) Left(s"$badLabel clusters not labeled by min member")
+      else if (setDiff > 0) Left(s"node set mismatch by $setDiff")
+      else Right("edge-consistent, min-labeled clustering over the exact pair graph (strong)")
+    }),
+
+    "q_agg_heavyhitters" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_agg_heavyhitters")
+      val exact = U.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      val n = exact.agg(sum(col("f"))).collect()(0).getLong(0)
+      val err = n / 101 // k=100: MG error bound n/(k+1)
+      val joined = res.join(exact, Seq("term"), "left")
+      val badBound = joined
+        .filter(col("f").isNull || col("est") > col("f") ||
+          col("est") < col("f") - err).count()
+      val missed = exact.filter(col("f") > err)
+        .join(res, Seq("term"), "left_anti").count()
+      if (badBound > 0) Left(s"$badBound terms outside [f - n/(k+1), f]")
+      else if (missed > 0) Left(s"$missed guaranteed-frequent terms missing")
+      else Right(s"MG guarantee holds vs exact counts (n=$n, bound=$err) (strong)")
+    }),
+
+    "q_agg_hll_mv" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_agg_hll_mv")
+      val notEq = res.filter(col("merged_est") =!= col("direct_est")).count()
+      val exact = U.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_d"))
+      val off = res.join(exact, "event_type")
+        .filter(abs(col("direct_est") - col("exact_d")) > col("exact_d") * 0.1)
+        .count()
+      if (notEq > 0) Left(s"$notEq groups: merged != direct estimate")
+      else if (off > 0) Left(s"$off groups: estimate >10% off exact distinct")
+      else Right("merged == direct per group; estimates within 10% of exact (strong)")
+    }),
+
+    "q_agg_kll_mv" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_agg_kll_mv")
+      val notEq = res.filter(
+        col("p50_merged") =!= col("p50_direct") ||
+          col("p99_merged") =!= col("p99_direct")).count()
+      // exact-mode at this scale: merged p50 must equal the exact rank
+      // bracket of the group's raw values
+      val exact = U.events(s, d).groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"))
+      val off = res.join(exact, "event_type")
+        .filter(col("p50_merged") < col("lo") || col("p50_merged") > col("hi"))
+        .count()
+      if (notEq > 0) Left(s"$notEq groups: merged != direct quantiles")
+      else if (off > 0) Left(s"$off groups: p50 outside exact rank bracket")
+      else Right("merged == direct; p50 inside exact rank bracket (strong)")
+    }),
+
+    "q_ts_holt" -> ("strong", (s, d) => {
+      val a = 0.5; val b = 0.25
+      foldReplay(s, d, "q_ts_holt",
+        seed = v => Array(v, 0.0),
+        step = (st, v, _) => {
+          val ln = a * v + (1 - a) * (st(0) + st(1))
+          Array(ln, b * (ln - st(0)) + (1 - b) * st(1))
+        })
+    }),
+
+    "q_ts_holtwinters" -> ("strong", (s, d) => {
+      val al = 0.5; val be = 0.25; val ga = 0.25; val m = 6
+      foldReplay(s, d, "q_ts_holtwinters",
+        seed = v => Array(v, 0.0) ++ new Array[Double](m),
+        step = (st, v, t) => {
+          val idx = (t % m).toInt
+          val sOld = st(2 + idx)
+          val ln = al * (v - sOld) + (1 - al) * (st(0) + st(1))
+          val bn = be * (ln - st(0)) + (1 - be) * st(1)
+          val out = st.clone()
+          out(0) = ln; out(1) = bn; out(2 + idx) = ga * (v - ln) + (1 - ga) * sOld
+          out
+        })
+    }),
+
+    "q_sim_knn_graph" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_sim_knn_graph")
+      val e = U.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val wrong = res
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("es"),
+          col("nrm").as("ns")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("ed"),
+          col("nrm").as("nd")), "dst")
+        .filter(abs(col("cos_sim") -
+          round(dot(col("es"), col("ed")) / (col("ns") * col("nd")), 4)) > 1e-9)
+        .count()
+      // rank consistency: per src, rk is dense 1..k in (cos desc, dst) order
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      val badRank = res
+        .withColumn("expect_rk", row_number().over(w).cast("long"))
+        .filter(col("rk") =!= col("expect_rk") || col("rk") > 3)
+        .count()
+      val n = res.count()
+      if (wrong > 0) Left(s"$wrong/$n edges with non-exact cosine")
+      else if (badRank > 0) Left(s"$badRank edges with inconsistent rank")
+      else Right(s"all $n edge cosines exact; ranks dense and ordered (strong)")
+    }),
+
+    "q_embed_pq" -> ("invariant", (s, d) => {
+      val res = run(s, d, "q_embed_pq")
+      val nVecs = U.embeddings(s, d).filter(col("vec_id") >= 1).count()
+      val codeCols = Seq("c0", "c1", "c2", "c3")
+      // codes are 1-based centroid ordinals: 1..PqK
+      val outOfRange = res.filter(
+        codeCols.map(c => col(c) < 1 || col(c) > 16).reduce(_ || _)).count()
+      val n = res.count()
+      if (n != nVecs) Left(s"$n code rows != $nVecs vectors")
+      else if (outOfRange > 0) Left(s"$outOfRange rows with code outside [1,16]")
+      else Right(s"one 4x4-bit code row per vector, all codes in range " +
+        "(invariant; bit-exact training/encoding replay in DedupSimSpec)")
+    }),
+
+    "q_ts_downsample_lttb" -> ("strong", (s, d) => {
+      val res = run(s, d, "q_ts_downsample_lttb")
+      val series = U.events(s, d).select(
+        col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      // every selected point is a real series point
+      val phantom = res.join(
+        series.select(col("user_id"), col("ts_us"), col("value")),
+        Seq("user_id", "ts_us", "value"), "left_anti").count()
+      // per-series structure: count = min(n, 12); first/last kept;
+      // sel_rank dense from 0
+      import org.apache.spark.sql.expressions.Window
+      val stats = series.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        min(col("ts_us")).as("first_ts"), max(col("ts_us")).as("last_ts"))
+      val perSeries = res.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sel"),
+        min(col("sel_rank")).as("min_rk"), max(col("sel_rank")).as("max_rk"),
+        min(col("ts_us")).as("sel_first"), max(col("ts_us")).as("sel_last"))
+      val bad = perSeries.join(stats, "user_id")
+        .filter(col("n_sel") =!= least(col("n"), lit(12L)) ||
+          col("min_rk") =!= 0 || col("max_rk") =!= col("n_sel") - 1 ||
+          col("sel_first") =!= col("first_ts") || col("sel_last") =!= col("last_ts"))
+        .count()
+      if (phantom > 0) Left(s"$phantom selected points not in the source series")
+      else if (bad > 0) Left(s"$bad series violate count/first/last/rank structure")
+      else Right("all selections are real points; first/last kept; " +
+        "m=12 bucket structure holds per series (strong; IEEE replay in TsOpsSpec)")
+    })
+  )
+
+  /** Run every check; returns key -> (depth, Either). */
+  def runAll(s: SparkSession, d: String)
+      : Seq[(String, String, Either[String, String])] =
+    checks.toSeq.sortBy(_._1).map { case (k, (depth, f)) =>
+      val r =
+        try f(s, d)
+        catch { case e: Exception =>
+          Left(s"check crashed: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | "))
+        }
+      (k, depth, r)
+    }
+}

@@ -66,6 +66,19 @@ class RegistrySpec extends SparkSpec {
       s"SURVEY.md names nonexistent members: ${missing.map { case (o, m) => s"$o.$m" }}")
   }
 
+  test("every no-oracle key has an in-engine PropertyChecks verdict, and only those") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ops.PropertyChecks.checks.keySet === noOracle,
+      s"missing: ${noOracle -- ops.PropertyChecks.checks.keySet}; " +
+        s"stale: ${ops.PropertyChecks.checks.keySet -- noOracle}")
+  }
+
+  test("all PropertyChecks verdicts pass (the no_oracle_results.json gate)") {
+    val results = ops.PropertyChecks.runAll(spark, sfDir)
+    val failed = results.collect { case (k, _, Left(m)) => s"$k: $m" }
+    assert(failed.isEmpty, failed.mkString("\n"))
+  }
+
   test("MatCache builds once per (session, key) and isolates keys") {
     var builds = 0
     def build() = { builds += 1; spark.range(3).toDF("x") }
