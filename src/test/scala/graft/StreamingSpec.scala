@@ -731,4 +731,126 @@ class StreamingSpec extends SparkSpec {
     assert(back.columns.contains("event_date"))
     assert(back.filter(col("event_date") === "2024-08-28").count() === rows.length)
   }
+
+  test("end-to-end pipeline: ingestFiles → faultRuns + upsertSink + countMvSink/mvMixDrift, two micro-batches, replay is a no-op") {
+    // The full reference loop (R1 ingest + R5 fault scan + R6 periodic job +
+    // R3 point update, main.rs:234-240,384-406) as ONE continuously running
+    // composition: JSON files land via the file sink, a downstream stream
+    // over the landed parquet feeds three sinks at once — the upsert store,
+    // the daily-count MV, and the typed fault-run detector — and a second
+    // file delivers both a run-completing fault AND a late correction.
+    import graft.streaming.Telemetry
+    implicit val sqlCtx = spark.sqlContext
+    def dir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val in = dir("graft_e2e_in"); val landed = dir("graft_e2e_landed")
+    val store = dir("graft_e2e_store"); val mv = dir("graft_e2e_mv")
+    val iCkpt = dir("graft_e2e_ickpt"); val uCkpt = dir("graft_e2e_uckpt")
+    val mCkpt = dir("graft_e2e_mckpt")
+
+    def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
+    // b1: id-a builds a 2-fault run on day 1; id-b has day-1 and day-2 rows
+    val b1 = Seq(
+      t("2024-08-28 12:00:00", 0.97, "id-a"),
+      t("2024-08-28 12:01:00", 0.98, "id-a"),
+      t("2024-08-28 11:00:00", 0.10, "id-a"),
+      t("2024-08-28 09:00:00", 0.50, "id-b"),
+      t("2024-08-29 10:00:00", 0.20, "id-b"))
+    // b2: the third consecutive fault for id-a (state must carry across the
+    // micro-batch AND the file-landing boundary), a late CORRECTION for
+    // (id-b, day-1 09:00), and a fresh day-2 append
+    val b2 = Seq(
+      t("2024-08-28 12:02:00", 0.99, "id-a"),
+      t("2024-08-28 09:00:00", 0.90, "id-b"),
+      t("2024-08-29 10:01:00", 0.30, "id-b"))
+    def writeJson(name: String, rows: Seq[Tele]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(in, name),
+        rows.map(r =>
+          s"""{"sensor_name":"${r.sensor_name}","timestamp":"${r.timestamp}","value":${r.value},"timeseries_id":"${r.timeseries_id}"}""")
+          .mkString("\n").getBytes)
+
+    // stage 1: R1/R9 ingest — JSON-lines → day-partitioned parquet
+    val ingest = Streams
+      .ingestFiles(spark, in, landed, iCkpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    // stage 2: one downstream stream over the landed parquet, three sinks.
+    // The parquet file source follows the file sink's _spark_metadata log,
+    // so downstream only ever sees files the ingest query committed.
+    val landedStream = spark.readStream
+      .schema(Streams.telemetrySchema.add("event_date", org.apache.spark.sql.types.DateType))
+      .parquet(landed)
+    val flagged = Streams.faultFlags(landedStream.drop("event_date"), threshold = 0.95)
+    val upsertQ = Streams
+      .upsertSink(flagged, store, uCkpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    val mvQ = Streams
+      .countMvSink(flagged, mv, mCkpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    // 7-day watermark: the scenario spans two calendar days, so day-2 rows
+    // in b1 must not make day-1's b2 fault arrive "late" and be dropped
+    val alertsQ = Streams
+      .faultRuns(
+        landedStream.select("sensor_name", "timestamp", "value", "fc1_flag", "timeseries_id")
+          .as[Telemetry],
+        threshold = 0.95, minRun = 3, watermark = "7 days")
+      .writeStream.format("memory").queryName("e2e_alerts").outputMode("append")
+      .start()
+    def drainAll(): Unit = {
+      ingest.processAllAvailable()
+      upsertQ.processAllAvailable(); mvQ.processAllAvailable(); alertsQ.processAllAvailable()
+    }
+
+    writeJson("b1.json", b1); drainAll()
+    assert(spark.table("e2e_alerts").count() === 0, "run of 2 must stay silent")
+    assert(spark.read.parquet(store).count() === 5)
+    writeJson("b2.json", b2); drainAll()
+    Seq(ingest, upsertQ, mvQ, alertsQ).foreach(_.stop())
+
+    // landed: all 8 rows, day-partitioned
+    val landedDf = spark.read.parquet(landed)
+    assert(landedDf.count() === 8)
+    assert(landedDf.filter(col("event_date") === "2024-08-29").count() === 2)
+    // alerts: exactly one, fired by the b2 row using b1's carried state
+    val alerts = spark.table("e2e_alerts").collect()
+      .map(r => (r.getAs[String]("timeseries_id"), r.getAs[Int]("run_length")))
+    assert(alerts.toSeq === Seq(("id-a", 3)), s"got ${alerts.toSeq}")
+    // store: the correction REPLACED the stored row (7 rows, not 8), flags set
+    def snapshot() = spark.read.parquet(store)
+      .select(col("timeseries_id"), col("timestamp"), col("value"),
+        col("fc1_flag").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    val afterB2 = snapshot()
+    assert(afterB2 === Set(
+      ("id-a", ts("2024-08-28 12:00:00"), 0.97, 1L),
+      ("id-a", ts("2024-08-28 12:01:00"), 0.98, 1L),
+      ("id-a", ts("2024-08-28 11:00:00"), 0.10, -1L),
+      ("id-a", ts("2024-08-28 12:02:00"), 0.99, 1L),
+      ("id-b", ts("2024-08-28 09:00:00"), 0.90, -1L), // correction won
+      ("id-b", ts("2024-08-29 10:00:00"), 0.20, -1L),
+      ("id-b", ts("2024-08-29 10:01:00"), 0.30, -1L)))
+    // MV drift: day 28 is the old half (id-a 4, id-b 2), day 29 the new
+    // (id-b 2) — exact integer shares over t_old=6, t_new=2
+    def driftMap() = Streams.mvMixDrift(spark, mv).collect()
+      .map(r => r.getAs[String]("timeseries_id") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+         r.getAs[Long]("drift_num"), r.getAs[Long]("drift_den")))
+      .toMap
+    val drift = driftMap()
+    assert(drift === Map(
+      "id-a" -> ((4L, 0L, 8L, 24L)),
+      "id-b" -> ((2L, 2L, 8L, 24L))), s"got $drift")
+
+    // replay: at-least-once redelivery of b2 through BOTH batch kernels
+    // must leave every read model unchanged
+    val b2Flagged = Streams.faultFlags(b2.toDF(), threshold = 0.95)
+    Streams.upsertBatch(b2Flagged, store)
+    assert(snapshot() === afterB2, "upsert replay must be a no-op")
+    val lastMvBatch = new java.io.File(mv).list()
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong).max
+    Streams.countMvBatch(b2Flagged, mv, lastMvBatch)
+    assert(driftMap() === drift, "count-MV replay must be a no-op")
+  }
 }
