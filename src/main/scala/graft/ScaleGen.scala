@@ -58,9 +58,12 @@ object ScaleGen {
   }
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    // no post-write count: re-reading the just-written table solely for a
+    // log line doubles the I/O per table at sf1 scale (r10 advice); the
+    // sanity counts live in the consumers (Bench probes, DedupSimSpec pins)
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
-      println(s"[scalegen] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+      println(s"[scalegen] $name written")
     }
     def shifted(name: String, keys: Seq[String]): DataFrame = {
       val base = U.tbl(spark, src, name)
@@ -83,7 +86,7 @@ object ScaleGen {
 
   private def replicate(base: DataFrame, factor: Int)(
       f: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until factor).map(i => f(base, i)).reduce(_ unionAll _)
+    (0 until factor).map(i => f(base, i)).reduce(_ union _)
 
   /** Deterministic Fisher-Yates permutation of 0 until n, seeded. */
   private[graft] def permutation(n: Int, seed: Long): Array[Int] = {
@@ -118,9 +121,16 @@ object ScaleGen {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .as[(Long, String, String, String, Long)]
     replicate(base.toDF(), factor) { (df, i) =>
-      df.as[(Long, String, String, String, Long)].map { case (id, text, lang, source, _) =>
+      // replica 0 passes n_chars THROUGH untouched (r10 advice): the base
+      // slice must stay byte-identical to the driver's sf0.1 even if a
+      // future upstream regen defines n_chars differently from length(text)
+      // — the per-query scaling-ratio comparison depends on replica 0 being
+      // the exact base corpus. Replicas > 0 recompute it from the permuted
+      // text (a word permutation preserves length only up to whitespace
+      // normalization, so recomputation is the honest value there).
+      df.as[(Long, String, String, String, Long)].map { case (id, text, lang, source, nc) =>
         val t = permuteText(text, i)
-        (id + i * KeySpan, t, lang, source, t.length.toLong)
+        (id + i * KeySpan, t, lang, source, if (i == 0) nc else t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
     }
   }

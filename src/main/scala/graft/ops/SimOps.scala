@@ -57,6 +57,33 @@ object SimOps {
     Seq.fill(LshTables * LshBits)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
   }
 
+  /** Corpus-size guard for the O(n²) exact all-pairs verification twin
+    * (`q_dedup_embed_cosine`). The twin exists so the LSH / SemDeDup scale
+    * paths have a bit-exact relation to verify against — but nothing in the
+    * plan itself stops a nested-loop self-join from being launched on a
+    * billion-vector corpus (r10 verdict: the one named scale-killer in the
+    * registry). This guard refuses the query outright past a configurable
+    * vector count: verification scales (sf0.01 = 500, sf0.1 = 2 000,
+    * sf1 probe = 20 000 vectors) pass untouched, while a production-sized
+    * corpus gets an actionable error naming the scale-safe siblings instead
+    * of an un-completable O(n²) job. The count is one metadata-cheap
+    * aggregate over the parquet footers — negligible next to the join it
+    * gates. Raise `spark.graft.allpairs.maxVectors` deliberately to run the
+    * exact baseline on a larger corpus.
+    */
+  private[graft] val AllPairsMaxVectorsConf = "spark.graft.allpairs.maxVectors"
+  private[graft] val AllPairsMaxVectorsDefault = 100000L
+  private def guardAllPairs(s: SparkSession, d: String, key: String): Unit = {
+    val limit = s.conf
+      .get(AllPairsMaxVectorsConf, AllPairsMaxVectorsDefault.toString).toLong
+    val n = U.embeddings(s, d).count()
+    if (n > limit) throw new IllegalStateException(
+      s"$key is an O(n^2) exact verification baseline; refused at n=$n " +
+        s"vectors (limit $limit, conf $AllPairsMaxVectorsConf). Use the " +
+        "scale paths instead: q_dedup_embed_lsh (LSH banding) or " +
+        "q_dedup_semantic (within-cell SemDeDup).")
+  }
+
   /** Sign-bit bucket of `emb` against `ps` (bit i = plane i side). Fails
     * fast on a dimension mismatch: VecDot yields null there, and silently
     * mapping null to bucket 0 would collapse the whole corpus into one
@@ -322,6 +349,7 @@ object SimOps {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      guardAllPairs(s, d, "q_dedup_embed_cosine")
       val n = U
         .embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
@@ -512,6 +540,12 @@ object SimOps {
     // threshold filters BEFORE any exchange so only survivors reach the
     // final order — at 100 TB this is a full scan by design (the exact
     // baseline; the LSH/IVF buckets above are the pruned path).
+    // Scale audit (r10 advice): unlike q_dedup_embed_cosine this is O(n)
+    // per query — one cosine per corpus vector against ONE broadcast
+    // vector, zero shuffle of the corpus — i.e. an embarrassingly parallel
+    // map stage, not the O(n²) self-join class, so it carries no
+    // corpus-size guard. Cost grows linearly with the corpus exactly like
+    // any other full-column scan in the registry.
     Q(
       "q_sim_range_search",
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -304,9 +304,9 @@ object Registry {
     "q_sim_ann_ivf" ->
       "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN IVF top-k cosines are genuine cosines from the brute-force ranking'",
     "q_embed_kmeans" ->
-      "vs exact driver-side simulation of the same loop (identical IEEE ops, micro-int means, tie-breaks) — DedupSimSpec 'k-means codebook training equals an exact driver-side simulation'",
+      "vs exact driver-side simulation of the same loop (identical IEEE ops, micro-int means, tie-breaks) — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'k-means codebook training equals an exact driver-side simulation'",
     "q_graph_pagerank" ->
-      "vs exact driver-side replay of the same 10 integer-arithmetic power iterations (bit equality) — DedupSimSpec 'integer PageRank equals a driver-side replay of the same iterations'",
+      "vs exact driver-side replay of the same 10 integer-arithmetic power iterations (bit equality) — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'integer PageRank equals a driver-side replay of the same iterations'",
     "q_dedup_semantic" ->
       "vs q_dedup_embed_cosine all-pairs (precision 1, bit-identical cosines) + planted-near-dup recall — DedupSimSpec 'semantic dedup prunes only genuine pairs' / 'SemDeDup recall on planted near-duplicates'",
     "q_dedup_clusters" ->
@@ -324,7 +324,7 @@ object Registry {
     "q_sim_knn_graph" ->
       "every edge's cosine recomputed bit-exact driver-side + planted cosine-0.9 near-dups find their partner at rank 1 — DedupSimSpec",
     "q_embed_pq" ->
-      "per-subspace L2 Lloyd training AND encoding replayed bit-exact driver-side — DedupSimSpec 'PQ codebook training and encoding equal an exact driver-side simulation'",
+      "per-subspace L2 Lloyd training AND encoding replayed bit-exact driver-side — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'PQ codebook training and encoding equal an exact driver-side simulation'",
     "q_sim_ann_ivfpq" ->
       "every returned cosine bit-identical to the brute-force ranking (exact re-rank) + planted recall@10 — DedupSimSpec 'ANN IVF-PQ'",
     "q_ts_downsample_lttb" ->

@@ -509,4 +509,64 @@ class DedupSimSpec extends SparkSpec {
       assert(math.abs(a - n) / n < 0.10, s"group $k: approx $a vs exact $n")
     }
   }
+
+  test("all-pairs guard: q_dedup_embed_cosine refuses a corpus past the vector limit") {
+    // r10 verdict: the exact O(n^2) verification twin must not be silently
+    // runnable as a production path — past the configurable corpus size it
+    // raises and names the scale-safe siblings.
+    spark.conf.set("spark.graft.allpairs.maxVectors", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir).count()
+      }
+      assert(e.getMessage.contains("O(n^2)"))
+      assert(e.getMessage.contains("q_dedup_embed_lsh"))
+    } finally spark.conf.unset("spark.graft.allpairs.maxVectors")
+    // the default limit admits every verification scale untouched
+    assert(SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir).count() > 0)
+  }
+
+  test("ANN recall@10 does not collapse at the sf1 probe scale") {
+    // r10 verdict item 6: the sf1 probe corpus is 10 decorrelated replicas
+    // (20k vectors) — 10x the bucket occupancy of sf0.1, so LSH buckets,
+    // IVF cells, and PQ codes are all 10x denser. Recall is pinned on the
+    // retrieval task the operators are SPECIFIED for — planted cosine-0.97
+    // near-dups of the query inside the full probe corpus — not on the
+    // corpus's random-noise top-10 (max noise cosine ~0.43, a regime where
+    // any hash family is near-blind by geometry; same rationale as the
+    // sf0.001 planted fixtures above). Collapse under occupancy would show
+    // up here as planted partners drowned by bucket-mates.
+    val sf1 = "testdata_sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      "sf1 probe corpus not generated (sbt 'runMain graft.ScaleGen')")
+    val rnd = new scala.util.Random(11)
+    val qv = spark.read.parquet(s"$sf1/embeddings.parquet")
+      .filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Float](1).toArray
+    // the driver's embeddings are UNIT vectors (per-dim std ~0.125), so the
+    // jitter is scaled to 0.03σ per dim: noise norm ≈ 0.24 against a unit
+    // signal → cosine ≈ 0.97, the same near-dup regime as the fixtures above
+    val planted = Seq.tabulate(20) { i =>
+      (900000000L + i, qv.map(x => x + 0.03f * rnd.nextGaussian().toFloat).toSeq, 99)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf1_ann").toString
+    import spark.implicits._
+    spark.read.parquet(s"$sf1/embeddings.parquet")
+      .union(planted.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // sanity: the exact ranking's whole top-10 IS planted ids
+    val truth = SparkEntry.queries("q_sim_topk")(spark, dir)
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(truth.forall(_ >= 900000000L),
+      s"planted near-dups must dominate the exact top-10, got $truth")
+    val floors = Map(
+      "q_sim_ann_lsh" -> 0.8, "q_sim_ann_ivf" -> 0.8, "q_sim_ann_ivfpq" -> 0.8)
+    floors.foreach { case (key, floor) =>
+      val got = SparkEntry.queries(key)(spark, dir)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val recall = (got intersect truth).size.toDouble / truth.size
+      assert(recall >= floor,
+        s"$key recall@10 at sf1 occupancy = $recall, below the $floor floor")
+    }
+  }
 }

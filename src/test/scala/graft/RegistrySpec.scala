@@ -71,12 +71,19 @@ class RegistrySpec extends SparkSpec {
     assert(ops.PropertyChecks.checks.keySet === noOracle,
       s"missing: ${noOracle -- ops.PropertyChecks.checks.keySet}; " +
         s"stale: ${ops.PropertyChecks.checks.keySet -- noOracle}")
+    // direct cross-map pin (r10 advice): the declared verification twin map
+    // and the in-engine check map cannot drift from EACH OTHER either
+    assert(Registry.propertyVerification.keySet === ops.PropertyChecks.checks.keySet)
   }
 
-  test("all PropertyChecks verdicts pass (the no_oracle_results.json gate)") {
+  test("all PropertyChecks verdicts pass at STRONG depth (the no_oracle_results.json gate)") {
     val results = ops.PropertyChecks.runAll(spark, sfDir)
     val failed = results.collect { case (k, _, Left(m)) => s"$k: $m" }
     assert(failed.isEmpty, failed.mkString("\n"))
+    // r11: every check runs its bit-exact/strong path at verification scale
+    // — the invariant fallbacks only engage past the driver-replay budget
+    val weak = results.collect { case (k, depth, _) if depth != "strong" => s"$k: $depth" }
+    assert(weak.isEmpty, s"non-strong verdicts at test scale: $weak")
   }
 
   test("MatCache builds once per (session, key) and isolates keys") {

@@ -803,6 +803,12 @@ class StreamingSpec extends SparkSpec {
     writeJson("b1.json", b1); drainAll()
     assert(spark.table("e2e_alerts").count() === 0, "run of 2 must stay silent")
     assert(spark.read.parquet(store).count() === 5)
+    // capture the MV's batch directories BEFORE b2 lands, so the replay
+    // check below can verify its own precondition (b2 in ONE batch) instead
+    // of silently assuming it (r10 advice)
+    def mvBatchDirs() = Option(new java.io.File(mv).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("batch_id=")).toSet
+    val mvBatchesBeforeB2 = mvBatchDirs()
     writeJson("b2.json", b2); drainAll()
     Seq(ingest, upsertQ, mvQ, alertsQ).foreach(_.stop())
 
@@ -848,9 +854,49 @@ class StreamingSpec extends SparkSpec {
     val b2Flagged = Streams.faultFlags(b2.toDF(), threshold = 0.95)
     Streams.upsertBatch(b2Flagged, store)
     assert(snapshot() === afterB2, "upsert replay must be a no-op")
-    val lastMvBatch = new java.io.File(mv).list()
-      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong).max
+    // precondition, not assumption (r10 advice): replaying ALL of b2 into
+    // one batch_id is only a no-op if the stream really landed b2 in that
+    // one batch — if the file source ever splits the commit across
+    // triggers (maxFilesPerTrigger, an extra non-empty micro-batch), fail
+    // with the real diagnosis instead of a spurious double-count mismatch
+    val newMvBatches = mvBatchDirs() -- mvBatchesBeforeB2
+    assert(newMvBatches.size === 1,
+      s"replay precondition: b2 landed across ${newMvBatches.size} MV batch " +
+        s"directories ($newMvBatches) — the whole-b2 replay below requires one")
+    val lastMvBatch = newMvBatches.head.stripPrefix("batch_id=").toLong
     Streams.countMvBatch(b2Flagged, mv, lastMvBatch)
     assert(driftMap() === drift, "count-MV replay must be a no-op")
+
+    // stage 3: the sensor-death detector joins the loop (the one streaming
+    // kernel the e2e composition had not exercised). The ingest restarts on
+    // its checkpoint (exactly-once resume), silentSeries reads the SAME
+    // landed parquet: id-a stops reporting after b2 (last row 12:02), id-b
+    // keeps reporting on day 3 — the watermark advancing past id-a's
+    // last-seen + 60 min horizon must fire EXACTLY one alert, for id-a.
+    val silentQ = Streams.silentSeries(
+      landedStream
+        .select("sensor_name", "timestamp", "value", "fc1_flag", "timeseries_id")
+        .as[Telemetry],
+      horizonMinutes = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("e2e_silent").outputMode("append")
+      .start()
+    silentQ.processAllAvailable() // initial load: b1+b2, watermark arms
+    val ingest2 = Streams
+      .ingestFiles(spark, in, landed, iCkpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t3(s: String, id: String) = Tele("S", ts(s), 0.10, None, id)
+    writeJson("b3.json", Seq(t3("2024-08-30 10:00:00", "id-b")))
+    ingest2.processAllAvailable(); silentQ.processAllAvailable()
+    writeJson("b4.json", Seq(t3("2024-08-30 10:01:00", "id-b")))
+    ingest2.processAllAvailable(); silentQ.processAllAvailable()
+    ingest2.stop(); silentQ.stop()
+    val silent = spark.table("e2e_silent").collect()
+      .map(r => (r.getAs[String]("timeseries_id"),
+        r.getAs[java.sql.Timestamp]("last_seen"), r.getAs[Long]("silent_for_ms")))
+    assert(silent.map(x => (x._1, x._2)).toSeq ===
+      Seq(("id-a", ts("2024-08-28 12:02:00"))),
+      s"exactly one sensor-death alert for id-a expected, got ${silent.toSeq}")
+    assert(silent.head._3 >= 60L * 60000L,
+      "watermark-measured silence must be >= the horizon")
   }
 }
