@@ -31,10 +31,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; ScaleGen's sf1 probe tables are
+        # Spark-written directories — glob their part files in that case
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
