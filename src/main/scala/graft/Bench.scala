@@ -61,7 +61,19 @@ object Bench {
         return
     }
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional subset (comma-separated keys): the 100x scale probe benches
+    // only the data-bound tail — rerunning all 176 fixed-overhead queries at
+    // sf10 would cost ~30 min to re-measure constants already pinned at sf1.
+    // Unknown keys fail loudly: a typo must not silently shrink the probe.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY unknown keys: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val queries = SparkEntry.queries.toSeq
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .sortBy(_._1)
     // key -> first exception line from the most recent failure
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def record(name: String, e: Throwable): Unit = {
@@ -114,9 +126,14 @@ object Bench {
       else 0.0
     val errJson = errors
       .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    // "subset" marks a SPARK_GRAFT_BENCH_ONLY run so a partial-registry
+    // probe artifact can never be mistaken for a full-registry total.
+    val subset =
+      if (only.isDefined) s""","subset":${results.size},"registry":${SparkEntry.queries.size}"""
+      else ""
     val mainLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
-          .mkString("[", ",", "]")},"errors":$errJson,"sf":"$sfDir"}"""
+          .mkString("[", ",", "]")},"errors":$errJson$subset,"sf":"$sfDir"}"""
     println(mainLine)
     persist(mainLine)
     // Second, SHORT summary line AFTER the big per-query line: a tail

@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.RunOne q_ts_drift /root/testdata/sf0.01"
   *   sbt "runMain graft.RunOne q_ts_drift /root/testdata/sf0.01 --explain"
+  *   sbt "runMain graft.RunOne q_agg_kll_mv /root/testdata/sf0.01 --check"
+  *
+  * `--check` runs the key's PropertyChecks verdict (no-oracle keys only)
+  * instead of the query — the fast inner loop for a verification fix,
+  * instead of the full 25-minute Verify pass it is normally embedded in.
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -21,6 +26,16 @@ object RunOne {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("--check")) {
+      val (depth, verdict) = ops.PropertyChecks.checks(key)(spark, sfDir)
+      println(s"== $key [$depth] ==")
+      verdict match {
+        case Right(ok)  => println(s"PASS: $ok")
+        case Left(fail) => println(s"FAIL: $fail"); spark.stop(); sys.exit(1)
+      }
+      spark.stop()
+      return
+    }
     val df = SparkEntry.queries(key)(spark, sfDir)
     if (explain) df.explain("formatted")
     else {

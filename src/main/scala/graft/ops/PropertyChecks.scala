@@ -424,21 +424,54 @@ object PropertyChecks {
 
     "q_agg_kll_mv" -> at("strong")((s, d) => {
       val res = run(s, d, "q_agg_kll_mv")
-      val notEq = res.filter(
-        col("p50_merged") =!= col("p50_direct") ||
-          col("p99_merged") =!= col("p99_direct")).count()
-      // exact-mode at this scale: merged p50 must equal the exact rank
-      // bracket of the group's raw values
-      val exact = U.events(s, d).groupBy(col("event_type"))
-        .agg(
-          expr("percentile(value, 0.45)").as("lo"),
-          expr("percentile(value, 0.55)").as("hi"))
-      val off = res.join(exact, "event_type")
-        .filter(col("p50_merged") < col("lo") || col("p50_merged") > col("hi"))
-        .count()
-      if (notEq > 0) Left(s"$notEq groups: merged != direct quantiles")
-      else if (off > 0) Left(s"$off groups: p50 outside exact rank bracket")
-      else Right("merged == direct; p50 inside exact rank bracket (strong)")
+      val k = 16384 // must match the query's sketch parameter
+      // Two regimes, two contracts. n <= k: the sketch is uncompacted, so
+      // merged and direct are both the EXACT sorted value set — assert
+      // bit-equality plus the exact order statistic. n > k (sf0.1's ~20k
+      // rows/group and beyond): KLL compaction is RANDOMIZED, merged and
+      // direct legitimately diverge, and the sketch's contract is its rank
+      // error bound — assert every reported quantile sits inside the exact
+      // rank bracket q ± 0.5%. k=16384's 99%-confidence normalized rank
+      // error is ~0.04% (datasketches bound 2.296/k^0.9), so the bracket
+      // has ~10x headroom yet is still ~25x tighter than the library's
+      // default k=200 regime. Both regimes recompute against exact order
+      // statistics of the raw events — strong depth either way.
+      val compacted = res.filter(col("n") > k).count() > 0
+      if (!compacted) {
+        val notEq = res.filter(
+          col("p50_merged") =!= col("p50_direct") ||
+            col("p99_merged") =!= col("p99_direct")).count()
+        val exact = U.events(s, d).groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.45)").as("lo"),
+            expr("percentile(value, 0.55)").as("hi"))
+        val off = res.join(exact, "event_type")
+          .filter(col("p50_merged") < col("lo") || col("p50_merged") > col("hi"))
+          .count()
+        if (notEq > 0) Left(s"$notEq groups: merged != direct quantiles")
+        else if (off > 0) Left(s"$off groups: p50 outside exact rank bracket")
+        else Right("uncompacted: merged == direct; p50 at exact rank (strong)")
+      } else {
+        val eps = 0.005
+        val bad = U.events(s, d).groupBy(col("event_type"))
+          .agg(
+            expr(s"percentile(value, ${0.5 - eps})").as("p50lo"),
+            expr(s"percentile(value, ${0.5 + eps})").as("p50hi"),
+            expr(s"percentile(value, ${0.95 - eps})").as("p95lo"),
+            expr(s"percentile(value, ${0.95 + eps})").as("p95hi"),
+            expr(s"percentile(value, ${0.99 - eps})").as("p99lo"),
+            expr(s"percentile(value, ${math.min(0.99 + eps, 1.0)})").as("p99hi"))
+          .join(res, "event_type")
+          .filter(
+            col("p50_merged") < col("p50lo") || col("p50_merged") > col("p50hi") ||
+              col("p95_merged") < col("p95lo") || col("p95_merged") > col("p95hi") ||
+              col("p99_merged") < col("p99lo") || col("p99_merged") > col("p99hi") ||
+              col("p50_direct") < col("p50lo") || col("p50_direct") > col("p50hi") ||
+              col("p99_direct") < col("p99lo") || col("p99_direct") > col("p99hi"))
+          .count()
+        if (bad > 0) Left(s"$bad groups: quantile outside exact rank bracket ±$eps")
+        else Right(s"compacted (n > $k): all quantiles inside exact rank bracket ±$eps (strong)")
+      }
     }),
 
     "q_ts_holt" -> at("strong")((s, d) => {

@@ -193,6 +193,39 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("KLL property check holds in the COMPACTED regime (n > k, the sf0.1+/sf1 shape)") {
+    // r11 regression: at sf1 the per-group n (~200k) exceeds k=16384, the
+    // sketch compacts, compaction is RANDOMIZED, and the old merged==direct
+    // bit-equality check legitimately failed (4/5 groups). The check is now
+    // regime-aware — in the compacted regime the sketch's contract is its
+    // rank error bound, so the verdict must assert exact rank BRACKETS and
+    // still pass. Synthesize a corpus past k to pin that branch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_compact").toString
+    val n = 20000 // > k = 16384 per group
+    val rows = (0 until 2).flatMap { g =>
+      val et = if (g == 0) "alpha" else "beta"
+      (0 until n).map { i =>
+        // deterministic, non-uniform values; 3 distinct days so the daily
+        // MV merge is a real multi-sketch merge
+        val us = 1704412800000000L + (i % 3) * 86400000000L + i.toLong
+        val v = math.sin(i * 0.7 + g) * 100.0 + i * 0.001
+        (g.toLong * n + i, us, 7L, et, v, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (depth, verdict) = ops.PropertyChecks.checks("q_agg_kll_mv")(spark, dir)
+    assert(depth === "strong")
+    verdict match {
+      case Right(detail) => assert(detail.contains("compacted"),
+        s"expected the compacted-regime branch to run, got: $detail")
+      case Left(detail) => fail(s"compacted-regime KLL check failed: $detail")
+    }
+  }
+
   test("KLL sketches round-trip through parquet and still merge (the stored-MV path)") {
     // the q_agg_kll_mv story at rest: daily binary sketch rows are the
     // PERSISTED artifact — write them, read them back, merge — quantiles

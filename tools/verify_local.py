@@ -3,7 +3,13 @@
 parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
 source tables and compare (columns sorted by name, rows sorted, exact values).
 
-Usage: python3 tools/verify_local.py <sfDir> <outDir>
+Usage: python3 tools/verify_local.py <sfDir> <outDir> [jsonOut]
+
+With a third argument, also writes the per-query results as driver-style
+JSON ({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}
+per key, same shape as the driver's CORRECTNESS_r{N}.json) — no-oracle keys
+are folded in from <outDir>/no_oracle_results.json with their in-run
+verdicts, so the artifact covers the whole registry.
 """
 import json
 import sys
@@ -30,7 +36,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +47,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # key -> driver-style result row (oracle keys; no-oracle folded in at end)
+    results = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -60,6 +77,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             g, w = normalize(got), normalize(want)
             if list(g.columns) != list(w.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                record(name, rows_match=len(g) == len(w), schema_match=False,
+                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
                 n_fail += 1
                 continue
             type_diff = {
@@ -68,10 +87,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             }
             if type_diff:
                 print(f"FAIL {name}: dtype mismatch (spark vs duckdb): {type_diff}")
+                record(name, rows_match=len(g) == len(w), schema_match=False,
+                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
                 n_fail += 1
                 continue
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                record(name, rows_match=False, schema_match=True,
+                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
                 n_fail += 1
                 continue
             g = g.astype(object).where(pd.notnull(g), None)
@@ -83,16 +106,44 @@ def main(sf_dir: str, out_dir: str) -> int:
                 for c in bad_cols[:2]:
                     idx = neq[c].idxmax()
                     print(f"  {c}[{idx}]: spark={g[c][idx]!r} duckdb={w[c][idx]!r}")
+                record(name, rows_match=True, schema_match=True,
+                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
                 n_fail += 1
                 continue
             print(f"PASS {name} ({len(g)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(g), oracle_rows=len(w))
             n_pass += 1
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
+            record(name, err=f"{type(e).__name__}: {e}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        # Fold in the no-oracle keys with their in-run PropertyChecks
+        # verdicts so the artifact covers the whole registry; a failed check
+        # counts as a failure of the run, same as a hash mismatch.
+        try:
+            props = json.load(open(f"{out_dir}/no_oracle_results.json"))
+        except FileNotFoundError:
+            props = {}
+        for name, v in sorted(props.items()):
+            ok = v.get("pass", v.get("ok"))
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": "no_oracle",
+                "property_depth": v.get("depth"),
+                "property_pass": ok,
+                "property_detail": v.get("detail"),
+            }
+            if ok is False:
+                n_fail += 1
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} keys)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
