@@ -122,40 +122,110 @@ object DedupOps {
       ngramPairStatsUncached(s, d).localCheckpoint()
     }
 
+  /** Candidate-volume gate for the exact inverted-index pair builder.
+    *
+    * The exact builder's candidate count is Σ_sh prefixDf(sh)·df(sh) — a
+    * DATA property, not a plan property: on a corpus whose shingle space
+    * saturates (the r11 sf10 probe: a 31-word vocabulary drives mean
+    * shingle df to ~880 at 500k docs), every shared-shingle index goes
+    * quadratic no matter how it is phrased, because the colliding pairs
+    * genuinely share shingles (measured: 1.3M candidates at 5k docs, 125M
+    * at 50k, ~12B at 500k — the 48 GiB warm pass OOM'd). MinHash banding
+    * does NOT explode on the same corpus (random-pair E[J⁴] ≈ 3e-7
+    * measured, so band collisions stay ~linear): it is the scale path the
+    * exact builder verifies. So the builder computes its REAL candidate
+    * volume from the df/prefix-df aggregates it needs anyway — two
+    * digest-only passes, negligible next to the join they gate — and
+    * refuses past the budget with an actionable error, exactly the
+    * all-pairs-guard discipline ([[graft.ops.SimOps]]).
+    */
+  private[graft] val JaccardMaxCandConf = "spark.graft.jaccard.maxCandidates"
+  private[graft] val JaccardMaxCandDefault = 200000000L
+
+  /** Exact near-dup pair stats via a PREFIX-FILTERED inverted index
+    * (Bayardo/Chaudhuri, WWW 2007 "Scaling Up All Pairs Similarity
+    * Search"; PPJoin, Xiao et al. 2008), in 64-bit digest space.
+    *
+    * Phases (every exchange carries fixed-width longs — shingle TEXT
+    * never shuffles; digests are xxhash64, cross-shingle collision
+    * ~(postings²)/2⁶⁵ ≈ 0 at any scale this engine runs):
+    *
+    *   1. postings (doc_id, n, sh-digest), map-side from the scan;
+    *   2. global document frequency per digest (one hash-agg exchange);
+    *      df > [[MaxShingleDf]] = corpus boilerplate, dropped as before
+    *      (cap mirrored in the oracle SQL);
+    *   3. PREFIX selection: each doc's postings ranked by global rarity
+    *      (df asc, digest tie-break — one window on the doc key); the
+    *      probe set keeps only the nn - ⌈0.8·n⌉ + 1 rarest. LOSSLESS for
+    *      both downstream cuts: a pair with jaccard ≥ 0.8 has
+    *      inter ≥ 0.8·n on BOTH sides, and a pair with containment
+    *      ≥ 0.9·min has inter ≥ 0.9·n on its SMALLER side — if no shared
+    *      shingle sat in the first nn-⌈0.8n⌉+1 rarest, the intersection
+    *      would fit inside the remaining ⌈0.8n⌉-1 < 0.8n postings,
+    *      contradiction. (0.8 ≤ 0.9 ⇒ the jaccard prefix covers the
+    *      containment prefix; the larger side of a containment pair needs
+    *      no prefix guarantee because the smaller side's probe finds it
+    *      in the FULL index.)
+    *   4. candidates = probe-prefix ⋈ full postings on the digest
+    *      (both sides of the one shingle-keyed exchange), deduped on the
+    *      ordered pair — measured 3.5× fewer candidate pairs than the
+    *      all-postings self-pairing at sf0.1 and 2.7× at sf1, identical
+    *      output;
+    *   5. exact intersection for candidates only: each doc's sorted
+    *      non-hot digest array joins in by doc key and
+    *      inter = |array_intersect| — na/nb stay the FULL shingle counts,
+    *      so jaccard/containment semantics are unchanged from r1-r10.
+    */
   private def ngramPairStatsUncached(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
-    val ex = sh.select(
+    val docs = sh.select(
       col("doc_id"),
       size(col("shingles")).cast("long").as("n"),
-      explode(col("shingles")).as("sh"))
-    val hot = ex
+      array_sort(transform(col("shingles"), x => xxhash64(x))).as("hs"))
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("hs")).as("sh"))
+    val dfTbl = ex
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
-      .select(col("sh"))
-    val byShingle = ex
-      .join(broadcast(hot), Seq("sh"), "left_anti")
-      .groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      // 1-doc shingles pair with nothing
-      .filter(size(col("ds")) >= 2)
-      .select(array_sort(col("ds")).as("ds")) // ascending doc_id => a < b
-    val pairs = byShingle
-      .select(explode(flatten(transform(
-        col("ds"),
-        (x, i) =>
-          transform(
-            slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-            y =>
-              struct(
-                x.getField("doc_id").as("a"),
-                y.getField("doc_id").as("b"),
-                x.getField("n").as("na"),
-                y.getField("n").as("nb")))))).as("p"))
-      .select(col("p.a"), col("p.b"), col("p.na"), col("p.nb"))
-    pairs
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    val cold = ex
+      .join(dfTbl.filter(col("df") <= MaxShingleDf), Seq("sh"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = cold
+      .withColumn("r", row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("nn", count(lit(1)).over(wDoc))
+    val probe = ranked
+      .filter(col("r") <= col("nn") - ceil(col("n") * 0.8) + 1)
+      .select(col("doc_id").as("pa"), col("sh"))
+    // the gate: Σ probeDf·df over the digest key — the exact row count of
+    // the candidate join below, for the cost of two long-only aggregates
+    val limit = s.conf.get(JaccardMaxCandConf, JaccardMaxCandDefault.toString).toLong
+    val predicted = probe
+      .groupBy(col("sh")).agg(count(lit(1)).as("pdf"))
+      .join(dfTbl, Seq("sh"))
+      .agg(sum(col("pdf") * col("df")))
+      .first().getLong(0)
+    if (predicted > limit) throw new IllegalStateException(
+      s"exact n-gram pair index predicts $predicted candidate pairs " +
+        s"(limit $limit, conf $JaccardMaxCandConf): the shingle space is " +
+        "saturated and every shared-shingle index is quadratic on this " +
+        "corpus. Use the scale path instead: q_dedup_near_minhash " +
+        "(MinHash banding; band collisions stay linear here), or raise " +
+        "the limit deliberately.")
+    val cand = probe
+      .join(cold.select(col("doc_id").as("pb"), col("sh")), Seq("sh"))
+      .filter(col("pa") =!= col("pb"))
+      .select(
+        least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+    val coldSets = cold
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), sort_array(collect_list(col("sh"))).as("hsn"))
+    cand
+      .join(coldSets.select(col("doc_id").as("a"), col("n").as("na"), col("hsn").as("ha")), Seq("a"))
+      .join(coldSets.select(col("doc_id").as("b"), col("n").as("nb"), col("hsn").as("hb")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"))
       .withColumn(
         "jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))

@@ -39,22 +39,96 @@ object SimOps {
     Seq.fill(8)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
   }
 
-  /** Multi-table LSH geometry for PAIR near-dup ([[embedLshPairs]]):
-    * `LshTables` independent tables of `LshBits` hyperplanes each. A pair
-    * with angle θ agrees on one plane with p = 1 - θ/π (Charikar 2002), so
-    * per-pair recall is 1 - (1 - p^LshBits)^LshTables: ~99.7% at cosine
-    * 0.97, ~93% at 0.9 — while a random pair (p ≈ 0.5) collides in only
-    * ~LshTables/2^LshBits ≈ 3% of table-buckets, which is the candidate
-    * pruning. Raise LshTables for more recall, LshBits for more pruning.
+  /** Multi-table LSH geometry for PAIR near-dup ([[embedLshPairs]],
+    * [[knnGraph]]) — CORPUS-ADAPTIVE (bits per table, number of tables).
+    *
+    * A pair with angle θ agrees on one hyperplane with p = 1 - θ/π
+    * (Charikar 2002), on all `bits` planes of one table with p^bits, and in
+    * ≥ 1 of L tables with 1-(1-p^bits)^L. Rounds 1-10 fixed (bits, L) =
+    * (8, 8); the r11 sf10 probe measured why that cannot ship: random
+    * collisions grow as n²·L/2^bits — quadratic in corpus size at fixed
+    * bits (100× data → ~100× candidate pairs through the bucket join).
+    * The scale discipline is the standard Indyk–Motwani parameterization:
+    * hold EXPECTED BUCKET OCCUPANCY constant (bits = log₂(n/B), so random
+    * collisions stay ~n·B·L — linear), then buy the recall back with more
+    * tables: L = ln(1-recallFloor)/ln(1-p^bits) at the design cosine. Each
+    * extra bit multiplies the required L by only 1/p ≈ 1.08 at cosine
+    * 0.97, so total work (n·bits·L hashing + n·B·L collisions) grows as
+    * n·log n — vs n²/2⁸ before. Floors (8, 8) keep every corpus ≤ 2 048
+    * vectors on the exact geometry rounds 1-10 shipped (driver scales
+    * sf0.01/sf0.1 = 500/2 000 vectors: results byte-identical); caps
+    * (24, 32) bound plane count and per-vector hashing cost.
     */
-  private val LshTables = 8
-  private val LshBits = 8
+  private val LshMinBits = 8
+  private val LshMaxBits = 24
+  private val LshMinTables = 8
+  private val LshMaxTables = 32
+  private val LshTargetOccupancy = 8.0
+  private val LshDesignCos = 0.97
+  private val LshRecallFloor = 0.95
 
-  /** LshTables*LshBits deterministic hyperplanes (seed 1234), disjoint per
-    * table. */
-  private lazy val pairPlanes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(1234)
-    Seq.fill(LshTables * LshBits)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
+  /** (bits, tables) for a corpus of `n` vectors, per the formula above.
+    * n=2 000 → (8, 8) (the r1-r10 geometry); 20 000 → (12, 8);
+    * 200 000 → (15, 9); 10⁹ → (24, 13).
+    */
+  /** SemDeDup cell count for a corpus of `n` vectors: k = max(16,
+    * ⌈√(n/8)⌉). Assignment costs n·k cosine argmax steps; within-cell
+    * pairing costs ~n²/k candidate cosines — k ∝ √n is the balance point
+    * where both terms grow as n^1.5 (fixed k leaves pairing quadratic;
+    * k ∝ n makes the broadcast-argmax assignment the new quadratic-ish
+    * bottleneck since the fold is per-centroid work on every row). Floor
+    * 16 keeps every corpus ≤ 2 048 vectors on the exact r1-r10 codebook;
+    * driver scales are unchanged (sf0.01/sf0.1 → 16; sf1 → 50; sf10 →
+    * 159). The SemDeDup paper's fixed k=50 000 at n ~ 10⁸ sits on the
+    * same occupancy curve (√(10⁸/8) ≈ 3 500; theirs is denser because GPU
+    * pairwise within a cell is cheap — on Spark the join row count is the
+    * cost, so the balanced k is the right default).
+    */
+  private[graft] def semanticCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt)
+
+  private[graft] def lshGeometry(n: Long): (Int, Int) = {
+    val bits = math.min(LshMaxBits, math.max(LshMinBits,
+      math.ceil(
+        math.log(math.max(1.0, n / LshTargetOccupancy)) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(LshDesignCos) / math.Pi
+    val perTable = math.pow(p, bits)
+    val tables = math.min(LshMaxTables, math.max(LshMinTables,
+      math.ceil(math.log1p(-LshRecallFloor) / math.log1p(-perTable)).toInt))
+    (bits, tables)
+  }
+
+  /** First `count` deterministic hyperplanes (seed 1234), disjoint per
+    * table. Prefix-stable: plane i depends only on its position in the
+    * seeded stream, so growing the geometry never changes existing planes
+    * (count = 64 reproduces the r1-r10 plane set exactly).
+    */
+  private val pairPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Double]]]()
+  private def pairPlanesFor(count: Int): Seq[Seq[Double]] =
+    pairPlaneCache.computeIfAbsent(count, c => {
+      val rnd = new scala.util.Random(1234)
+      Seq.fill(c)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
+    })
+
+  /** (vec_id, tbl, bucket) triples for the pair-LSH family under the
+    * corpus-adaptive geometry, repartitioned into the one canonical
+    * exchange both self-join sides reuse. Input must carry
+    * (vec_id, embedding, ...).
+    */
+  private def lshBucketed(n: DataFrame, corpusSize: Long): DataFrame = {
+    val (bits, tables) = lshGeometry(corpusSize)
+    val planes = pairPlanesFor(bits * tables)
+    val tableBuckets = (0 until tables).map { t =>
+      hyperplaneBucket(col("embedding"), planes.slice(t * bits, (t + 1) * bits))
+    }
+    n.select(col("vec_id"), posexplode(array(tableBuckets: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+      // canonical exchange shared by both self-join sides => the
+      // bits·tables plane dot-products per vector run once (ReuseExchange),
+      // not per side
+      .repartition(col("tbl"), col("bucket"))
   }
 
   /** Corpus-size guard for the O(n²) exact all-pairs verification twin
@@ -115,21 +189,13 @@ object SimOps {
     * ScalaTest twin (DedupSimSpec) measures it against planted near-dups.
     */
   def embedLshPairs(s: SparkSession, d: String, minCos: Double): DataFrame = {
-    val n = U
-      .embeddings(s, d)
+    val base = U.embeddings(s, d)
+    // one metadata-cheap count picks the adaptive geometry (same cost
+    // class as the all-pairs guard's count; parquet footers only)
+    val corpusSize = base.count()
+    val n = base
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val tableBuckets = (0 until LshTables).map { t =>
-      hyperplaneBucket(
-        col("embedding"),
-        pairPlanes.slice(t * LshBits, (t + 1) * LshBits))
-    }
-    val bucketed = n
-      .select(col("vec_id"), posexplode(array(tableBuckets: _*)))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
-      // canonical exchange shared by both self-join sides => the 64 plane
-      // dot-products per vector run once (ReuseExchange), not per side
-      .repartition(col("tbl"), col("bucket"))
+    val bucketed = lshBucketed(n, corpusSize)
     val cand = bucketed
       .as("x")
       .join(
@@ -576,17 +642,21 @@ object SimOps {
     // keeper (the minimum within-cell duplicate partner), and that pair's
     // cosine. Scale: vectors shuffle ONCE into cells (one exchange,
     // reused by both self-join sides); pair comparison is O(sum of
-    // cell^2), never the all-pairs O(n^2) — at 100 TB, k grows with the
-    // corpus so cells stay bounded and the quadratic term never returns.
-    // no_oracle: codebook-dependent; DedupSimSpec asserts precision 1
-    // against all-pairs q_dedup_embed_cosine (every pruned pair is a real
-    // pair, bit-identical cosine) and recall on planted near-dups.
+    // cell^2), never the all-pairs O(n^2) — and k GROWS with the corpus
+    // ([[semanticCells]]: k ∝ √n, the balance point where the n·k
+    // assignment cost and the n²/k within-cell pair cost meet at n^1.5;
+    // r1-r10's fixed k=16 left the pair term quadratic, which the r11
+    // sf10 probe measured). no_oracle: codebook-dependent; DedupSimSpec
+    // asserts precision 1 against all-pairs q_dedup_embed_cosine (every
+    // pruned pair is a real pair, bit-identical cosine) and recall on
+    // planted near-dups.
     Q.noOracle("q_dedup_semantic") { (s, d) =>
       val MinCos = 0.35
       val e = U.embeddings(s, d)
         .filter(col("vec_id") >= 1)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val assigned = assignCells(e, trainCodebook(s, d, 16, 3))
+      val k = semanticCells(U.embeddings(s, d).count())
+      val assigned = assignCells(e, trainCodebook(s, d, k, 3))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
         .repartition(col("cell"))
       val cos = round(
@@ -666,19 +736,11 @@ object SimOps {
     * planted-neighbor harness can run it against its own fixture directory.
     */
   def knnGraph(s: SparkSession, d: String, k: Int): DataFrame = {
-    val n = U
-      .embeddings(s, d)
+    val base = U.embeddings(s, d)
+    val corpusSize = base.count()
+    val n = base
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val tableBuckets = (0 until LshTables).map { t =>
-      hyperplaneBucket(
-        col("embedding"),
-        pairPlanes.slice(t * LshBits, (t + 1) * LshBits))
-    }
-    val bucketed = n
-      .select(col("vec_id"), posexplode(array(tableBuckets: _*)))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bucket")
-      .repartition(col("tbl"), col("bucket"))
+    val bucketed = lshBucketed(n, corpusSize)
     val cand = bucketed
       .as("x")
       .join(

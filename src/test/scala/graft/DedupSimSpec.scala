@@ -526,6 +526,31 @@ class DedupSimSpec extends SparkSpec {
     assert(SparkEntry.queries("q_dedup_embed_cosine")(spark, sfDir).count() > 0)
   }
 
+  test("candidate-volume gate: the exact n-gram pair index refuses a saturated corpus") {
+    // r11: the exact inverted-index builder's candidate count is a DATA
+    // property (a saturated shingle space is quadratic under ANY
+    // shared-shingle index), so the builder computes its real candidate
+    // volume from the df aggregates it needs anyway and refuses past the
+    // budget, naming the MinHash scale path — the all-pairs-guard
+    // discipline applied to the pair-graph family.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jacgate").toString
+    val txt = "alpha beta gamma delta epsilon"
+    Seq.tabulate(4)(i => (i.toLong, txt, "en", "web", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.jaccard.maxCandidates", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count()
+      }
+      assert(e.getMessage.contains("q_dedup_near_minhash"))
+    } finally spark.conf.unset("spark.graft.jaccard.maxCandidates")
+    // the default budget admits the corpus; the full dup group comes back
+    // (4 identical docs => all 6 ordered pairs at jaccard 1.0)
+    assert(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() === 6)
+  }
+
   test("ANN recall@10 does not collapse at the sf1 probe scale") {
     // r10 verdict item 6: the sf1 probe corpus is 10 decorrelated replicas
     // (20k vectors) — 10x the bucket occupancy of sf0.1, so LSH buckets,
@@ -567,6 +592,45 @@ class DedupSimSpec extends SparkSpec {
       val recall = (got intersect truth).size.toDouble / truth.size
       assert(recall >= floor,
         s"$key recall@10 at sf1 occupancy = $recall, below the $floor floor")
+    }
+  }
+
+  test("lshGeometry: r1-r10 fixed point at driver scales; occupancy and design recall hold as n grows") {
+    // every corpus <= 2048 vectors keeps the exact (8, 8) geometry rounds
+    // 1-10 shipped — driver verification scales are byte-identical
+    for (n <- Seq(1L, 500L, 2000L, 2048L))
+      assert(graft.ops.SimOps.lshGeometry(n) === ((8, 8)), s"n=$n")
+    val p = 1.0 - math.acos(0.97) / math.Pi
+    var prevBits = 0
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L, 100000000L, 1000000000L)) {
+      val (bits, tables) = graft.ops.SimOps.lshGeometry(n)
+      assert(bits >= prevBits, s"bits must be monotone in n (n=$n)")
+      prevBits = bits
+      assert(bits <= 24 && tables <= 32, s"caps at n=$n: ($bits, $tables)")
+      // linear-collision invariant: expected bucket occupancy n/2^bits
+      // stays at the target until the bits cap binds
+      if (bits < 24)
+        assert(n / math.pow(2.0, bits) <= 8.0001, s"occupancy blew up at n=$n")
+      // recall invariant: 1-(1-p^bits)^tables >= 0.95 at the 0.97 design
+      // cosine for EVERY geometry the formula can emit
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+      assert(recall >= 0.95, s"design recall $recall at n=$n ($bits, $tables)")
+    }
+  }
+
+  test("semanticCells: r1-r10 fixed point at driver scales; k ~ sqrt(n) beyond") {
+    for (n <- Seq(1L, 500L, 2000L, 2048L))
+      assert(graft.ops.SimOps.semanticCells(n) === 16, s"n=$n")
+    assert(graft.ops.SimOps.semanticCells(20000L) === 50)
+    assert(graft.ops.SimOps.semanticCells(200000L) === 159)
+    // both cost terms stay balanced: assignment n*k and pairing n^2/k are
+    // within a constant factor of each other once k is off the floor
+    for (n <- Seq(100000L, 10000000L, 1000000000L)) {
+      val k = graft.ops.SimOps.semanticCells(n).toDouble
+      val assignCost = n * k
+      val pairCost = n.toDouble * n / k
+      assert(pairCost / assignCost <= 9.0 && assignCost / pairCost <= 9.0,
+        s"k=$k unbalanced at n=$n: assign $assignCost vs pairs $pairCost")
     }
   }
 }
