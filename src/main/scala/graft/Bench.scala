@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the "size shuffle partitions to the SF" lever: big-SF runs set
+      // SPARK_GRAFT_INIT_PARTITIONS above the thread count so heavy
+      // exchanges sort/spill in smaller chunks, and AQE coalesces the
+      // small stages right back down — per-query overhead at the driver
+      // scales is unchanged (default = cpus = the r1-r10 behavior)
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1209,15 +1209,28 @@ object JoinOps {
     // Fuzzy lookup join (entity resolution / query correction): every
     // 500th part name with its first character dropped is a deterministic
     // "typo" probe; each probe resolves to its best corpus match by
-    // Levenshtein distance <= 2, ties to the lowest key. The scale shape
-    // is the one a 100 TB catalog wants: the probe side is broadcast (a
-    // lookup batch is always small next to the catalog), the corpus scans
-    // ONCE behind a LOSSLESS length-band prefilter — ||a|-|b|| <= 2 is
-    // implied by lev <= 2, so the cheap codegen'd band eliminates most
-    // rows before any edit-distance work and provably changes nothing —
-    // and the argmin is min(struct(dist, key, name)): lexicographic,
-    // order-independent, partial-agg'd map-side so the exchange carries
-    // one tiny row per probe, never candidates.
+    // Levenshtein distance <= 2, ties to the lowest key.
+    //
+    // Candidate generation is PassJoin segment signatures (Li, Deng,
+    // Feng, VLDB 2012) instead of a bare length band: r1-r10 ran
+    // broadcast(probes) against every in-band catalog row, which is
+    // O(probes x catalog) levenshtein calls — both sides grow with the
+    // corpus, so the r11 sf10 probe measured 27x wall for 10x data (the
+    // quadratic showed only past sf1). PassJoin's pigeonhole: split every
+    // catalog name into k+1 = 3 contiguous segments — at most k = 2 edits
+    // can touch at most 2 of them, so some segment survives UNTOUCHED and
+    // appears verbatim in any probe within distance 2, shifted by at most
+    // the +/-2 net indels before it. The catalog therefore emits 3
+    // (seg_idx, length, content) keys per name, each probe emits its
+    // substrings for every (seg_idx, match-length in its +/-2 band) at
+    // shifts within +/-2 (<= 75 short keys, deduped), and the equi-join of
+    // the two key sets is a LOSSLESS candidate set: exact levenshtein
+    // (with the <= 2 early-exit threshold) runs on candidates only, and
+    // the same lexicographic min(struct(dist, key, name)) argmin
+    // partial-aggregates map-side so the exchange still carries one tiny
+    // row per probe. The probe KEY set stays broadcast-sized (a lookup
+    // batch is always small next to the catalog); the catalog is scanned
+    // once, map-side, never shuffled.
     Q(
       "q_join_fuzzy",
       """WITH p AS (
@@ -1238,12 +1251,43 @@ object JoinOps {
         .select(
           col("p_partkey").as("probe_key"),
           substring(col("p_name"), 2, Int.MaxValue).as("probe_name"))
-      val dist = levenshtein(col("probe_name"), col("p_name"))
-      U.part(s, d)
-        .join(
-          broadcast(probes),
-          abs(length(col("probe_name")) - length(col("p_name"))) <= 2)
-        .filter(dist <= 2)
+      // catalog side: 3 segment keys per name — (i, L, seg) with the
+      // deterministic balanced split (first L%3 segments one char longer)
+      val catKeys = U.part(s, d)
+        .select(
+          col("p_partkey"), col("p_name"), length(col("p_name")).as("L"),
+          explode(expr(
+            "transform(sequence(0, 2), i -> struct(i AS i, " +
+              "substring(p_name, " +
+              "i * (length(p_name) div 3) + least(i, length(p_name) % 3) + 1, " +
+              "(length(p_name) div 3) + if(i < length(p_name) % 3, 1, 0)" +
+              ") AS seg))")).as("sg"))
+        .select(
+          col("p_partkey"), col("p_name"), col("L"),
+          col("sg.i").as("i"), col("sg.seg").as("seg"))
+      // probe side: for every match length L in the +/-2 band, the
+      // segment-i content must appear in the probe within +/-2 of the
+      // segment's position in the match — enumerate those substrings
+      val probeKeys = probes
+        .withColumn("P", length(col("probe_name")))
+        .withColumn("L", explode(expr("sequence(greatest(P - 2, 1), P + 2)")))
+        .withColumn("i", explode(expr("sequence(0, 2)")))
+        .withColumn("st", expr("i * (L div 3) + least(i, L % 3)"))
+        .withColumn("ln", expr("(L div 3) + if(i < L % 3, 1, 0)"))
+        .withColumn("s", explode(expr("sequence(st - 2, st + 2)")))
+        .filter(col("s") >= 0 && col("s") + col("ln") <= col("P"))
+        .select(
+          col("probe_key"), col("probe_name"), col("i"), col("L"),
+          expr("substring(probe_name, s + 1, ln)").as("seg"))
+        .distinct()
+      // -1 sentinel from the thresholded levenshtein means "> 2"; kept
+      // pairs carry the true distance, so the argmin is unchanged
+      val dist = levenshtein(col("probe_name"), col("p_name"), 2)
+      catKeys
+        .join(broadcast(probeKeys), Seq("i", "L", "seg"))
+        .select(col("probe_key"), col("probe_name"), col("p_partkey"), col("p_name"))
+        .distinct()
+        .filter(dist >= 0 && dist <= 2)
         .groupBy(col("probe_key"), col("probe_name"))
         .agg(min(struct(
           dist.cast("long").as("dist"),

@@ -67,10 +67,6 @@ object SimOps {
   private val LshDesignCos = 0.97
   private val LshRecallFloor = 0.95
 
-  /** (bits, tables) for a corpus of `n` vectors, per the formula above.
-    * n=2 000 → (8, 8) (the r1-r10 geometry); 20 000 → (12, 8);
-    * 200 000 → (15, 9); 10⁹ → (24, 13).
-    */
   /** SemDeDup cell count for a corpus of `n` vectors: k = max(16,
     * ⌈√(n/8)⌉). Assignment costs n·k cosine argmax steps; within-cell
     * pairing costs ~n²/k candidate cosines — k ∝ √n is the balance point
@@ -87,6 +83,10 @@ object SimOps {
   private[graft] def semanticCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt)
 
+  /** (bits, tables) for a corpus of `n` vectors, per the formula above.
+    * n=2 000 → (8, 8) (the r1-r10 geometry); 20 000 → (12, 8);
+    * 200 000 → (15, 9); 10⁹ → (24, 13).
+    */
   private[graft] def lshGeometry(n: Long): (Int, Int) = {
     val bits = math.min(LshMaxBits, math.max(LshMinBits,
       math.ceil(

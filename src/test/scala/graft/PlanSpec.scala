@@ -334,14 +334,19 @@ class PlanSpec extends SparkSpec {
         s"embedding-carrying exchanges — the self-join must reuse the cell exchange)")
   }
 
-  test("q_join_fuzzy: probes broadcast into a nested-loop band join; the catalog never shuffles before it") {
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  test("q_join_fuzzy: probe segment keys broadcast into a hash join; the catalog never shuffles before it") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     val plan = executed(q("q_join_fuzzy"))
-    // the length-band condition is non-equi, so the broadcast probe side
-    // must plan a broadcast NESTED LOOP join — a sort-merge join here
-    // would mean the whole catalog shuffled for a 40-row probe batch
-    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
-      s"expected the probes to ride a broadcast nested-loop join:\n$plan")
+    // r11: PassJoin turned the non-equi length-band join (broadcast
+    // nested loop = O(probes x catalog) levenshtein calls, measured 27x
+    // wall for 10x data at sf10) into an EQUI join on (seg_idx, length,
+    // segment) — the probe key set broadcasts into a hash join and the
+    // catalog is scanned once map-side; candidates shuffle only after
+    // the join (the pair dedup), never the catalog itself
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected the probe segment keys to ride a broadcast hash join:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the nested-loop band join must be gone (PassJoin candidates):\n$plan")
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
       s"the catalog side must not shuffle for the probe join:\n$plan")
   }
