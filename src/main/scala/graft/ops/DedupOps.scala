@@ -114,8 +114,10 @@ object DedupOps {
     * job, engine-side; every consumer (ngram-jaccard, containment,
     * triangles, PageRank, degrees, connected components) filters this
     * checkpointed pair-sized frame. The UNFILTERED candidate set is
-    * corpus-scaled (1.1M pairs at sf0.1) and must never be cached — both
-    * thresholds apply BEFORE materialization.
+    * corpus-scaled (363k prefix-filtered candidates at sf0.1, 45.7M at
+    * sf1) and must never be cached — both thresholds apply BEFORE
+    * materialization, and the builder refuses outright past its candidate
+    * budget ([[JaccardMaxCandConf]]).
     */
   private[ops] def ngramPairStats(s: SparkSession, d: String): DataFrame =
     graft.MatCache.df(s, s"ngrampairs:$d") {

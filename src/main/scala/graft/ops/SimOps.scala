@@ -179,14 +179,16 @@ object SimOps {
   private def bucketOf(emb: Column): Column = hyperplaneBucket(emb, planes)
 
   /** Production-scale embedding near-dup: all pairs with cosine >= `minCos`,
-    * candidates from [[LshTables]] hyperplane-LSH bucket joins (never all
-    * pairs), exact cosine re-rank on candidates only. Mirrors the MinHash
-    * banding plan shape: buckets shuffle (vec_id, table, bucket) triples —
-    * NOT vectors — through one canonical exchange shared by both self-join
-    * sides (ReuseExchange); vectors join back in only for the surviving
-    * candidate pairs. Cost is O(n·L + collisions) vs the verifier's O(n²);
-    * recall per the [[LshTables]] formula is a tunable, not a hope — the
-    * ScalaTest twin (DedupSimSpec) measures it against planted near-dups.
+    * candidates from the corpus-adaptive multi-table hyperplane-LSH bucket
+    * joins ([[lshGeometry]] — never all pairs), exact cosine re-rank on
+    * candidates only. Mirrors the MinHash banding plan shape: buckets
+    * shuffle (vec_id, table, bucket) triples — NOT vectors — through one
+    * canonical exchange shared by both self-join sides (ReuseExchange);
+    * vectors join back in only for the surviving candidate pairs. Cost is
+    * O(n·L + collisions) with collisions held linear by the occupancy-
+    * constant geometry; recall per the [[lshGeometry]] formula is a
+    * tunable, not a hope — the ScalaTest twin (DedupSimSpec) measures it
+    * against planted near-dups.
     */
   def embedLshPairs(s: SparkSession, d: String, minCos: Double): DataFrame = {
     val base = U.embeddings(s, d)

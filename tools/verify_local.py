@@ -39,6 +39,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     import os
     con = duckdb.connect()
+    # bound the oracle's own resources: the sf1 q_graph_triangles pair
+    # self-join spilled >120 GB before dying on a full disk (r11) — cap the
+    # temp directory so an oracle-side blow-up fails cleanly as that
+    # query's ERROR row instead of taking the machine's disk with it
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET max_temp_directory_size='50GB'")
     for t in TABLES:
         # driver testdata ships single files; ScaleGen's sf1 probe tables are
         # Spark-written directories — glob their part files in that case
