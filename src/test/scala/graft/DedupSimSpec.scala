@@ -595,6 +595,54 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("pair-LSH recall does not collapse at the sf10 probe's adaptive geometry") {
+    // r11: the corpus-adaptive geometry trades bucket width for table
+    // count as n grows (lshGeometry) — this pins EMPIRICALLY what the
+    // formula promises at the 100x probe's occupancy: 200k decorrelated
+    // vectors select the (15, 9) geometry, and planted cosine~0.97 pairs
+    // must still surface from the bucket joins. Skips when the sf10 probe
+    // corpus is not generated (same discipline as the sf1 ANN pin).
+    val sf10 = "testdata_sf10"
+    assume(new java.io.File(s"$sf10/embeddings.parquet").exists(),
+      "sf10 probe corpus not generated (sbt 'runMain graft.ScaleGen " +
+        "/root/testdata/sf0.1 testdata_sf10 100')")
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(150)(i => (500000000000L + i) -> vec())
+    val dups = Seq.tabulate(40) { i =>
+      val (srcId, src) = base(i * 3)
+      (501000000000L + (srcId - 500000000000L),
+        src.map(x => x + 0.2f * rnd.nextGaussian().toFloat))
+    }
+    val planted = base ++ dups
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    val want = (for {
+      i <- planted.indices; j <- (i + 1) until planted.length
+      if math.rint(cos(planted(i)._2, planted(j)._2) * 1e4) / 1e4 >= 0.9
+    } yield {
+      val (x, y) = (planted(i)._1, planted(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(want.size >= 30, s"expected ~40 planted pairs, got ${want.size}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf10_lsh").toString
+    import spark.implicits._
+    spark.read.parquet(s"$sf10/embeddings.parquet")
+      .union(planted.map { case (id, v) => (id, v.toSeq, 0) }
+        .toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.SimOps.embedLshPairs(spark, dir, 0.9)
+      .filter(col("a") >= 500000000000L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got.subsetOf(want), s"false positives among planted ids: ${got -- want}")
+    val recall = got.size.toDouble / want.size
+    assert(recall >= 0.85,
+      s"pair-LSH recall $recall at sf10 occupancy (geometry ${graft.ops.SimOps.lshGeometry(200190L)})")
+  }
+
   test("lshGeometry: r1-r10 fixed point at driver scales; occupancy and design recall hold as n grows") {
     // every corpus <= 2048 vectors keeps the exact (8, 8) geometry rounds
     // 1-10 shipped — driver verification scales are byte-identical
