@@ -95,6 +95,7 @@ object Bench {
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+      MatCache.sweepTransients(spark)
     }
 
     // `passes` timed passes; keep the per-query minimum.
@@ -116,6 +117,12 @@ object Bench {
         best(name) =
           if (t < 0 || best.getOrElse(name, Double.MaxValue) < 0) -1.0
           else math.min(best.getOrElse(name, Double.MaxValue), t)
+        // Outside the timed region: the previous query's localCheckpoint
+        // scratch blocks are dead weight that starves later queries'
+        // execution memory in a long shared JVM (SURVEY §2.12 item 5);
+        // MatCache's deliberate artifacts survive the sweep, so the
+        // measured cross-query amortization is unchanged.
+        MatCache.sweepTransients(spark)
       }
     }
 

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
 
 /** Session-scoped materialization cache for the small derived frames the
   * operator families share: the near-dup pair graph (consumed by
@@ -25,4 +26,41 @@ object MatCache {
 
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     m.computeIfAbsent((System.identityHashCode(s), key), _ => build)
+
+  /** Block-manager ids of every RDD a cached artifact's plan reads from —
+    * the blocks that must SURVIVE a [[sweepTransients]]. Collected across
+    * all sessions, not just the caller's: in local mode every session
+    * shares one SparkContext, so a per-session pin set would let one
+    * session's sweep silently evict another's artifacts.
+    */
+  private def pinnedRddIds: Set[Int] =
+    m.values.asScala.flatMap { df =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    }.toSet
+
+  /** Free every persisted RDD except the cached artifacts' own blocks.
+    *
+    * Why this exists: the iterative and index-building operators cut
+    * lineage with `localCheckpoint`, which pins the cut point's blocks in
+    * the block manager. Those blocks are per-query SCRATCH — in a
+    * production job they die with the job's JVM — but a long-lived session
+    * (the 176-query bench, Verify, a notebook) accumulates them until the
+    * protected storage fraction starves execution memory; measured at
+    * sf10, leftover artifacts inflated later unrelated queries up to 12×
+    * until a fresh JVM dissolved the difference (SURVEY §2.12 item 5).
+    * Harnesses call this BETWEEN queries, once the previous result is
+    * fully materialized; the unpersist is lineage-destroying for the swept
+    * frames, which is exactly why it must never run mid-query.
+    *
+    * Returns the number of RDDs swept (observability + tests).
+    */
+  def sweepTransients(s: SparkSession): Int = {
+    val pinned = pinnedRddIds
+    val doomed = s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => pinned(id) }
+    doomed.values.foreach(_.unpersist(blocking = false))
+    doomed.size
+  }
 }

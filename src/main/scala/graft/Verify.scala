@@ -61,6 +61,10 @@ object Verify {
         failures(name) = s"${e.getClass.getSimpleName}: $first"
         System.err.println(s"[verify] $name failed: $first")
       }
+      // The written parquet is the result; the query's localCheckpoint
+      // scratch blocks would otherwise accumulate across all 176 dumps
+      // (MatCache artifacts survive — see MatCache.sweepTransients).
+      MatCache.sweepTransients(spark)
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -681,4 +681,26 @@ class DedupSimSpec extends SparkSpec {
         s"k=$k unbalanced at n=$n: assign $assignCost vs pairs $pairCost")
     }
   }
+
+  test("sweepTransients frees per-query checkpoint scratch but spares MatCache artifacts") {
+    // PageRank cuts lineage with localCheckpoint (edge frames + rank
+    // state), all of it per-query scratch pinned in the block manager;
+    // its input pair graph is a MatCache artifact that must SURVIVE a
+    // sweep (SURVEY §2.12 item 5 — the long-JVM contamination fix).
+    val before = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val swept = MatCache.sweepTransients(spark)
+    assert(swept > 0, "pagerank must leave transient checkpoint blocks for the sweep")
+    // the cached pair graph kept its blocks: consuming it again works
+    // without a rebuild, and a full re-run reproduces the result exactly
+    val after = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === before)
+    // idempotent: a second sweep right after a sweep+run only sees the
+    // NEW run's scratch, and pinned artifacts still never leave
+    MatCache.sweepTransients(spark)
+    val pinnedStill = spark.sparkContext.getPersistentRDDs
+    assert(pinnedStill.nonEmpty,
+      "MatCache artifacts (pair graph / codebooks) must survive every sweep")
+  }
 }
