@@ -630,13 +630,16 @@ object AggOps {
     // incremental distinct MV at 100 TB needs a mergeable sketch. Daily
     // Datasketches-HLL partials over the user key union-merge to the
     // whole-range estimate; the direct whole-range sketch is computed
-    // alongside so the output itself witnesses merge == direct. Estimates
-    // are deterministic (a sketch is a deterministic function of the value
-    // SET — order and duplication invariant). At scale the daily partials
-    // are the stored MV: a new day appends one sketch row per group and
-    // the range query re-unions sketches, never rescans events. no_oracle:
-    // DuckDB's approx_distinct is a different sketch family; FunctionsSpec
-    // asserts merged == direct and brackets both against exact distinct.
+    // alongside so the output itself witnesses the merge. In the coupon
+    // regime (LIST/SET mode, the sketch still exact) merge == direct
+    // literally; once a group promotes to dense HLL the direct sketch's
+    // HIP estimator and the union's composite estimator legitimately
+    // differ by O(rse) — both stay within the sketch error bound of the
+    // true distinct (PropertyChecks verifies per regime). At scale the
+    // daily partials are the stored MV: a new day appends one sketch row
+    // per group and the range query re-unions sketches, never rescans
+    // events. no_oracle: DuckDB's approx_distinct is a different sketch
+    // family; FunctionsSpec pins both regimes against exact distinct.
     Q.noOracle("q_agg_hll_mv") { (s, d) =>
       val day = (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
       val daily = U.events(s, d)

@@ -411,15 +411,34 @@ object PropertyChecks {
 
     "q_agg_hll_mv" -> at("strong")((s, d) => {
       val res = run(s, d, "q_agg_hll_mv")
-      val notEq = res.filter(col("merged_est") =!= col("direct_est")).count()
+      // Two regimes, two contracts (the KLL lesson, §2.11, found by the
+      // same sf0.1+ gate): a DataSketches HLL sketch is EXACT while it
+      // still holds coupons (LIST/SET mode), so per-day partials
+      // union-merge to literally the direct estimate. Once a group
+      // promotes to dense HLL mode, the direct sketch reports the
+      // stream-history HIP estimator while a union can only report the
+      // composite estimator, and the two LEGITIMATELY differ by O(rse) —
+      // measured: equal at 150 distinct/group (sf0.01), diverged at 1500
+      // (sf0.1); the lgK=12 coupon capacity sits between, so 512 keeps
+      // both measured regimes on their observed sides. The contract:
+      // any group whose merged and direct estimates diverge must be past
+      // the coupon regime, and EVERY estimate — merged and direct, both
+      // regimes — must sit within 10% of the exact distinct recomputed
+      // from raw events (lgK=12 rse is 1.625%: ~6 sigma of headroom).
       val exact = U.events(s, d).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_d"))
-      val off = res.join(exact, "event_type")
-        .filter(abs(col("direct_est") - col("exact_d")) > col("exact_d") * 0.1)
+      val j = res.join(exact, "event_type")
+      val couponNotEq = j.filter(
+        col("merged_est") =!= col("direct_est") && col("exact_d") <= 512).count()
+      val off = j.filter(
+        abs(col("direct_est") - col("exact_d")) > col("exact_d") * 0.1 ||
+          abs(col("merged_est") - col("exact_d")) > col("exact_d") * 0.1)
         .count()
-      if (notEq > 0) Left(s"$notEq groups: merged != direct estimate")
-      else if (off > 0) Left(s"$off groups: estimate >10% off exact distinct")
-      else Right("merged == direct per group; estimates within 10% of exact (strong)")
+      if (couponNotEq > 0)
+        Left(s"$couponNotEq coupon-regime groups: merged != direct estimate")
+      else if (off > 0) Left(s"$off groups: an estimate >10% off exact distinct")
+      else Right(
+        "coupon-regime merges exact; merged and direct within 10% of exact (strong)")
     }),
 
     "q_agg_kll_mv" -> at("strong")((s, d) => {

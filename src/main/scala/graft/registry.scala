@@ -314,7 +314,7 @@ object Registry {
     "q_agg_heavyhitters" ->
       "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec",
     "q_agg_hll_mv" ->
-      "merged-vs-direct sketch estimate equality + exact-distinct bracket — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'",
+      "merged == direct in the coupon regime, both estimates within the sketch error bound of exact distinct once promoted to dense HLL — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'",
     "q_agg_kll_mv" ->
       "merged == direct == exact order statistic (exact-mode sketches at test scale) + parquet round-trip — FunctionsSpec 'KLL daily sketches merge to the direct sketch AND the exact order statistic'",
     "q_ts_holt" ->

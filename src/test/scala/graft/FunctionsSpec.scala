@@ -129,6 +129,39 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("HLL property check holds in the PROMOTED regime (dense mode, the sf0.1+/sf1 shape)") {
+    // r11 regression: at sf0.1 each event_type sees 1500 distinct users,
+    // the sketch promotes out of coupon (LIST/SET) mode, and the old
+    // merged==direct equality legitimately failed — the direct sketch
+    // reports its HIP estimator, a union only the composite estimator.
+    // The check is now regime-aware: divergence is allowed only past the
+    // coupon regime, and both estimates must bracket the exact distinct.
+    // Synthesize a corpus past promotion to pin that branch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_dense").toString
+    val users = 3000 // > the 512 coupon-regime cut, comfortably dense
+    val rows = (0 until 2).flatMap { g =>
+      val et = if (g == 0) "alpha" else "beta"
+      (0 until users).map { i =>
+        // 3 distinct days so the daily MV merge is a real multi-sketch
+        // merge; user ids disjoint across groups
+        val us = 1704412800000000L + (i % 3) * 86400000000L + i.toLong
+        (g.toLong * users + i, us, g.toLong * users + i, et, 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (depth, verdict) = ops.PropertyChecks.checks("q_agg_hll_mv")(spark, dir)
+    assert(depth === "strong")
+    verdict match {
+      case Right(detail) => assert(detail.contains("within 10%"),
+        s"unexpected verdict detail: $detail")
+      case Left(detail) => fail(s"promoted-regime HLL check failed: $detail")
+    }
+  }
+
   test("HLL sketches round-trip through parquet and still union-merge (the stored-MV path)") {
     // the q_agg_hll_mv story at rest: daily sketch rows are the PERSISTED
     // artifact — write the binary sketches, read them back, union — the
