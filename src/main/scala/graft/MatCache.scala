@@ -56,11 +56,33 @@ object MatCache {
     *
     * Returns the number of RDDs swept (observability + tests).
     */
-  def sweepTransients(s: SparkSession): Int = {
+  def sweepTransients(
+      s: SparkSession,
+      blocking: Boolean = false,
+      ifOverBytes: Long = 0L): Int = {
     val pinned = pinnedRddIds
+    // ifOverBytes > 0: sweep only under real storage pressure. Removal is
+    // not free — measured at sf0.1, unconditionally sweeping the ~176
+    // queries' small scratch cost 2-17% total wall and doubled run
+    // variance, while the scratch itself was nowhere near starving
+    // anything. The contamination the sweep exists for needs GB-scale
+    // leftovers (sf10), so a byte threshold keeps the insurance and drops
+    // the premium: below it the harness leaves cleanup to the
+    // ContextCleaner, above it the sweep fires before memory pressure
+    // can reshape later queries.
+    if (ifOverBytes > 0) {
+      val transientBytes = s.sparkContext.getRDDStorageInfo
+        .filterNot(i => pinned(i.id))
+        .map(i => i.memSize + i.diskSize).sum
+      if (transientBytes < ifOverBytes) return 0
+    }
     val doomed = s.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => pinned(id) }
-    doomed.values.foreach(_.unpersist(blocking = false))
+    // blocking=true: a timing harness wants block removal to FINISH in the
+    // untimed gap between queries — an async removal storm competes with
+    // the next query's tasks for the block manager and shows up inside its
+    // measured time instead.
+    doomed.values.foreach(_.unpersist(blocking))
     doomed.size
   }
 }
