@@ -297,9 +297,9 @@ object DedupOps {
         |  FROM documents)
         |SELECT norm_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM n GROUP BY norm_md5 ORDER BY canonical_id""".stripMargin) { (s, d) =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-        " +", " "))
+      // one-pass codegen normalize, byte-identical to the oracle's regex
+      // chain (see [[graft.functions.NormalizeText]])
+      val norm = graft.functions.NormalizeText.normalizeText(col("text"))
       U.documents(s, d)
         .select(md5(norm).as("norm_md5"), col("doc_id"))
         .groupBy(col("norm_md5"))

@@ -357,9 +357,9 @@ object PipelineOps {
         |WHERE t.doc_id >= 10 AND NOT EXISTS (
         |  SELECT 1 FROM n e WHERE e.doc_id < 10 AND e.norm_md5 = t.norm_md5)
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-        " +", " "))
+      // one-pass codegen normalize, byte-identical to the oracle's regex
+      // chain (see [[graft.functions.NormalizeText]])
+      val norm = graft.functions.NormalizeText.normalizeText(col("text"))
       val digests = U.documents(s, d)
         .select(col("doc_id"), md5(norm).as("norm_md5"))
       val eval = digests

@@ -318,6 +318,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("NormalizeText equals the trim/regex/lower chain on generated strings") {
+    // the byte-identity q_dedup_normalized / q_pipeline_curate's oracle
+    // depends on: the one-pass expression must agree with the declarative
+    // chain on every input — punctuation runs, space runs split by
+    // stripped chars, leading/trailing junk, Unicode (including chars
+    // whose lowercase maps INTO ascii), empty strings
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.const(""),
+      Gen.const("   "),
+      Gen.const("..a. .b,,  c!!"),
+      Gen.const("  Hello,  WORLD!  x9  "),
+      Gen.const("naïve ünïcode 中文 İstanbul ﬁ K"),
+      Gen.listOf(Gen.oneOf("w1 ", " .W2. ", "x-!", "  ", "Q_9"))
+        .map(_.mkString))
+    forAllSamples(strGen) { (s: String) =>
+      val df = Seq(Tuple1(s)).toDF("x")
+      val got = df.select(graft.functions.NormalizeText.normalizeText(col("x")))
+        .head().getString(0)
+      val want = df.select(trim(regexp_replace(
+        regexp_replace(lower(col("x")), "[^a-z0-9 ]", ""), " +", " ")))
+        .head().getString(0)
+      assert(got === want, s"mismatch on input '$s': got '$got' want '$want'")
+    }
+  }
+
   test("VecDot equals aggregate(zip_with(...)) on generated float vectors") {
     forAllSamples(vecPairGen) { case (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
