@@ -1,13 +1,13 @@
 package graft
 
-import graft.functions.{MaxShingleFreq, Md5Prefix64, MinHashSig, Shingles, SimHash64, VecDot}
+import graft.functions.{MaxShingleFreq, Md5Prefix64, MinHashSig, NormalizeText, Shingles, SimHash64, VecDot}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL surface for the custom codegen'd expressions: `spark.sql` users get
   * `vec_dot`, `shingles`, `minhash_sig`, `simhash64`, `max_shingle_freq`,
-  * `md5_prefix64` as
+  * `md5_prefix64`, `normalize_text` as
   * first-class functions, either per-session ([[GraftFunctions.register]]) or for every
   * session via `spark.sql.extensions=graft.GraftExtensions` (the standard
   * library-installation hook — no Spark fork, no reflection).
@@ -95,6 +95,16 @@ object GraftFunctions {
             case _ =>
               throw new IllegalArgumentException(
                 s"md5_prefix64(str) takes 1 argument, got ${args.length}")
+          }),
+      (
+        FunctionIdentifier("normalize_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        (args: Seq[Expression]) =>
+          args match {
+            case Seq(a) => NormalizeText(a)
+            case _ =>
+              throw new IllegalArgumentException(
+                s"normalize_text(str) takes 1 argument, got ${args.length}")
           }))
 
   /** Register on an existing session (session-scoped, no config needed). */

@@ -54,6 +54,9 @@ class FunctionsSpec extends SparkSpec {
     val err = intercept[Exception](
       spark.sql("SELECT shingles(array('a','b'), CAST(rand()*3 AS INT)) AS s").collect())
     assert(err.getMessage.contains("integer literal"))
+    assert(
+      spark.sql("SELECT normalize_text('  A..b,  C9 !') AS n")
+        .head().getString(0) === "ab c9")
   }
 
   test("Misra-Gries decrement and merge-trim branches (small k) match hand-computed summaries") {
@@ -294,8 +297,8 @@ class FunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are shared
     assert(GraftFunctions.all.map(_._1.funcName).sorted ===
-      Seq("max_shingle_freq", "md5_prefix64", "minhash_sig", "shingles",
-        "simhash64", "vec_dot"))
+      Seq("max_shingle_freq", "md5_prefix64", "minhash_sig",
+        "normalize_text", "shingles", "simhash64", "vec_dot"))
   }
 
   test("Md5Prefix64 equals conv(substr(md5(x),1,8),16,10) on generated strings") {
