@@ -94,17 +94,15 @@ object Bench {
     // codegen path compiles here, not inside a timed pass.
     // SPARK_GRAFT_SWEEP=0 is the A/B lever for measuring the sweep itself;
     // default on — a long shared JVM without it re-creates the sf10
-    // contamination (SURVEY §2.12 item 5). The byte threshold keeps the
-    // sweep dormant at driver scales where scratch is harmless (measured:
-    // unconditional sweeping cost 2-17% wall at sf0.1) and fires it at the
-    // GB-scale leftovers that actually starve later queries.
-    val sweep = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
-    val sweepOverBytes =
-      sys.env.getOrElse("SPARK_GRAFT_SWEEP_OVER_BYTES", (2L << 30).toString).toLong
+    // contamination (SURVEY §2.12 item 5). The byte threshold (see
+    // MatCache.harnessSweep) keeps the sweep dormant at driver scales
+    // where scratch is harmless (measured: unconditional sweeping cost
+    // 2-17% wall at sf0.1) and fires it at the GB-scale leftovers that
+    // actually starve later queries.
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
-      if (sweep) MatCache.sweepTransients(spark, blocking = true, sweepOverBytes)
+      MatCache.harnessSweep(spark, blocking = true)
     }
 
     // `passes` timed passes; keep the per-query minimum.
@@ -132,7 +130,7 @@ object Bench {
         // MatCache's deliberate artifacts survive the sweep, so the
         // measured cross-query amortization is unchanged. Blocking, so
         // removal finishes here and not inside the next measurement.
-        if (sweep) MatCache.sweepTransients(spark, blocking = true, sweepOverBytes)
+        MatCache.harnessSweep(spark, blocking = true)
       }
     }
 

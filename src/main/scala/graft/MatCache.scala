@@ -52,11 +52,15 @@ object MatCache {
     * until a fresh JVM dissolved the difference (SURVEY §2.12 item 5).
     * Harnesses call this BETWEEN queries, once the previous result is
     * fully materialized; the unpersist is lineage-destroying for the swept
-    * frames, which is exactly why it must never run mid-query.
+    * frames, which is exactly why it must never run mid-query — and why
+    * this is `private[graft]`: a caller outside the harness discipline
+    * holding its OWN checkpointed frame (a notebook `val df =
+    * big.localCheckpoint()`) would have df's blocks destroyed with
+    * truncated lineage, an unrecoverable state this API cannot detect.
     *
     * Returns the number of RDDs swept (observability + tests).
     */
-  def sweepTransients(
+  private[graft] def sweepTransients(
       s: SparkSession,
       blocking: Boolean = false,
       ifOverBytes: Long = 0L): Int = {
@@ -85,4 +89,16 @@ object MatCache {
     doomed.values.foreach(_.unpersist(blocking))
     doomed.size
   }
+
+  /** The harness entry point Bench and Verify share: one reading of the
+    * `SPARK_GRAFT_SWEEP` / `SPARK_GRAFT_SWEEP_OVER_BYTES` levers so an
+    * operator's A/B setting reaches BOTH tools and the 2 GiB default
+    * lives in exactly one place.
+    */
+  private[graft] def harnessSweep(s: SparkSession, blocking: Boolean): Int =
+    if (sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") == "0") 0
+    else sweepTransients(
+      s,
+      blocking,
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_OVER_BYTES", (2L << 30).toString).toLong)
 }

@@ -63,10 +63,10 @@ object Verify {
       }
       // The written parquet is the result; the query's localCheckpoint
       // scratch blocks would otherwise accumulate across all 176 dumps
-      // (MatCache artifacts survive — see MatCache.sweepTransients; the
-      // byte threshold keeps the sweep dormant until leftovers reach the
-      // scale that actually starves later queries).
-      MatCache.sweepTransients(spark, blocking = false, ifOverBytes = 2L << 30)
+      // (MatCache artifacts survive; the shared byte threshold keeps the
+      // sweep dormant until leftovers reach the scale that actually
+      // starves later queries — see MatCache.harnessSweep).
+      MatCache.harnessSweep(spark, blocking = false)
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -687,10 +687,17 @@ class DedupSimSpec extends SparkSpec {
     // state), all of it per-query scratch pinned in the block manager;
     // its input pair graph is a MatCache artifact that must SURVIVE a
     // sweep (SURVEY §2.12 item 5 — the long-JVM contamination fix).
-    val before = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    // SparkContext's persistentRdds map holds its values WEAKLY, so the
+    // result frame must stay strongly referenced across the sweep or a
+    // badly-timed GC could already have emptied the map (review r11):
+    // the frame's plan reaches the final checkpoint's RDD, guaranteeing
+    // the sweep sees at least that one transient.
+    val resultFrame = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    val before = resultFrame
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val swept = MatCache.sweepTransients(spark)
     assert(swept > 0, "pagerank must leave transient checkpoint blocks for the sweep")
+    assert(resultFrame.columns.nonEmpty) // keeps resultFrame live past the sweep
     // the cached pair graph kept its blocks: consuming it again works
     // without a rebuild, and a full re-run reproduces the result exactly
     val after = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
