@@ -41,7 +41,7 @@ object DedupOps {
     * the cap is mirrored in the oracle SQL so both engines agree by
     * construction if data ever crosses it.
     */
-  private val MaxShingleDf = 1000
+  private[ops] val MaxShingleDf = 1000
 
   /** Max document frequency for a 20-token window in `q_dedup_substring`'s
     * inverted index — same stop-key discipline as [[MaxShingleDf]], tighter

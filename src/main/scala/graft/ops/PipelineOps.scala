@@ -273,9 +273,25 @@ object PipelineOps {
     // key); `localCheckpoint` truncates the growing lineage so iteration N
     // doesn't recompute 1..N-1. Convergence is monitored by sum(label) —
     // labels only ever decrease, so an unchanged sum IS the fixpoint.
-    // Graph-dependent iteration count => no single SQL oracle; ScalaTest
-    // verifies against a driver-side union-find on the same pairs.
-    Q.noOracle("q_dedup_clusters") { (s, d) =>
+    // Oracle'd since r11: the iteration count is graph-dependent but the
+    // FIXPOINT is not — min-label-reachable equals min over the recursive
+    // transitive closure, which DuckDB expresses as a WITH RECURSIVE
+    // UNION (fixpoint) CTE with the aggregate safely OUTSIDE the
+    // recursion. The dedup graph's components are tiny (a few hundred
+    // nodes), so the closure's O(component²) rows are nothing next to the
+    // pair pipeline that feeds it. ScalaTest still cross-checks against a
+    // driver-side union-find on the same pairs.
+    Q(
+      "q_dedup_clusters",
+      s"""${DedupOps.NgramJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT a AS src, b AS dst FROM jac UNION ALL SELECT b, a FROM jac),
+        |reach(src, node) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.node = ed.src
+        |)
+        |SELECT src AS doc_id, min(node) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
       val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
       connectedComponents(pairs)
         .toDF("doc_id", "cluster_id")

@@ -368,28 +368,9 @@ object PropertyChecks {
       else Right(s"precision 1: all $n pruned pairs genuine, keep-min-id holds (strong)")
     }),
 
-    "q_dedup_clusters" -> at("strong")((s, d) => {
-      val res = run(s, d, "q_dedup_clusters")
-      val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
-      // (a) every edge's endpoints share a label
-      val split = pairs
-        .join(res.select(col("doc_id").as("a"), col("cluster_id").as("ca")), "a")
-        .join(res.select(col("doc_id").as("b"), col("cluster_id").as("cb")), "b")
-        .filter(col("ca") =!= col("cb")).count()
-      // (b) each cluster's label is the minimum member id
-      val badLabel = res.groupBy(col("cluster_id"))
-        .agg(min(col("doc_id")).as("mn"))
-        .filter(col("cluster_id") =!= col("mn")).count()
-      // (c) output node set == pair-graph node set
-      val nodes = pairs.select(col("a").as("doc_id"))
-        .unionAll(pairs.select(col("b").as("doc_id"))).distinct()
-      val setDiff = res.join(nodes, Seq("doc_id"), "left_anti").count() +
-        nodes.join(res, Seq("doc_id"), "left_anti").count()
-      if (split > 0) Left(s"$split edges split across clusters")
-      else if (badLabel > 0) Left(s"$badLabel clusters not labeled by min member")
-      else if (setDiff > 0) Left(s"node set mismatch by $setDiff")
-      else Right("edge-consistent, min-labeled clustering over the exact pair graph (strong)")
-    }),
+    // q_dedup_clusters graduated to a full DuckDB oracle in r11 (recursive
+    // transitive-closure CTE, PipelineOps) — its ScalaTest union-find twin
+    // remains in DedupSimSpec.
 
     "q_agg_heavyhitters" -> at("strong")((s, d) => {
       val res = run(s, d, "q_agg_heavyhitters")

@@ -309,8 +309,6 @@ object Registry {
       "vs exact driver-side replay of the same 10 integer-arithmetic power iterations (bit equality) — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'integer PageRank equals a driver-side replay of the same iterations'",
     "q_dedup_semantic" ->
       "vs q_dedup_embed_cosine all-pairs (precision 1, bit-identical cosines) + planted-near-dup recall — DedupSimSpec 'semantic dedup prunes only genuine pairs' / 'SemDeDup recall on planted near-duplicates'",
-    "q_dedup_clusters" ->
-      "vs driver-side union-find on the same pair graph — DedupSimSpec",
     "q_agg_heavyhitters" ->
       "Misra-Gries guarantee vs exact counts (every term with freq > n/(k+1) present, f - n/(k+1) <= est <= f) — FunctionsSpec",
     "q_agg_hll_mv" ->
