@@ -76,6 +76,40 @@ object DedupOps {
        |        JOIN sizes sb ON sb.doc_id = b
        |        WHERE round(inter / (sa.n + sb.n - inter), 4) >= 0.8)""".stripMargin
 
+  /** Oracle SQL for `q_graph_pagerank`: the 10 fixed integer power
+    * iterations UNROLLED as chained CTEs over [[NgramJacSqlCte]]'s edge
+    * set. Unrolling (not recursion) because each iteration needs a
+    * per-node SUM, which SQL forbids inside a recursive CTE — and the
+    * iteration count is a constant of the operator, so the loop is
+    * finite by construction. Every quantity is BIGINT with truncating
+    * `//` division, mirroring the engine's `div`-based update
+    * (`base + (85 * Σ r div deg) div 100`) bit for bit; `sum(...)` is
+    * cast back to BIGINT so DuckDB's HUGEINT accumulator never leaks
+    * into the output dtype.
+    */
+  private[ops] val PageRankOracleSql: String = {
+    val S = "CAST(1000000000 AS BIGINT)"
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (SELECT e.dst AS rid,
+         |  CAST((15*$S) // (100*pn.n) + (85 * sum(p.r // e.deg)) // 100 AS BIGINT) AS r
+         |  FROM edgesd e JOIN r${i - 1} p ON e.src = p.rid CROSS JOIN pn
+         |  GROUP BY e.dst, pn.n)""".stripMargin
+    }.mkString(",\n")
+    // ed is MATERIALIZED: the unrolled chain references the edge set from
+    // all 10 iterations, and an inlining planner would otherwise re-run
+    // the whole n-gram pair pipeline per iteration (measured: the sf1
+    // attempt spilled past the disk before the hint)
+    s"""$NgramJacSqlCte,
+       |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM jac UNION ALL SELECT b, a FROM jac),
+       |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |pn AS (SELECT count(*) AS n FROM dg),
+       |edgesd AS MATERIALIZED (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       |r0 AS (SELECT src AS rid, CAST($S // n AS BIGINT) AS r FROM dg CROSS JOIN pn),
+       |$iters
+       |SELECT rid AS doc_id, r AS rank_micro FROM r10
+       |ORDER BY rank_micro DESC, doc_id""".stripMargin
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= 0.8) — the
     * Spark twin of [[NgramJacSqlCte]]'s `jac` relation; consumed by the
     * q_dedup_ngram_jaccard key, cluster resolution, and graph analytics.
@@ -546,9 +580,14 @@ object DedupOps {
     // ~0.3 s/iteration is fixed local job scheduling. At cluster scale
     // iteration cost is data-bound, and a production deployment
     // materializes the pair graph once for the whole graph family rather
-    // than per query. no_oracle: iterative — the DedupSimSpec twin
-    // replays the identical integer ops driver-side, asserts bit equality.
-    Q.noOracle("q_graph_pagerank") { (s, d) =>
+    // than per query. Oracle'd since r11: the iteration count is FIXED
+    // (10), so the loop unrolls into 10 chained SQL CTEs — all-integer
+    // arithmetic makes each iteration bit-reproducible in any engine, and
+    // DuckDB evaluates the same join+groupBy chain over the shared
+    // n-gram-Jaccard edge CTE (aggregates per iteration are legal because
+    // nothing is recursive). The DedupSimSpec driver-side bit replay
+    // stays as the in-process twin.
+    Q("q_graph_pagerank", PageRankOracleSql) { (s, d) =>
       val S = 1000000000L
       val Iters = 10
       val pairs = ngramJaccardPairs(s, d).select(col("a"), col("b"))

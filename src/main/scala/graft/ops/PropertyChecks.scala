@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * counterpart, the check is STRONG — recompute the claimed values engine-
   * side (exact cosines, exact Jaccard, exact counts/quantiles) or replay the
   * bounded training loop / per-series fold driver-side, and compare
-  * bit-for-bit. Since r11 the three formerly invariant-depth keys
-  * (`q_graph_pagerank`, `q_embed_kmeans`, `q_embed_pq`) run their
-  * DedupSimSpec bit-replays HERE too: each replay is driver-side O(corpus)
-  * work (node-sized pair graph / n·k·iters·dim flops), cheap at every scale
+  * bit-for-bit. Since r11 the formerly invariant-depth keys
+  * (`q_embed_kmeans`, `q_embed_pq`) run their DedupSimSpec bit-replays
+  * HERE too (`q_graph_pagerank` graduated further, to a full DuckDB
+  * oracle via unrolled integer CTEs): each replay is driver-side O(corpus)
+  * work (n·k·iters·dim flops), cheap at every scale
   * Verify actually runs (sf0.01 driver gate, sf1 local probe = 20k
   * vectors). A corpus past the driver-replay budget falls back to the
   * structural invariants and the verdict RECORDS that depth — the `depth`
@@ -294,62 +295,9 @@ object PropertyChecks {
       }
     },
 
-    "q_graph_pagerank" -> { (s, d) =>
-      // r11: the engine's PageRank is ALL integer arithmetic (1e9-scaled
-      // ranks, truncating div), so the DedupSimSpec driver replay of the
-      // identical 10 iterations runs here too and must match BIT FOR BIT.
-      // The pair graph is node-sized (dedup neighborhoods), so the replay
-      // is bounded; a graph past the budget gets the structural invariants.
-      val S = 1000000000L
-      val pairDf = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
-      val nPairs = pairDf.count()
-      if (2 * nPairs > ReplayBudgetRows) {
-        val res = run(s, d, "q_graph_pagerank")
-        val nodes = pairDf.select(col("a").as("doc_id"))
-          .union(pairDf.select(col("b").as("doc_id"))).distinct()
-        val n = nodes.count()
-        val extra = res.join(nodes, Seq("doc_id"), "left_anti").count()
-        val missing = nodes.join(res, Seq("doc_id"), "left_anti").count()
-        val base = (15L * S) / (100L * n)
-        val stats = res.agg(
-          sum(col("rank_micro")), min(col("rank_micro"))).collect()(0)
-        val total = stats.getLong(0)
-        val mn = stats.getLong(1)
-        val v =
-          if (extra + missing > 0) Left(s"node set mismatch: +$extra/-$missing")
-          else if (mn < base) Left(s"rank $mn below damping floor $base")
-          else if (total > S || total < (S * 8) / 10)
-            Left(s"total mass $total outside (0.8e9, 1e9]")
-          else Right(s"node set exact, ranks >= damping floor, mass $total " +
-            s"conserved ($nPairs pairs > replay budget; bit replay in DedupSimSpec)")
-        ("invariant", v)
-      } else {
-        val pairs = pairDf.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-        val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
-        val nodes = deg.keys.toSeq.sorted
-        val n = nodes.length.toLong
-        var r = nodes.map(_ -> S / n).toMap
-        val base = (15L * S) / (100L * n)
-        for (_ <- 1 to 10) {
-          val sc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-          edges.foreach { case (src, dst) => sc(dst) += r(src) / deg(src) }
-          r = nodes.map(x => x -> (base + (85L * sc(x)) / 100L)).toMap
-        }
-        val got = run(s, d, "q_graph_pagerank").collect()
-          .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("rank_micro")).toMap
-        val v =
-          if (got == r) Right(s"10 integer power iterations replayed " +
-            s"bit-exact driver-side over $n nodes / ${edges.length} directed " +
-            "edges (strong)")
-          else {
-            val diff = (got.keySet ++ r.keySet)
-              .count(k => got.get(k) != r.get(k))
-            Left(s"$diff/${r.size} node ranks differ from the integer replay")
-          }
-        ("strong", v)
-      }
-    },
+    // q_graph_pagerank graduated to a full DuckDB oracle in r11 (the 10
+    // fixed integer iterations unroll into chained SQL CTEs, DedupOps) —
+    // its driver-side bit-replay twin remains in DedupSimSpec.
 
     "q_dedup_semantic" -> at("strong")((s, d) => {
       val res = run(s, d, "q_dedup_semantic")

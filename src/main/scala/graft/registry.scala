@@ -305,8 +305,6 @@ object Registry {
       "vs q_sim_topk brute-force ranking — DedupSimSpec 'ANN IVF top-k cosines are genuine cosines from the brute-force ranking'",
     "q_embed_kmeans" ->
       "vs exact driver-side simulation of the same loop (identical IEEE ops, micro-int means, tie-breaks) — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'k-means codebook training equals an exact driver-side simulation'",
-    "q_graph_pagerank" ->
-      "vs exact driver-side replay of the same 10 integer-arithmetic power iterations (bit equality) — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'integer PageRank equals a driver-side replay of the same iterations'",
     "q_dedup_semantic" ->
       "vs q_dedup_embed_cosine all-pairs (precision 1, bit-identical cosines) + planted-near-dup recall — DedupSimSpec 'semantic dedup prunes only genuine pairs' / 'SemDeDup recall on planted near-duplicates'",
     "q_agg_heavyhitters" ->
