@@ -52,7 +52,15 @@ object Verify {
         spark.stop()
         throw e
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Subset lever (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): a
+    // comma-separated key list restricts the dump + oracle manifest to
+    // those keys — the fast inner loop for checking ONE new operator
+    // against verify_local.py without the full-registry pass. Unset =
+    // driver behavior, everything runs.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -69,6 +77,7 @@ object Verify {
       MatCache.harnessSweep(spark, blocking = false)
     }
     val json = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // machine-readable companion: how each no-oracle key IS verified
@@ -80,7 +89,7 @@ object Verify {
     // (r9 advice item 6 — the driver artifact no longer has to trust that
     // the ScalaTest twins ran). ok=false rows also land in failures.json so
     // one artifact carries every red flag.
-    val propResults = ops.PropertyChecks.runAll(spark, sfDir)
+    val propResults = ops.PropertyChecks.runAll(spark, sfDir, selected)
     val resJson = propResults.map { case (k, depth, r) =>
       val (ok, detail) = r match {
         case Left(m)  => ("false", m)

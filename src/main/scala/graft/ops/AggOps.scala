@@ -826,6 +826,90 @@ object AggOps {
           col("p99_direct"),
           col("n_days"))
         .orderBy("event_type")
+    },
+
+    // Mergeable FREQUENCY-sketch MV (Count-Min, Cormode & Muthukrishnan
+    // 2005) — the third leg of the sketch-MV family: HLL answers "how many
+    // distinct", KLL answers "what quantile", CM answers "how often does
+    // THIS key occur" in fixed space. Daily depth×width = 4×512 count
+    // partials over per-user event occurrences are the stored parquet MV;
+    // cells merge across days by plain addition (each cell is an
+    // independent sum), so a range query re-adds 2048-bounded cell rows
+    // and never rescans events. A probe set (every 10th user) reads
+    // est = min over the 4 rows of its hashed cells; the exact count is
+    // computed alongside so every output row witnesses the one-sided CM
+    // guarantee est >= exact. Unlike HLL/KLL, every stored value is a
+    // deterministic BIGINT — the row hash is the md5-prefix bucket both
+    // engines compute identically (see q_text_dsir / Md5Prefix64) — so
+    // this sketch MV IS oracle-checkable inline. Scale: the sketch is
+    // depth×width-bounded regardless of corpus size; the hashed explode
+    // is map-side (×4 rows, integers only, no text/payload) and
+    // partial-aggregates before its exchange; probes touch 4 cells each
+    // against a broadcast 2048-row merged table.
+    Q(
+      "q_agg_cm_mv",
+      """WITH nn AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id >= 0),
+        |h AS (
+        |  SELECT day, ds.dep AS dep,
+        |    CAST(('0x' || substr(md5(CAST(ds.dep AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS BIGINT) AS bkt
+        |  FROM nn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dep) ds),
+        |daily AS (SELECT day, dep, bkt, count(*) AS cnt FROM h GROUP BY 1, 2, 3),
+        |m AS (SELECT dep, bkt, CAST(sum(cnt) AS BIGINT) AS cell FROM daily GROUP BY 1, 2),
+        |p AS (SELECT DISTINCT user_id FROM nn WHERE user_id % 10 = 0),
+        |ph AS (
+        |  SELECT user_id, ds.dep AS dep,
+        |    CAST(('0x' || substr(md5(CAST(ds.dep AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS BIGINT) AS bkt
+        |  FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS dep) ds),
+        |est AS (
+        |  SELECT user_id, CAST(min(cell) AS BIGINT) AS cm_est
+        |  FROM ph JOIN m USING (dep, bkt) GROUP BY 1),
+        |ex AS (
+        |  SELECT user_id, count(*) AS n_exact
+        |  FROM nn WHERE user_id % 10 = 0 GROUP BY 1)
+        |SELECT user_id, cm_est, n_exact
+        |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        import graft.functions.Md5Prefix64.md5Prefix64
+        def bucket(dep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          md5Prefix64(concat(
+            dep.cast("string"), lit(":"), col("user_id").cast("string"))) % 512
+        val nn = U.events(s, d)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+        val daily = nn
+          .withColumn("dep", explode(expr("sequence(0, 3)")))
+          .groupBy(col("day"), col("dep"), bucket(col("dep")).as("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+        // the stored MV: daily cell rows round-trip through parquet (same
+        // scratch discipline as q_agg_bitmap_mv)
+        val tmp = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_cm_mv_${java.lang.Integer.toHexString(d.hashCode)}")
+          .toString
+        daily.write.mode("overwrite").parquet(tmp)
+        val merged = s.read.parquet(tmp)
+          .groupBy(col("dep"), col("bkt"))
+          .agg(sum(col("cnt")).as("cell"))
+        val probes = nn
+          .filter(col("user_id") % 10 === 0)
+          .select(col("user_id"))
+          .distinct()
+          .withColumn("dep", explode(expr("sequence(0, 3)")))
+          .withColumn("bkt", bucket(col("dep")))
+        val est = probes
+          .join(broadcast(merged), Seq("dep", "bkt"))
+          .groupBy(col("user_id"))
+          .agg(min(col("cell")).as("cm_est"))
+        val exact = nn
+          .filter(col("user_id") % 10 === 0)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+        est
+          .join(exact, "user_id")
+          .select(col("user_id"), col("cm_est"), col("n_exact"))
+          .orderBy("user_id")
     }
   )
 }

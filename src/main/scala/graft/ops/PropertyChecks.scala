@@ -588,10 +588,11 @@ object PropertyChecks {
     })
   )
 
-  /** Run every check; returns key -> (depth-that-ran, Either). */
-  def runAll(s: SparkSession, d: String)
+  /** Run every selected check; returns key -> (depth-that-ran, Either). */
+  def runAll(s: SparkSession, d: String,
+      selected: String => Boolean = _ => true)
       : Seq[(String, String, Either[String, String])] =
-    checks.toSeq.sortBy(_._1).map { case (k, f) =>
+    checks.toSeq.sortBy(_._1).filter(kv => selected(kv._1)).map { case (k, f) =>
       val (depth, r) =
         try f(s, d)
         catch { case e: Exception =>

@@ -538,6 +538,96 @@ object TextOps {
           count(lit(1)).as("n_bigrams"),
           sum(expr("(ct + 1) * 1000000 div (cs + 1)")).as("score"))
         .orderBy("doc_id")
+    },
+
+    // CCNet-shaped LM-perplexity quality bucketing (Wenzek et al. 2020,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    // Data"): train a per-language add-one-smoothed bigram LM on the corpus
+    // itself, score every doc by its mean conditional bigram probability,
+    // and split each language into head/middle/tail terciles — the standard
+    // "keep the head, drop the tail" curation gate. Real CCNet scores
+    // sum(-log p)/n with a KenLM 5-gram; ln() is a cross-engine float
+    // hazard (libm last-ulp divergence, see q_text_dsir), so the score is
+    // the integer micro-probability surrogate: p(w2|w1) = (c12 + 1)·10⁶
+    // div (c1 + V) per occurrence, arithmetic mean per doc — monotone
+    // enough for bucketing, engine-exact. V is the per-language
+    // continuation vocabulary |distinct w2| (the denominator mass Laplace
+    // smoothing adds). Scale: the LM is vocab²-bounded, orders of
+    // magnitude below corpus size — broadcast here, a digest-keyed shuffle
+    // join when a 100 TB corpus's model outgrows the driver; the three
+    // model aggregates partial-aggregate map-side so only (lang, w1, w2)
+    // count rows shuffle, never text. The tercile window partitions BY
+    // LANGUAGE (as CCNet's per-language buckets do); at 100 TB the exact
+    // per-language sort becomes broadcast cutoffs read off a score
+    // histogram, same labels.
+    Q(
+      "q_text_perplexity",
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |  FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT lang, w1, w2, count(*) AS c12 FROM occ GROUP BY 1, 2, 3),
+        |pre AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1, 2),
+        |vl AS (SELECT lang, count(DISTINCT w2) AS v FROM bg GROUP BY 1),
+        |model AS (
+        |  SELECT bg.lang, bg.w1, bg.w2, (c12 + 1) * 1000000 // (c1 + v) AS p_micro
+        |  FROM bg JOIN pre ON bg.lang = pre.lang AND bg.w1 = pre.w1
+        |  JOIN vl ON bg.lang = vl.lang),
+        |doc AS (
+        |  SELECT occ.doc_id, occ.lang, count(*) AS n_bigrams,
+        |    CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_pmicro
+        |  FROM occ JOIN model ON occ.lang = model.lang
+        |    AND occ.w1 = model.w1 AND occ.w2 = model.w2
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_bigrams, mean_pmicro,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_pmicro DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM doc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val occ = U.documents(s, d)
+        .select(col("doc_id"), col("lang"), words.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(" +
+              "element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+            .as("bgp"))
+        .select(
+          col("doc_id"), col("lang"),
+          col("bgp.w1").as("w1"), col("bgp.w2").as("w2"))
+      val bg = occ.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val pre = bg.groupBy(col("lang"), col("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      val vl = bg.groupBy(col("lang"))
+        .agg(countDistinct(col("w2")).as("v"))
+      val model = bg
+        .join(pre, Seq("lang", "w1"))
+        .join(vl, Seq("lang"))
+        .select(
+          col("lang"), col("w1"), col("w2"),
+          expr("(c12 + 1) * 1000000 div (c1 + v)").as("p_micro"))
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_pmicro").desc, col("doc_id"))
+      occ
+        .join(broadcast(model), Seq("lang", "w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          expr("sum(p_micro) div count(*)").as("mean_pmicro"))
+        .withColumn(
+          "ppl_bucket",
+          when(ntile(3).over(byLang) === 1, "head")
+            .when(ntile(3).over(byLang) === 2, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "n_bigrams", "mean_pmicro", "ppl_bucket")
+        .orderBy("doc_id")
     }
   )
 }

@@ -258,4 +258,44 @@ class EdgeCaseSpec extends SparkSpec {
       assert(longest <= active && n <= active)
     }
   }
+
+  test("CM sketch MV: every probe witnesses est >= exact; collisions only inflate") {
+    val rows = SparkEntry.queries("q_agg_cm_mv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("cm_est")
+      val exact = r.getAs[Long]("n_exact")
+      // the one-sided Count-Min guarantee: min over the d hashed cells can
+      // only OVER-count (colliding keys add, never subtract)
+      assert(est >= exact,
+        s"user ${r.getAs[Long]("user_id")}: est $est < exact $exact")
+    }
+    // the sketch is 4x512 cells over ~150 users at sf0.001 — collisions are
+    // rare enough that the min over 4 independent rows is usually tight;
+    // require it exact for a majority so a broken hash (everything in one
+    // cell still satisfies >=) cannot pass silently
+    val tight = rows.count(r => r.getAs[Long]("cm_est") === r.getAs[Long]("n_exact"))
+    assert(tight * 2 >= rows.length, s"only $tight/${rows.length} probes exact")
+  }
+
+  test("perplexity terciles: per-language ntile bucket sizes differ by <= 1 and head dominates tail") {
+    val rows = SparkEntry.queries("q_text_perplexity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("ppl_bucket"))
+        .view.mapValues(_.map(_.getAs[Long]("mean_pmicro"))).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // ntile(3) size balance
+      val sizes = Seq("head", "middle", "tail").map(b => byBucket.get(b).map(_.length).getOrElse(0))
+      assert(sizes.max - sizes.min <= 1, s"$lang bucket sizes $sizes")
+      // score ordering across buckets (ties can straddle a boundary, so
+      // compare head's min against tail's max only when both exist)
+      for (h <- byBucket.get("head"); t <- byBucket.get("tail"))
+        assert(h.min >= t.max, s"$lang: head min ${h.min} < tail max ${t.max}")
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.min >= m.max, s"$lang: head/middle order violated")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.min >= t.max, s"$lang: middle/tail order violated")
+    }
+  }
 }

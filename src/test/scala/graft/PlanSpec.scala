@@ -472,6 +472,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_text_perplexity: the LM broadcasts into the scoring join; no exchange carries raw text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_text_perplexity"))
+    // the vocab²-bounded model must broadcast — the corpus-sized occurrence
+    // side never shuffles for the scoring join
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"bigram LM must broadcast:\n$plan")
+    // the doc text stays at its scan: exchanges may carry words/counts
+    // (model build) or per-doc partials, never the text column
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"raw doc text crossed an exchange: $names")
+    }
+  }
+
   test("q_ts_downsample_minmax: one series-key hash exchange; q_mix_temperature: weight total broadcasts") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
