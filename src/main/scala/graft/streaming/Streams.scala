@@ -790,6 +790,85 @@ object Streams {
       .orderBy(col("est").desc, col("timeseries_id"))
   }
 
+  // ---- Streaming Count-Min frequency MV ----
+
+  /** One micro-batch of the Count-Min frequency MV (`q_agg_cm_mv`'s
+    * streaming maintenance path): the batch's series ids hash into
+    * depth×width = 4×512 count cells per day, landed in this batch's own
+    * `batch_id=N` directory. Cells merge by SUM across stored partials
+    * (each cell is an independent count — Cormode & Muthukrishnan 2005),
+    * so the per-batch-directory overwrite gives replay the exactly-once
+    * effect of the [[countMvBatch]] layout discipline, and unlike the MG
+    * summary the replayed bytes are IDENTICAL regardless of row order.
+    * The bucket hash is [[graft.functions.Md5Prefix64]] — deterministic
+    * and engine-portable, so any md5-capable engine can read the MV.
+    */
+  def cmMvBatch(batch: DataFrame, mvDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    batch
+      .withColumn("day", to_date(col("timestamp")))
+      .withColumn("dep", explode(expr("sequence(0, 3)")))
+      .groupBy(
+        col("day"),
+        col("dep"),
+        (graft.functions.Md5Prefix64.md5Prefix64(concat(
+          col("dep").cast("string"), lit(":"), col("timeseries_id"))) % 512)
+          .as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$mvDir/batch_id=$batchId")
+  }
+
+  /** Streaming maintenance of the Count-Min frequency MV. Caller starts
+    * the returned writer (`.start()`).
+    */
+  def cmMvSink(
+      telemetry: DataFrame,
+      mvDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes")): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => cmMvBatch(b, mvDir, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Point-frequency estimates over the [[cmMvSink]] MV for a day range:
+    * re-ADD the stored cells across the range (the day filter prunes
+    * before the merge; only (days × batches × 2048)-bounded integer cell
+    * rows ever move — raw telemetry is never rescanned), then estimate
+    * each queried key as the min over its 4 hashed cells. The estimate is
+    * one-sided: est >= true always (colliding keys only inflate), with
+    * the usual CM overcount bound w.h.p. A key whose cell has no stored
+    * row in the range truly has count 0 — the left join's null fills as
+    * 0 and the min reports it.
+    */
+  def cmEstimate(
+      s: SparkSession,
+      mvDir: String,
+      keys: Seq[String],
+      startDay: String,
+      endDay: String): DataFrame = {
+    import s.implicits._
+    val cells = s.read
+      .parquet(mvDir)
+      .filter(col("day").between(
+        lit(startDay).cast("date"), lit(endDay).cast("date")))
+      .groupBy(col("dep"), col("bkt"))
+      .agg(sum(col("cnt")).as("cell"))
+    val probes = keys.toDF("timeseries_id")
+      .withColumn("dep", explode(expr("sequence(0, 3)")))
+      .withColumn("bkt",
+        graft.functions.Md5Prefix64.md5Prefix64(concat(
+          col("dep").cast("string"), lit(":"), col("timeseries_id"))) % 512)
+    probes
+      .join(broadcast(cells), Seq("dep", "bkt"), "left")
+      .na.fill(0L, Seq("cell"))
+      .groupBy(col("timeseries_id"))
+      .agg(min(col("cell")).as("est"))
+      .orderBy("timeseries_id")
+  }
+
   // ---- Streaming incremental near-dup dedup (MinHash-LSH index) ----
 
   private val MinHashPerms = 32

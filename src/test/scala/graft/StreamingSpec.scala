@@ -505,6 +505,46 @@ class StreamingSpec extends SparkSpec {
     assert(drift2 === Map("id-a" -> 8L, "id-b" -> 8L))
   }
 
+  test("cmMv: estimates off the streamed CM MV equal exact counts; range prunes; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mv = java.nio.file.Files.createTempDirectory("graft_cmmv").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmmv_ckpt").toString
+    val mem = MemoryStream[Tele]
+    val q = Streams
+      .cmMvSink(mem.toDF(), mv, ckpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
+    def t(s: String, id: String) = Tele("S", ts(s), 1.0, None, id)
+    val b0 = Seq(
+      t("2024-08-25 10:00:00", "id-a"), t("2024-08-25 11:00:00", "id-a"),
+      t("2024-08-25 10:00:00", "id-b"))
+    val b1 = Seq(
+      t("2024-08-26 10:00:00", "id-a"),
+      t("2024-08-26 10:00:00", "id-c"), t("2024-08-26 11:00:00", "id-c"),
+      t("2024-08-26 12:00:00", "id-c"))
+    mem.addData(b0); q.processAllAvailable()
+    mem.addData(b1); q.processAllAvailable()
+    q.stop()
+    def ests(start: String, end: String): Map[String, Long] =
+      Streams.cmEstimate(
+        spark, mv, Seq("id-a", "id-b", "id-c", "id-ghost"), start, end)
+        .collect()
+        .map(r => r.getAs[String]("timeseries_id") -> r.getAs[Long]("est"))
+        .toMap
+    // 3 ids in 4x512 cells: no id collides with another in all 4 depths,
+    // so every estimate is exact (one-sided guarantee met with equality);
+    // the never-seen key reads an untouched cell -> 0
+    assert(ests("2024-08-25", "2024-08-26") ===
+      Map("id-a" -> 3L, "id-b" -> 1L, "id-c" -> 3L, "id-ghost" -> 0L))
+    // day-range pruning: only day-25 partials contribute
+    assert(ests("2024-08-25", "2024-08-25") ===
+      Map("id-a" -> 2L, "id-b" -> 1L, "id-c" -> 0L, "id-ghost" -> 0L))
+    // replay batch 1: same rows, same batch_id directory -> identical cells
+    import spark.implicits._
+    Streams.cmMvBatch(b1.toDF(), mv, batchId = 1L)
+    assert(ests("2024-08-25", "2024-08-26") ===
+      Map("id-a" -> 3L, "id-b" -> 1L, "id-c" -> 3L, "id-ghost" -> 0L))
+  }
+
   test("hhMv: merged stream partials equal exact counts in MG's exact regime; replay preserves the summary") {
     implicit val sqlCtx = spark.sqlContext
     val mv = java.nio.file.Files.createTempDirectory("graft_hhmv").toString
