@@ -772,13 +772,14 @@ class StreamingSpec extends SparkSpec {
     assert(back.filter(col("event_date") === "2024-08-28").count() === rows.length)
   }
 
-  test("end-to-end pipeline: ingestFiles → faultRuns + upsertSink + countMvSink/mvMixDrift, two micro-batches, replay is a no-op") {
+  test("end-to-end pipeline: ingestFiles → faultRuns + upsertSink + countMvSink/mvMixDrift + cmMvSink, two micro-batches, replay is a no-op") {
     // The full reference loop (R1 ingest + R5 fault scan + R6 periodic job +
     // R3 point update, main.rs:234-240,384-406) as ONE continuously running
     // composition: JSON files land via the file sink, a downstream stream
-    // over the landed parquet feeds three sinks at once — the upsert store,
-    // the daily-count MV, and the typed fault-run detector — and a second
-    // file delivers both a run-completing fault AND a late correction.
+    // over the landed parquet feeds four sinks at once — the upsert store,
+    // the daily-count MV, the Count-Min frequency MV, and the typed
+    // fault-run detector — and a second file delivers both a
+    // run-completing fault AND a late correction.
     import graft.streaming.Telemetry
     implicit val sqlCtx = spark.sqlContext
     def dir(p: String) = java.nio.file.Files.createTempDirectory(p).toString
@@ -786,6 +787,7 @@ class StreamingSpec extends SparkSpec {
     val store = dir("graft_e2e_store"); val mv = dir("graft_e2e_mv")
     val iCkpt = dir("graft_e2e_ickpt"); val uCkpt = dir("graft_e2e_uckpt")
     val mCkpt = dir("graft_e2e_mckpt")
+    val cmMv = dir("graft_e2e_cmmv"); val cCkpt = dir("graft_e2e_cckpt")
 
     def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
     // b1: id-a builds a 2-fault run on day 1; id-b has day-1 and day-2 rows
@@ -826,6 +828,9 @@ class StreamingSpec extends SparkSpec {
     val mvQ = Streams
       .countMvSink(flagged, mv, mCkpt, Trigger.ProcessingTime("0 seconds"))
       .start()
+    val cmQ = Streams
+      .cmMvSink(flagged, cmMv, cCkpt, Trigger.ProcessingTime("0 seconds"))
+      .start()
     // 7-day watermark: the scenario spans two calendar days, so day-2 rows
     // in b1 must not make day-1's b2 fault arrive "late" and be dropped
     val alertsQ = Streams
@@ -837,7 +842,8 @@ class StreamingSpec extends SparkSpec {
       .start()
     def drainAll(): Unit = {
       ingest.processAllAvailable()
-      upsertQ.processAllAvailable(); mvQ.processAllAvailable(); alertsQ.processAllAvailable()
+      upsertQ.processAllAvailable(); mvQ.processAllAvailable()
+      cmQ.processAllAvailable(); alertsQ.processAllAvailable()
     }
 
     writeJson("b1.json", b1); drainAll()
@@ -846,11 +852,13 @@ class StreamingSpec extends SparkSpec {
     // capture the MV's batch directories BEFORE b2 lands, so the replay
     // check below can verify its own precondition (b2 in ONE batch) instead
     // of silently assuming it (r10 advice)
-    def mvBatchDirs() = Option(new java.io.File(mv).list()).getOrElse(Array.empty[String])
+    def batchDirs(d: String) = Option(new java.io.File(d).list()).getOrElse(Array.empty[String])
       .filter(_.startsWith("batch_id=")).toSet
+    def mvBatchDirs() = batchDirs(mv)
     val mvBatchesBeforeB2 = mvBatchDirs()
+    val cmBatchesBeforeB2 = batchDirs(cmMv)
     writeJson("b2.json", b2); drainAll()
-    Seq(ingest, upsertQ, mvQ, alertsQ).foreach(_.stop())
+    Seq(ingest, upsertQ, mvQ, cmQ, alertsQ).foreach(_.stop())
 
     // landed: all 8 rows, day-partitioned
     val landedDf = spark.read.parquet(landed)
@@ -888,6 +896,18 @@ class StreamingSpec extends SparkSpec {
     assert(drift === Map(
       "id-a" -> ((4L, 0L, 8L, 24L)),
       "id-b" -> ((2L, 2L, 8L, 24L))), s"got $drift")
+    // CM frequency MV: point estimates over the full landed range equal
+    // the exact per-series landed-row counts (collision-free regime), and
+    // a never-seen key reads its untouched cell as 0
+    def cmMap() = Streams
+      .cmEstimate(spark, cmMv, Seq("id-a", "id-b", "id-ghost"),
+        "2024-08-28", "2024-08-29")
+      .collect()
+      .map(r => r.getAs[String]("timeseries_id") -> r.getAs[Long]("est"))
+      .toMap
+    val cmEst = cmMap()
+    assert(cmEst === Map("id-a" -> 4L, "id-b" -> 4L, "id-ghost" -> 0L),
+      s"got $cmEst")
 
     // replay: at-least-once redelivery of b2 through BOTH batch kernels
     // must leave every read model unchanged
@@ -906,6 +926,14 @@ class StreamingSpec extends SparkSpec {
     val lastMvBatch = newMvBatches.head.stripPrefix("batch_id=").toLong
     Streams.countMvBatch(b2Flagged, mv, lastMvBatch)
     assert(driftMap() === drift, "count-MV replay must be a no-op")
+    // same precondition + replay through the CM kernel: identical cells
+    val newCmBatches = batchDirs(cmMv) -- cmBatchesBeforeB2
+    assert(newCmBatches.size === 1,
+      s"replay precondition: b2 landed across ${newCmBatches.size} CM batch " +
+        s"directories ($newCmBatches) — the whole-b2 replay below requires one")
+    Streams.cmMvBatch(
+      b2Flagged, cmMv, newCmBatches.head.stripPrefix("batch_id=").toLong)
+    assert(cmMap() === cmEst, "CM-MV replay must be a no-op")
 
     // stage 3: the sensor-death detector joins the loop (the one streaming
     // kernel the e2e composition had not exercised). The ingest restarts on
