@@ -298,4 +298,30 @@ class EdgeCaseSpec extends SparkSpec {
         assert(m.min >= t.max, s"$lang: middle/tail order violated")
     }
   }
+
+  test("perplexity degenerate shapes: sub-2-token docs drop; 1-doc language is all head; 2-doc language has no tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl_edge").toString
+    Seq(
+      // lang "one": a single scoreable doc -> ntile(3) over 1 row -> head
+      (0L, "one", "src", "alpha beta alpha beta"),
+      // lang "two": two scoreable docs -> buckets head+middle, never tail
+      (1L, "two", "src", "x y x y x y"),
+      (2L, "two", "src", "x z q r s t"),
+      // unscoreable: one token / empty text (split of "" is [""], size 1)
+      (3L, "one", "src", "solo"),
+      (4L, "two", "src", ""))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_perplexity")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 1L, 2L),
+      "docs with fewer than 2 tokens cannot be scored and must drop")
+    val buckets = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    assert(buckets(0L) === "head", "a 1-doc language's only doc is its head")
+    // doc 1 repeats the corpus's dominant bigrams; doc 2 is mostly novel
+    assert(buckets(1L) === "head" && buckets(2L) === "middle",
+      s"2-doc language must fill head+middle only, got $buckets")
+  }
 }
