@@ -309,6 +309,178 @@ object CoreOps {
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") % 20 === 1)
         .orderBy("event_id")
+    },
+
+    // B: data-quality expectations gate — one row per declared rule:
+    // (rule_id, tbl, kind, n_checked, n_violations, pass). The validation
+    // suite every ingest runs before data is admitted to a training mix
+    // (the reference's only guard is a bounds check, main.rs:93-95; this is
+    // that idea generalized to declarative rules). Scale shape: all rules
+    // on one table share ONE wide partial-aggregated scan (r1+r2 on
+    // lineitem, r4 on orders), so the rule count doesn't multiply table
+    // scans; the two referential rules are LEFT ANTI joins (nation is
+    // broadcast-size; orders→customer shuffles on the key like any FK
+    // check must — at 100 TB that anti-join rides the same bloom-pruned
+    // shuffle as q_join_bloom). Each rule frame aggregates to ONE row, so
+    // the final unions/crossJoins move a constant number of rows no matter
+    // the corpus. Rules are crafted so both verdicts occur on the driver
+    // data: r1/r7 fail with real violation counts, the rest pass —
+    // a gate whose failing branch is never exercised is untested.
+    Q(
+      "q_quality_expectations",
+      """WITH li AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    count(*) - count(l_shipdate) AS v2 FROM lineitem),
+        |  o AS (SELECT count(*) AS n, count(*) - count(DISTINCT o_orderkey) AS v4 FROM orders),
+        |  ofk AS (SELECT CAST(count(*) AS BIGINT) AS v3 FROM orders o2
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey)),
+        |  dc AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v5 FROM documents),
+        |  cu AS (SELECT count(*) AS n FROM customer),
+        |  cfk AS (SELECT CAST(count(*) AS BIGINT) AS v6 FROM customer c2
+        |    WHERE NOT EXISTS (SELECT 1 FROM nation nn WHERE nn.n_nationkey = c2.c_nationkey)),
+        |  ev AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN value IS NULL OR isnan(value) OR value < 0 OR value > 99 THEN 1 ELSE 0 END) AS BIGINT) AS v7 FROM events)
+        |SELECT 'r1_lineitem_qty_range' AS rule_id, 'lineitem' AS tbl, 'range' AS kind,
+        |  n AS n_checked, v1 AS n_violations, v1 = 0 AS pass FROM li
+        |UNION ALL SELECT 'r2_lineitem_shipdate_notnull', 'lineitem', 'not_null', n, v2, v2 = 0 FROM li
+        |UNION ALL SELECT 'r3_orders_custkey_fk', 'orders', 'foreign_key', o.n, v3, v3 = 0 FROM o, ofk
+        |UNION ALL SELECT 'r4_orders_orderkey_unique', 'orders', 'unique', n, v4, v4 = 0 FROM o
+        |UNION ALL SELECT 'r5_documents_nchars_consistent', 'documents', 'consistency', n, v5, v5 = 0 FROM dc
+        |UNION ALL SELECT 'r6_customer_nationkey_fk', 'customer', 'foreign_key', cu.n, v6, v6 = 0 FROM cu, cfk
+        |UNION ALL SELECT 'r7_events_value_range', 'events', 'range', n, v7, v7 = 0 FROM ev
+        |ORDER BY rule_id""".stripMargin) { (s, d) =>
+      // every rule frame aggregates to ONE row and executes exactly ONCE:
+      // the frames crossJoin into a single row (the 1-row scalar-subquery
+      // pattern) and stack() unpivots it into the 7 rule rows. A
+      // union-of-projections would re-execute each shared frame per rule
+      // (measured: 2 lineitem scans) — at 100 TB that doubles the biggest
+      // table's I/O for no new information.
+      val li = U.lineitem(s, d).agg(
+        count(lit(1)).as("n_li"),
+        sum(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
+          col("l_quantity") > 45, 1L).otherwise(0L)).cast("long").as("v1"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("v2"))
+      val o = U.orders(s, d).agg(
+        count(lit(1)).as("n_o"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v4"))
+      val ofk = U.orders(s, d).select(col("o_custkey"))
+        .join(
+          U.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("v3"))
+      val dc = U.documents(s, d).agg(
+        count(lit(1)).as("n_dc"),
+        sum(when(not(col("n_chars") <=> length(col("text"))), 1L)
+          .otherwise(0L)).cast("long").as("v5"))
+      val cu = U.customer(s, d).agg(count(lit(1)).as("n_cu"))
+      val cfk = U.customer(s, d).select(col("c_nationkey"))
+        .join(
+          broadcast(U.nation(s, d).select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("v6"))
+      val ev = U.events(s, d).agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("value").isNull || isnan(col("value")) ||
+          col("value") < 0 || col("value") > 99, 1L).otherwise(0L))
+          .cast("long").as("v7"))
+
+      li.crossJoin(o).crossJoin(ofk).crossJoin(dc)
+        .crossJoin(cu).crossJoin(cfk).crossJoin(ev)
+        .selectExpr(
+          """stack(7,
+            |  'r1_lineitem_qty_range', 'lineitem', 'range', n_li, v1,
+            |  'r2_lineitem_shipdate_notnull', 'lineitem', 'not_null', n_li, v2,
+            |  'r3_orders_custkey_fk', 'orders', 'foreign_key', n_o, v3,
+            |  'r4_orders_orderkey_unique', 'orders', 'unique', n_o, v4,
+            |  'r5_documents_nchars_consistent', 'documents', 'consistency', n_dc, v5,
+            |  'r6_customer_nationkey_fk', 'customer', 'foreign_key', n_cu, v6,
+            |  'r7_events_value_range', 'events', 'range', n_ev, v7
+            |) AS (rule_id, tbl, kind, n_checked, n_violations)""".stripMargin)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("rule_id")
+    },
+
+    // B: value-distribution drift monitor — per event_type, total-variation
+    // distance (in ppm) between the first and second time-half's value
+    // histograms. The dataset-shift check a recurring ingest runs between
+    // crawl snapshots: q_ts_drift watches the type MIX shift, this watches
+    // each type's VALUE distribution shift. All-integer math (bucket
+    // counts -> floor-div ppm shares -> |diff| sum) so both engines agree
+    // bit-for-bit — no KL/PSI logarithms, whose libm bits are
+    // engine-dependent; TVD is the metric PRECISELY because it is rational.
+    // Scale: one scan fans into a (type, bucket) partial-agg shuffle
+    // (|types|x20 rows out); the midpoint rides a 1-row broadcast; the
+    // window + final agg run on the tiny grouped frame.
+    Q(
+      "q_quality_drift",
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |  b AS (SELECT (min(us) + max(us) + 1) // 2 AS mid FROM e),
+        |  g AS (SELECT event_type,
+        |      GREATEST(LEAST(CAST(floor(value / 25) AS BIGINT), 19), 0) AS bkt,
+        |      CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |      CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |    FROM e, b GROUP BY 1, 2),
+        |  p AS (SELECT event_type, c_a, c_b,
+        |      CAST(sum(c_a) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+        |      CAST(sum(c_b) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+        |    FROM g),
+        |  q AS (SELECT event_type, n_a, n_b,
+        |      COALESCE(c_a * 1000000 // NULLIF(n_a, 0), 0) AS p_a,
+        |      COALESCE(c_b * 1000000 // NULLIF(n_b, 0), 0) AS p_b
+        |    FROM p)
+        |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  CAST(sum(abs(p_a - p_b)) AS BIGINT) // 2 AS tvd_ppm,
+        |  (CAST(sum(abs(p_a - p_b)) AS BIGINT) // 2) > 100000 AS drifted
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      driftTvd(
+        U.events(s, d).select(
+          col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          col("value")))
     }
   )
+
+  /** Core of q_quality_drift on a prepared (event_type, us, value) frame —
+    * factored out so the spec can drive a crafted corpus through BOTH
+    * verdicts (the registry data's halves are stationary, so the key alone
+    * would never exercise drifted=true). Midpoint/ppm/floor-div conventions
+    * identical to q_ts_drift's (trunc-div == floor-div on the positive
+    * domain; guarded NULLIF for an empty half).
+    */
+  def driftTvd(ev: org.apache.spark.sql.DataFrame, thresholdPpm: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    val b = ev.agg(expr("(min(us) + max(us) + 1) div 2").as("mid"))
+    val g = ev.crossJoin(broadcast(b))
+      .select(
+        col("event_type"),
+        greatest(least(floor(col("value") / 25), lit(19L)), lit(0L)).as("bkt"),
+        when(col("us") < col("mid"), 1L).otherwise(0L).as("is_a"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(
+        sum(col("is_a")).as("c_a"),
+        sum(lit(1L) - col("is_a")).as("c_b"))
+    val w = Window.partitionBy(col("event_type"))
+    g.select(
+        col("event_type"),
+        col("c_a"),
+        col("c_b"),
+        sum(col("c_a")).over(w).as("n_a"),
+        sum(col("c_b")).over(w).as("n_b"))
+      .select(
+        col("event_type"),
+        col("n_a"),
+        col("n_b"),
+        coalesce(expr("c_a * 1000000 div nullif(n_a, 0)"), lit(0L)).as("p_a"),
+        coalesce(expr("c_b * 1000000 div nullif(n_b, 0)"), lit(0L)).as("p_b"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        expr("sum(abs(p_a - p_b)) div 2").as("tvd_ppm"))
+      .withColumn("drifted", col("tvd_ppm") > thresholdPpm)
+      .orderBy("event_type")
+  }
 }

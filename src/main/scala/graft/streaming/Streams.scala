@@ -214,6 +214,50 @@ object Streams {
         col("n_rows"),
         round(col("avg_value"), 6).as("avg_value"))
 
+  /** Continuous data-quality gate — the streaming maintenance path of
+    * batch `q_quality_expectations`: per event-time window and rule,
+    * (n_checked, n_violations). Three rules over the telemetry domain:
+    * value in [lo, hi] (NULL/NaN fail), series id present, flag in
+    * {NULL, 0, 1}. The rule fan-out is a stateless map-side `stack` (rows
+    * × 3, constant), so the only state is the windowed count aggregate —
+    * bounded by (open windows × rules) like every watermarked agg here.
+    * Counts finalize once per window in append mode, so the MV this feeds
+    * is replay-idempotent the same way the count MV is. The reference's
+    * only admission check is its row-capacity bounds test
+    * (main.rs:93-95); this is that idea as a declarative, windowed,
+    * always-on gate.
+    */
+  def qualityGate(
+      telemetry: DataFrame,
+      lo: Double = 0.0,
+      hi: Double = 1.0,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    telemetry
+      .withWatermark("timestamp", watermark)
+      .select(
+        col("timestamp"),
+        expr(s"""stack(3,
+          'rv_value_range',
+            CASE WHEN value IS NULL OR isnan(value)
+                 OR value < CAST('$lo' AS DOUBLE)
+                 OR value > CAST('$hi' AS DOUBLE) THEN 1 ELSE 0 END,
+          'rv_id_present',
+            CASE WHEN timeseries_id IS NULL OR timeseries_id = '' THEN 1 ELSE 0 END,
+          'rv_flag_domain',
+            CASE WHEN fc1_flag IS NOT NULL
+                 AND CAST(fc1_flag AS BIGINT) NOT IN (0, 1) THEN 1 ELSE 0 END
+        ) AS (rule_id, is_viol)"""))
+      .groupBy(window(col("timestamp"), windowLen).as("win"), col("rule_id"))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(col("is_viol")).cast("long").as("n_violations"))
+      .select(
+        col("win.start").as("window_start"),
+        col("rule_id"),
+        col("n_checked"),
+        col("n_violations"))
+
   /** Streaming fault-run detection with custom state
     * (`flatMapGroupsWithState`): emits an alert whenever a series has seen
     * `minRun` consecutive over-threshold readings. The reference can't

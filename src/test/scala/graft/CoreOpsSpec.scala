@@ -103,4 +103,60 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[String]("timeseries_id") == "id-a"))
   }
+
+  test("quality expectations: 7 rules, both verdicts exercised, counts honest") {
+    val rows = Registry.byName("q_quality_expectations").fn(spark, sfDir).collect()
+    assert(rows.length === 7)
+    val byId = rows.map(r => r.getAs[String]("rule_id") -> r).toMap
+    // pass must be DERIVED from the violation count, never asserted separately
+    rows.foreach { r =>
+      assert(
+        r.getAs[Boolean]("pass") === (r.getAs[Long]("n_violations") == 0L),
+        s"${r.getAs[String]("rule_id")}: pass disagrees with n_violations")
+      assert(r.getAs[Long]("n_checked") >= r.getAs[Long]("n_violations"))
+    }
+    // the driver data makes r1 and r7 genuinely fail — a gate whose failing
+    // branch never runs is untested — and the structural rules pass
+    assert(byId("r1_lineitem_qty_range").getAs[Long]("n_violations") > 0)
+    assert(byId("r7_events_value_range").getAs[Long]("n_violations") > 0)
+    assert(byId("r3_orders_custkey_fk").getAs[Boolean]("pass"))
+    assert(byId("r4_orders_orderkey_unique").getAs[Boolean]("pass"))
+    assert(byId("r6_customer_nationkey_fk").getAs[Boolean]("pass"))
+    // r1's count equals an independent recompute of the same predicate
+    val expectR1 = U.lineitem(spark, sfDir)
+      .filter(col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 45)
+      .count()
+    assert(byId("r1_lineitem_qty_range").getAs[Long]("n_violations") === expectR1)
+    // n_checked is the full table cardinality per rule's table
+    assert(byId("r5_documents_nchars_consistent").getAs[Long]("n_checked") ===
+      U.documents(spark, sfDir).count())
+  }
+
+  test("quality drift: crafted shifted corpus drifts, stationary one does not") {
+    // X: first half all in bucket 0, second half all in bucket 19 -> TVD 1.0
+    // Y: identical halves -> TVD 0. Midpoint us = (0 + 1000 + 1) div 2 = 500.
+    val rows =
+      (0L until 50L).map(i => ("X", i, 1.0)) ++
+        (950L until 1000L).map(i => ("X", i, 480.0)) ++
+        (0L until 50L).map(i => ("Y", i, if (i % 2 == 0) 30.0 else 80.0)) ++
+        (950L until 1000L).map(i => ("Y", i, if (i % 2 == 0) 30.0 else 80.0))
+    val out = ops.CoreOps
+      .driftTvd(rows.toDF("event_type", "us", "value"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r)
+      .toMap
+    assert(out("X").getAs[Long]("tvd_ppm") === 1000000L)
+    assert(out("X").getAs[Boolean]("drifted"))
+    assert(out("Y").getAs[Long]("tvd_ppm") === 0L)
+    assert(!out("Y").getAs[Boolean]("drifted"))
+    assert(out("X").getAs[Long]("n_a") === 50L && out("X").getAs[Long]("n_b") === 50L)
+    // registry-data sanity: every tvd is a valid probability distance
+    val reg = Registry.byName("q_quality_drift").fn(spark, sfDir).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      val t = r.getAs[Long]("tvd_ppm")
+      assert(t >= 0L && t <= 1000000L)
+      assert(r.getAs[Boolean]("drifted") === (t > 100000L))
+    }
+  }
 }

@@ -85,6 +85,39 @@ class StreamingSpec extends SparkSpec {
     assert(w.length === 3, s"expected the event in 3 hopping windows, got ${w.length}")
   }
 
+  test("qualityGate: per-window per-rule violation counts; stream == batch") {
+    val qrows = Seq(
+      Tele("S", ts("2024-08-28 12:00:10"), 0.5, None, "id-a"), // clean
+      Tele("S", ts("2024-08-28 12:01:00"), 1.5, None, "id-a"), // range (hi)
+      Tele("S", ts("2024-08-28 12:02:00"), Double.NaN, Some(1: Byte), "id-a"), // range (NaN)
+      Tele("S", ts("2024-08-28 12:03:00"), 0.7, Some(7: Byte), null), // flag + id
+      Tele("S", ts("2024-08-28 12:07:00"), 0.2, Some(0: Byte), "id-b")) // clean, window 2
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Tele]
+    val q = Streams.qualityGate(mem.toDF())
+      .writeStream.format("memory").queryName("qg_stream").outputMode("complete")
+      .start()
+    mem.addData(qrows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qg_stream")
+    val batch = Streams.qualityGate(qrows.toDF())
+    assert(
+      streamed.orderBy("window_start", "rule_id").collect().toSeq ===
+        batch.orderBy("window_start", "rule_id").collect().toSeq)
+    val w0 = streamed
+      .filter(col("window_start") === ts("2024-08-28 12:00:00"))
+      .collect().map(r => r.getAs[String]("rule_id") -> r).toMap
+    assert(w0("rv_value_range").getAs[Long]("n_checked") === 4L)
+    assert(w0("rv_value_range").getAs[Long]("n_violations") === 2L) // 1.5 + NaN
+    assert(w0("rv_id_present").getAs[Long]("n_violations") === 1L)  // null id
+    assert(w0("rv_flag_domain").getAs[Long]("n_violations") === 1L) // flag 7
+    val w1 = streamed
+      .filter(col("window_start") === ts("2024-08-28 12:05:00"))
+      .collect()
+    assert(w1.length === 3 && w1.forall(_.getAs[Long]("n_violations") === 0L))
+  }
+
   test("sessionize stream == batch on same rows") {
     val streamed = runComplete("sess_stream")(df =>
       Streams.sessionize(df, gap = "30 minutes"))
