@@ -278,7 +278,7 @@ object Registry {
     ops.CoreOps.qs ++ ops.JoinOps.qs ++ ops.AggOps.qs ++ ops.WindowOps.qs ++
       ops.SetOps.qs ++ ops.FnOps.qs ++ ops.TsOps.qs ++ ops.TextOps.qs ++
       ops.DedupOps.qs ++ ops.SimOps.qs ++ ops.MultimodalOps.qs ++
-      ops.PipelineOps.qs
+      ops.PipelineOps.qs ++ ops.LayoutOps.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -63,10 +63,7 @@ object Layout {
     * no UDF.
     */
   private def interleave16(a: Column, b: Column): Column =
-    (0 until 16).map { k =>
-      shiftright(a, k).bitwiseAND(1) * lit(1L << (2 * k)) +
-        shiftright(b, k).bitwiseAND(1) * lit(1L << (2 * k + 1))
-    }.reduce(_ + _)
+    graft.ops.LayoutOps.zValue(a, b)
 
   /** Z-order (Morton-curve) clustered parquet: rows are range-partitioned
     * and sorted by the bit-interleave of the min-max-normalized (series,

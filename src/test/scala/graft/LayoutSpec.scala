@@ -252,4 +252,86 @@ class LayoutSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === want.toSeq)
   }
+
+  test("zValue: Morton interleave is bit-exact against a driver-side reference") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    // corners pin the bit convention: x fills the even bits, y the odd
+    val corners = Seq((65535L, 0L), (0L, 65535L), (65535L, 65535L), (1L, 0L), (0L, 1L))
+    val rng = new scala.util.Random(42)
+    val cases = corners ++ Seq.fill(200)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), ops.LayoutOps.zValue(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === ref(x, y), s"zValue($x, $y)")
+    }
+    assert(ref(65535L, 0L) === 0x55555555L && ref(0L, 65535L) === 0xAAAAAAAAL)
+  }
+
+  test("q_layout_zorder: stats table is complete and its skipping decisions are sound") {
+    val out = Registry.byName("q_layout_zorder").fn(spark, sfDir).collect()
+    val byLayout = out.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet === Set("zorder", "linear"))
+    val total = U.lineitem(spark, sfDir).count()
+    byLayout.foreach { case (l, rows) =>
+      assert(rows.map(_.getAs[Long]("n_rows")).sum === total, s"$l row coverage")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("min_x") <= r.getAs[Long]("max_x"))
+        assert(r.getAs[Long]("min_y") <= r.getAs[Long]("max_y"))
+        // scan_needed must be exactly the footer-stats overlap decision
+        val expect = r.getAs[Long]("max_x") >= ops.LayoutOps.ProbeLo &&
+          r.getAs[Long]("min_x") <= ops.LayoutOps.ProbeHi &&
+          r.getAs[Long]("max_y") >= ops.LayoutOps.ProbeLo &&
+          r.getAs[Long]("min_y") <= ops.LayoutOps.ProbeHi
+        assert(r.getAs[Boolean]("scan_needed") === expect)
+      }
+    }
+    // soundness: every row matching the probe predicate lives in a bucket
+    // flagged scan_needed — skipping never drops a qualifying row. Rebuild
+    // the quantized coords and bucket ids driver-side from raw (x, y).
+    val xy = U.lineitem(spark, sfDir)
+      .select(
+        col("l_partkey").cast("long"),
+        expr("unix_micros(l_shipdate) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def quant(v: Long, lo: Long, hi: Long) = (v - lo) * 65535L / math.max(1L, hi - lo)
+    val (xLo, xHi) = (xy.map(_._1).min, xy.map(_._1).max)
+    val (yLo, yHi) = (xy.map(_._2).min, xy.map(_._2).max)
+    def zRef(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val needed = out
+      .filter(_.getAs[Boolean]("scan_needed"))
+      .map(r => (r.getAs[String]("layout"), r.getAs[Long]("bucket_id")))
+      .toSet
+    val qualifying = xy.iterator.map { case (x, y) => (quant(x, xLo, xHi), quant(y, yLo, yHi)) }
+      .filter { case (xq, yq) =>
+        xq >= ops.LayoutOps.ProbeLo && xq <= ops.LayoutOps.ProbeHi &&
+          yq >= ops.LayoutOps.ProbeLo && yq <= ops.LayoutOps.ProbeHi
+      }.toSeq
+    assert(qualifying.nonEmpty, "driver data must put rows inside the probe window")
+    qualifying.foreach { case (xq, yq) =>
+      assert(needed.contains(("zorder", zRef(xq, yq) >> 24)), s"z bucket of ($xq,$yq) not flagged")
+      assert(needed.contains(("linear", yq >> 8)), s"linear bucket of ($xq,$yq) not flagged")
+    }
+  }
+
+  test("q_layout_zorder: the z layout opens far fewer files than the date sort on the 2-D probe") {
+    val out = Registry.byName("q_layout_zorder").fn(spark, sfDir).collect()
+    def scanned(layout: String) =
+      out.count(r => r.getAs[String]("layout") == layout && r.getAs[Boolean]("scan_needed"))
+    val (z, lin) = (scanned("zorder"), scanned("linear"))
+    // with 256 buckets, a 1/8-of-each-dim conjunctive probe touches ~4 z
+    // tiles but ~32 date-range files (the date sort cannot prune on
+    // partkey at all) — require at least a 2x win with headroom for
+    // partially-filled edge buckets at the tiny driver scale
+    assert(z > 0, "probe must hit at least one z tile")
+    assert(z * 2 <= lin, s"zorder scanned $z buckets, linear $lin — no skipping win")
+  }
 }

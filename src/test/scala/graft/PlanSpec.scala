@@ -559,4 +559,51 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q_quality_expectations: each rule frame executes once — lineitem scanned exactly once") {
+    // the stack() unpivot shape: a union-of-projections would re-execute
+    // the shared lineitem aggregate per rule (2 scans of the largest table)
+    val plan = executed(q("q_quality_expectations"))
+    val scansByTable = plan.collectLeaves()
+      .collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.headOption.map(_.getName))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(scansByTable.getOrElse("lineitem.parquet", 0) === 1,
+      s"lineitem must scan once, got $scansByTable")
+    assert(scansByTable.getOrElse("events.parquet", 0) === 1,
+      s"events must scan once, got $scansByTable")
+    // the nation FK anti-join broadcasts the 25-row dim
+    val antiBcast = plan.collect {
+      case j: BroadcastHashJoinExec if j.toString.contains("LeftAnti") => j
+    }
+    assert(antiBcast.nonEmpty, s"nation anti-join must broadcast:\n$plan")
+  }
+
+  test("q_quality_drift: the midpoint rides a broadcast; one (type,bucket) hash exchange") {
+    val plan = executed(q("q_quality_drift"))
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"midpoint scalar must broadcast:\n$plan")
+    // two passes by construction: a column-pruned min/max pass computes the
+    // midpoint, then the bucketing pass consumes it (grouping can't start
+    // before the split point is known)
+    val scans = plan.collectLeaves().collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 2, s"drift is a midpoint pass + a bucketing pass, got ${scans.length}")
+    val midScan = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(midScan.exists(_ == Set("ts")),
+      s"the midpoint pass must prune to the ts column alone, got $midScan")
+  }
+
+  test("q_layout_zorder: both passes prune to the two layout columns; bounds ride a broadcast") {
+    val plan = executed(q("q_layout_zorder"))
+    val scans = plan.collectLeaves().collect { case s: FileSourceScanExec => s }
+    // a bounds pass fixes the quantization domain, then the bucketing pass
+    // consumes it — and NEITHER may read past (l_partkey, l_shipdate)
+    assert(scans.length === 2, s"bounds pass + bucketing pass, got ${scans.length}")
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet === Set("l_partkey", "l_shipdate"),
+        s"scan must prune to the two layout dims, got ${s.requiredSchema.fieldNames.toSet}")
+    }
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"quantization bounds must broadcast:\n$plan")
+  }
 }

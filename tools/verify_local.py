@@ -121,8 +121,14 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                    spark_rows=len(g), oracle_rows=len(w))
             n_pass += 1
         except Exception as e:  # noqa: BLE001
-            print(f"ERROR {name}: {type(e).__name__}: {e}")
-            record(name, err=f"{type(e).__name__}: {e}")
+            # Distinguish the ORACLE's own resource death (DuckDB hitting the
+            # memory/temp caps set above — the engine side computed fine) from
+            # a genuine comparison error; both still count as run failures.
+            msg = f"{type(e).__name__}: {e}"
+            if "Out of Memory" in msg or "max_temp_directory_size" in msg:
+                msg = f"oracle_resource_bound: {msg}"
+            print(f"ERROR {name}: {msg}")
+            record(name, err=msg)
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
