@@ -78,7 +78,10 @@ object Layout {
     *
     * Normalization bounds come from one 1-row aggregate broadcast; the
     * write is one range exchange on the z-value (the sort the layout
-    * exists to buy).
+    * exists to buy). With `keepZ` the Morton code is persisted as column
+    * `z` (and the quantization bounds as a `_zbounds.json` sidecar), which
+    * [[zBoxQuery]] requires: 2-D box reads then push 1-D z ranges to the
+    * scan instead of relying on per-file natural-column stats alone.
     */
   def writeTelemetryZOrdered(
       df: DataFrame,
@@ -86,7 +89,8 @@ object Layout {
       seriesCol: String = "user_id",
       tsCol: String = "ts",
       nFiles: Int = 16,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      keepZ: Boolean = false): Unit = {
     val sLong = col(seriesCol).cast("long")
     val tLong = unix_micros(col(tsCol))
     val bounds = df.agg(
@@ -98,7 +102,7 @@ object Layout {
     // exactly at the endpoints, so the product stays within [0, 65535].
     def norm(x: Column, lo: Column, hi: Column): Column =
       floor((x - lo) / greatest(hi - lo, lit(1L)) * 65535.0).cast("long")
-    df.crossJoin(broadcast(bounds))
+    val zd = df.crossJoin(broadcast(bounds))
       .withColumn(
         "_zval",
         interleave16(
@@ -106,10 +110,88 @@ object Layout {
           norm(tLong, col("_t0"), col("_t1"))))
       .repartitionByRange(nFiles, col("_zval"))
       .sortWithinPartitions("_zval")
-      .drop("_zval", "_s0", "_s1", "_t0", "_t1")
-      .write
-      .mode(mode)
-      .parquet(outDir)
+    val cleaned =
+      if (keepZ) zd.withColumnRenamed("_zval", "z").drop("_s0", "_s1", "_t0", "_t1")
+      else zd.drop("_zval", "_s0", "_s1", "_t0", "_t1")
+    cleaned.write.mode(mode).parquet(outDir)
+    // Quantization bounds sidecar (underscore-prefixed → invisible to
+    // parquet listing): [[zBoxQuery]] must quantize its probe box with the
+    // write-time domain, not the current data's. One bounded 1-row collect.
+    val b = bounds.head()
+    writeSidecar(
+      df.sparkSession, s"$outDir/$ZBoundsFile",
+      s"""{"s0":${b.getLong(0)},"s1":${b.getLong(1)},"t0":${b.getLong(2)},"t1":${b.getLong(3)}}""")
+  }
+
+  val ZBoundsFile = "_zbounds.json"
+
+  private def writeSidecar(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Serve a 2-D box predicate (series range × time range) from a
+    * z-ordered, z-kept layout as ONE-dimensional z ranges: quantize the
+    * probe box with the write-time bounds (same IEEE divide-then-multiply
+    * as the writer, so the mapping is the writer's exactly), decompose it
+    * into ≤ `maxRanges` z intervals ([[ZCurve.ranges]]), and push the OR
+    * of BETWEENs down to the parquet scan — row-group stats on the single
+    * sorted z column skip everything outside the intervals. The exact box
+    * predicate is re-applied on the survivors, so the cover's slop
+    * (floor cells + gap coalescing) never leaks a row. The reference scans
+    * every row for ANY predicate (`main.rs:126-137`); this reads
+    * O(box ∩ curve) row groups no matter the table size, and the range
+    * PLANNING is O(maxRanges) driver work, data-size-independent.
+    */
+  def zBoxQuery(
+      spark: SparkSession,
+      dir: String,
+      seriesLo: Long, seriesHi: Long,
+      tsLoUs: Long, tsHiUs: Long,
+      seriesCol: String = "user_id",
+      tsCol: String = "ts",
+      maxRanges: Int = 32): DataFrame = {
+    val txt = readSidecar(spark, s"$dir/$ZBoundsFile")
+    def field(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"$ZBoundsFile missing $k"))
+        .group(1).toLong
+    val (s0, s1, t0, t1) = (field("s0"), field("s1"), field("t0"), field("t1"))
+    val data = spark.read.parquet(dir)
+    val exact = col(seriesCol).cast("long").between(seriesLo, seriesHi) &&
+      unix_micros(col(tsCol)).between(tsLoUs, tsHiUs)
+    // writer quantization: floor((v - lo) / max(hi - lo, 1) * 65535.0) —
+    // monotone, so an inclusive value box maps to an inclusive quant box
+    def quant(v: Long, lo: Long, hi: Long): Long =
+      math.floor((v - lo).toDouble / math.max(hi - lo, 1L).toDouble * 65535.0).toLong
+    def clamp(v: Long) = math.max(0L, math.min(65535L, v))
+    if (seriesHi < s0 || seriesLo > s1 || tsHiUs < t0 || tsLoUs > t1)
+      return data.filter(lit(false))
+    val zr = ZCurve.ranges(
+      clamp(quant(math.max(seriesLo, s0), s0, s1)),
+      clamp(quant(math.min(seriesHi, s1), s0, s1)),
+      clamp(quant(math.max(tsLoUs, t0), t0, t1)),
+      clamp(quant(math.min(tsHiUs, t1), t0, t1)),
+      maxRanges = maxRanges)
+    val zPred = zr.map { case (lo, hi) => col("z").between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    data.filter(zPred && exact).drop("z")
   }
 
   /** Compact one date partition in place: streaming ingest appends a file

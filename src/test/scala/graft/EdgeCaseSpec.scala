@@ -324,4 +324,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(buckets(1L) === "head" && buckets(2L) === "middle",
       s"2-doc language must fill head+middle only, got $buckets")
   }
+
+  test("driftTvd degenerate shapes: one-sided type maxes out; empty frame is empty; single row is one-sided") {
+    import spark.implicits._
+    // type A exists ONLY in the first half: its second-half histogram is
+    // all-zero ppm, so TVD = sum(p_a)/2 — a full-scale 'the type vanished'
+    // drift signal (the semantics a crawl monitor wants: disappearance IS
+    // maximal distribution shift). B is stationary.
+    val rows =
+      (0L until 40L).map(i => ("A", i, 100.0)) ++
+        (0L until 40L).map(i => ("B", i, 100.0)) ++
+        (960L until 1000L).map(i => ("B", i, 100.0))
+    val out = ops.CoreOps.driftTvd(rows.toDF("event_type", "us", "value"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("A").getAs[Long]("n_b") === 0L)
+    assert(out("A").getAs[Long]("tvd_ppm") === 500000L, "vanished type = half the L1 mass")
+    assert(out("A").getAs[Boolean]("drifted"))
+    assert(out("B").getAs[Long]("tvd_ppm") === 0L && !out("B").getAs[Boolean]("drifted"))
+    // empty input -> empty output, not an error
+    assert(ops.CoreOps.driftTvd(
+      Seq.empty[(String, Long, Double)].toDF("event_type", "us", "value")).count() === 0L)
+    // a single row: midpoint puts it in exactly one half; tvd is one-sided
+    val one = ops.CoreOps.driftTvd(Seq(("X", 5L, 10.0)).toDF("event_type", "us", "value"))
+      .collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Long]("n_a") + one.head.getAs[Long]("n_b") === 1L)
+    assert(one.head.getAs[Long]("tvd_ppm") === 500000L)
+  }
+
+  test("zorderStats degenerate shapes: empty frame, constant column, single row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // empty input -> empty stats table
+    assert(ops.LayoutOps.zorderStats(
+      Seq.empty[(Long, Long)].toDF("a", "b"), col("a"), col("b")).count() === 0L)
+    // constant x: greatest(1, 0) guard keeps the quantizer defined; all
+    // rows land in x-quant 0, layouts still partition on y
+    val const = ops.LayoutOps.zorderStats(
+      (0L until 100L).map(i => (7L, i)).toDF("a", "b"), col("a"), col("b"))
+      .collect()
+    assert(const.map(_.getAs[Long]("n_rows")).sum === 200L) // 100 rows x 2 layouts
+    assert(const.forall(r => r.getAs[Long]("min_x") === 0L && r.getAs[Long]("max_x") === 0L))
+    // single row: one bucket per layout, min == max on both dims
+    val single = ops.LayoutOps.zorderStats(
+      Seq((3L, 4L)).toDF("a", "b"), col("a"), col("b")).collect()
+    assert(single.length === 2)
+    assert(single.forall(r => r.getAs[Long]("n_rows") === 1L &&
+      r.getAs[Long]("min_x") === r.getAs[Long]("max_x")))
+  }
 }

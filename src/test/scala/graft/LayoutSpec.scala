@@ -255,10 +255,8 @@ class LayoutSpec extends SparkSpec {
 
   test("zValue: Morton interleave is bit-exact against a driver-side reference") {
     import spark.implicits._
-    def ref(x: Long, y: Long): Long =
-      (0 until 16).foldLeft(0L) { (acc, i) =>
-        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
-      }
+    // the driver-side twin IS ZCurve.z — pin codegen'd and driver math together
+    def ref(x: Long, y: Long): Long = graft.sources.ZCurve.z(x, y)
     // corners pin the bit convention: x fills the even bits, y the odd
     val corners = Seq((65535L, 0L), (0L, 65535L), (65535L, 65535L), (1L, 0L), (0L, 1L))
     val rng = new scala.util.Random(42)
@@ -320,6 +318,87 @@ class LayoutSpec extends SparkSpec {
       assert(needed.contains(("zorder", zRef(xq, yq) >> 24)), s"z bucket of ($xq,$yq) not flagged")
       assert(needed.contains(("linear", yq >> 8)), s"linear bucket of ($xq,$yq) not flagged")
     }
+  }
+
+  test("ZCurve: deinterleave inverts z; range cover is exact at floorBits=0 and sound at defaults") {
+    val rng = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val (x, y) = (rng.nextInt(65536).toLong, rng.nextInt(65536).toLong)
+      assert(graft.sources.ZCurve.deinterleave(graft.sources.ZCurve.z(x, y)) === ((x, y)))
+    }
+    // exactness: with no floor and no budget, the ranges are EXACTLY the
+    // box's z set (checked point-by-point on small random boxes)
+    (0 until 20).foreach { _ =>
+      val x0 = rng.nextInt(65500).toLong; val x1 = x0 + rng.nextInt(24)
+      val y0 = rng.nextInt(65500).toLong; val y1 = y0 + rng.nextInt(24)
+      val rs = graft.sources.ZCurve.ranges(x0, x1, y0, y1, floorBits = 0, maxRanges = Int.MaxValue)
+      val want = (for (x <- x0 to x1; y <- y0 to y1) yield graft.sources.ZCurve.z(x, y)).toSet
+      val got = rs.flatMap { case (a, b) => a to b }.toSet
+      assert(got === want, s"box [$x0,$x1]x[$y0,$y1]")
+      assert(rs === rs.sortBy(_._1) && rs.sliding(2).forall {
+        case Vector(a, b) => b._1 > a._2 + 1; case _ => true
+      }, "ranges must be sorted, disjoint, maximally merged")
+    }
+    // soundness under defaults: cover ⊇ box, ≤ maxRanges ranges, sorted
+    (0 until 20).foreach { _ =>
+      val x0 = rng.nextInt(60000).toLong; val x1 = x0 + rng.nextInt(8000)
+      val y0 = rng.nextInt(60000).toLong; val y1 = y0 + rng.nextInt(8000)
+      val rs = graft.sources.ZCurve.ranges(x0, x1, y0, y1)
+      assert(rs.nonEmpty && rs.size <= 32)
+      (0 until 200).foreach { _ =>
+        val x = x0 + (rng.nextLong().abs % (x1 - x0 + 1))
+        val y = y0 + (rng.nextLong().abs % (y1 - y0 + 1))
+        val zv = graft.sources.ZCurve.z(x, y)
+        assert(rs.exists { case (a, b) => zv >= a && zv <= b }, s"($x,$y) escaped the cover")
+      }
+    }
+  }
+
+  test("zBoxQuery: z-range pushdown answers a 2-D box exactly and skips most files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbox").toString
+    val events = U.events(spark, sfDir)
+    Layout.writeTelemetryZOrdered(events, dir, nFiles = 16, keepZ = true)
+    val (tLo, tHi) = {
+      val r = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (a + (b - a) * 2 / 5, a + (b - a) * 3 / 5)
+    }
+    val got = Layout.zBoxQuery(spark, dir, 5L, 9L, tLo, tHi)
+    val want = events.filter(
+      col("user_id").between(5, 9) && unix_micros(col("ts")).between(tLo, tHi))
+    assert(got.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      want.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(got.columns.toSet === events.columns.toSet, "z must not leak into results")
+    // the OR-of-z-ranges reaches the parquet scan as pushed filters
+    val scan = scanOf(Layout.zBoxQuery(spark, dir, 5L, 9L, tLo, tHi))
+    assert(scan.metadata("PushedFilters").contains("z"),
+      s"z ranges must push down, got ${scan.metadata("PushedFilters")}")
+    // file-level skipping: candidate files (z stats overlapping any range)
+    // are a strict minority of the 16
+    val zr = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("z0"), max("z").as("z1")).collect()
+    // recompute the ranges the query used, via the same public pieces
+    val txt = scala.io.Source.fromFile(s"$dir/${Layout.ZBoundsFile}").mkString
+    def f(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    def quant(v: Long, lo: Long, hi: Long) =
+      math.floor((v - lo).toDouble / math.max(hi - lo, 1L).toDouble * 65535.0).toLong
+    val rs = graft.sources.ZCurve.ranges(
+      quant(math.max(5L, f("s0")), f("s0"), f("s1")),
+      quant(math.min(9L, f("s1")), f("s0"), f("s1")),
+      quant(math.max(tLo, f("t0")), f("t0"), f("t1")),
+      quant(math.min(tHi, f("t1")), f("t0"), f("t1")))
+    val candidates = zr.count { r =>
+      val (z0, z1) = (r.getAs[Long]("z0"), r.getAs[Long]("z1"))
+      rs.exists { case (a, b) => z1 >= a && z0 <= b }
+    }
+    assert(candidates < zr.length,
+      s"z ranges must skip at least one of ${zr.length} files")
+    assert(candidates <= (zr.length * 3) / 4,
+      s"expected a minority of files as candidates, got $candidates/${zr.length}")
+    // a probe entirely outside the written domain returns nothing
+    assert(Layout.zBoxQuery(spark, dir, 1000L, 2000L, tLo, tHi).count() === 0L)
   }
 
   test("q_layout_zorder: the z layout opens far fewer files than the date sort on the 2-D probe") {
