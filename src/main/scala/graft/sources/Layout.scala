@@ -91,36 +91,46 @@ object Layout {
       nFiles: Int = 16,
       mode: SaveMode = SaveMode.Overwrite,
       keepZ: Boolean = false): Unit = {
+    // Append would mix z codes computed under DIFFERENT quantization
+    // domains (and clobber the bounds sidecar), silently breaking
+    // zBoxQuery's pushdown for the older files. A z layout is a global
+    // recluster by construction — append into the day-partitioned layout
+    // and re-run this writer (or compact) instead.
+    require(mode != SaveMode.Append,
+      "z-ordered layout cannot be appended to: z codes are quantized " +
+        "against whole-dataset bounds; rewrite the layout instead")
     val sLong = col(seriesCol).cast("long")
     val tLong = unix_micros(col(tsCol))
-    val bounds = df.agg(
+    // One bounded 1-row collect BEFORE the write job: the sidecar bounds
+    // are then definitionally the bounds the persisted z codes used (a
+    // second post-write aggregate could see files that arrived in
+    // between), and the quantizers ride as literals — no broadcast join.
+    val b = df.agg(
       min(sLong).as("_s0"), max(sLong).as("_s1"),
-      min(tLong).as("_t0"), max(tLong).as("_t1"))
+      min(tLong).as("_t0"), max(tLong).as("_t1")).head()
+    val empty = b.isNullAt(0)
+    val (s0, s1, t0, t1) =
+      if (empty) (0L, 0L, 0L, 0L)
+      else (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     // Divide BEFORE multiplying: (x - lo) * 65535 exceeds 2^53 for
     // epoch-microsecond spans over ~4 years, where double drops low bits
     // and cell-boundary rows land one bucket off. The ratio is in [0, 1]
     // exactly at the endpoints, so the product stays within [0, 65535].
-    def norm(x: Column, lo: Column, hi: Column): Column =
-      floor((x - lo) / greatest(hi - lo, lit(1L)) * 65535.0).cast("long")
-    val zd = df.crossJoin(broadcast(bounds))
-      .withColumn(
-        "_zval",
-        interleave16(
-          norm(sLong, col("_s0"), col("_s1")),
-          norm(tLong, col("_t0"), col("_t1"))))
+    def norm(x: Column, lo: Long, hi: Long): Column =
+      floor((x - lit(lo)) / lit(math.max(hi - lo, 1L)) * 65535.0).cast("long")
+    val zd = df
+      .withColumn("_zval", interleave16(norm(sLong, s0, s1), norm(tLong, t0, t1)))
       .repartitionByRange(nFiles, col("_zval"))
       .sortWithinPartitions("_zval")
     val cleaned =
-      if (keepZ) zd.withColumnRenamed("_zval", "z").drop("_s0", "_s1", "_t0", "_t1")
-      else zd.drop("_zval", "_s0", "_s1", "_t0", "_t1")
+      if (keepZ) zd.withColumnRenamed("_zval", "z") else zd.drop("_zval")
     cleaned.write.mode(mode).parquet(outDir)
     // Quantization bounds sidecar (underscore-prefixed → invisible to
     // parquet listing): [[zBoxQuery]] must quantize its probe box with the
-    // write-time domain, not the current data's. One bounded 1-row collect.
-    val b = bounds.head()
+    // write-time domain, not the current data's.
     writeSidecar(
       df.sparkSession, s"$outDir/$ZBoundsFile",
-      s"""{"s0":${b.getLong(0)},"s1":${b.getLong(1)},"t0":${b.getLong(2)},"t1":${b.getLong(3)}}""")
+      s"""{"s0":$s0,"s1":$s1,"t0":$t0,"t1":$t1}""")
   }
 
   val ZBoundsFile = "_zbounds.json"
@@ -174,6 +184,9 @@ object Layout {
         .group(1).toLong
     val (s0, s1, t0, t1) = (field("s0"), field("s1"), field("t0"), field("t1"))
     val data = spark.read.parquet(dir)
+    if (!data.columns.contains("z"))
+      throw new IllegalStateException(
+        s"$dir has no z column: write it with writeTelemetryZOrdered(..., keepZ = true)")
     val exact = col(seriesCol).cast("long").between(seriesLo, seriesHi) &&
       unix_micros(col(tsCol)).between(tsLoUs, tsHiUs)
     // writer quantization: floor((v - lo) / max(hi - lo, 1) * 65535.0) —
@@ -182,7 +195,7 @@ object Layout {
       math.floor((v - lo).toDouble / math.max(hi - lo, 1L).toDouble * 65535.0).toLong
     def clamp(v: Long) = math.max(0L, math.min(65535L, v))
     if (seriesHi < s0 || seriesLo > s1 || tsHiUs < t0 || tsLoUs > t1)
-      return data.filter(lit(false))
+      return data.filter(lit(false)).drop("z")
     val zr = ZCurve.ranges(
       clamp(quant(math.max(seriesLo, s0), s0, s1)),
       clamp(quant(math.min(seriesHi, s1), s0, s1)),

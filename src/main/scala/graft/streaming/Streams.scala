@@ -207,7 +207,9 @@ object Streams {
         window(col("timestamp"), windowLen, hop).as("win"))
       .agg(
         count(lit(1)).as("n_rows"),
-        avg(col("value")).as("avg_value"))
+        // decimal-exact mean (U.davg discipline): a plain double avg is
+        // shuffle-order-dependent and can flip the 6th decimal across runs
+        graft.U.davg(col("value")).as("avg_value"))
       .select(
         col("timeseries_id"),
         col("win.start").as("window_start"),
@@ -235,28 +237,44 @@ object Streams {
       watermark: String = "10 minutes"): DataFrame =
     telemetry
       .withWatermark("timestamp", watermark)
-      .select(
-        col("timestamp"),
-        expr(s"""stack(3,
-          'rv_value_range',
-            CASE WHEN value IS NULL OR isnan(value)
-                 OR value < CAST('$lo' AS DOUBLE)
-                 OR value > CAST('$hi' AS DOUBLE) THEN 1 ELSE 0 END,
-          'rv_id_present',
-            CASE WHEN timeseries_id IS NULL OR timeseries_id = '' THEN 1 ELSE 0 END,
-          'rv_flag_domain',
-            CASE WHEN fc1_flag IS NOT NULL
-                 AND CAST(fc1_flag AS BIGINT) NOT IN (0, 1) THEN 1 ELSE 0 END
-        ) AS (rule_id, is_viol)"""))
-      .groupBy(window(col("timestamp"), windowLen).as("win"), col("rule_id"))
+      // Aggregate FIRST, unpivot the tiny aggregated frame after — the
+      // same discipline as batch q_quality_expectations. A stack before
+      // the groupBy would triple every shuffle row and hold (windows ×
+      // rules) state for zero information gain; here the rules are three
+      // conditional sums inside ONE windowed aggregate, and stack runs on
+      // O(windows) rows. The flag rule goes through TRY_CAST(... AS
+      // DOUBLE) so a malformed flag FAILS THE RULE instead of either
+      // slipping through or killing the stream: a non-numeric string
+      // yields NULL (caught by the IS NULL arm; a plain CAST would throw
+      // under ANSI and fail the whole micro-batch — a quality gate must
+      // report bad data, not die on it) and a fractional 1.7 stays 1.7
+      // (a BIGINT cast would truncate it into the valid domain).
+      .groupBy(window(col("timestamp"), windowLen).as("win"))
       .agg(
         count(lit(1)).as("n_checked"),
-        sum(col("is_viol")).cast("long").as("n_violations"))
+        sum(expr(s"""CASE WHEN value IS NULL OR isnan(value)
+               OR value < CAST('$lo' AS DOUBLE)
+               OR value > CAST('$hi' AS DOUBLE) THEN 1 ELSE 0 END"""))
+          .as("v_range"),
+        sum(expr(
+          "CASE WHEN timeseries_id IS NULL OR timeseries_id = '' THEN 1 ELSE 0 END"))
+          .as("v_id"),
+        sum(expr("""CASE WHEN fc1_flag IS NOT NULL
+               AND (TRY_CAST(fc1_flag AS DOUBLE) IS NULL
+                    OR TRY_CAST(fc1_flag AS DOUBLE) NOT IN (0, 1)) THEN 1 ELSE 0 END"""))
+          .as("v_flag"))
+      .selectExpr(
+        "win.start AS window_start",
+        "n_checked",
+        """stack(3,
+          'rv_value_range', v_range,
+          'rv_id_present', v_id,
+          'rv_flag_domain', v_flag) AS (rule_id, n_violations)""")
       .select(
-        col("win.start").as("window_start"),
+        col("window_start"),
         col("rule_id"),
         col("n_checked"),
-        col("n_violations"))
+        col("n_violations").cast("long").as("n_violations"))
 
   /** Streaming fault-run detection with custom state
     * (`flatMapGroupsWithState`): emits an alert whenever a series has seen
@@ -943,8 +961,16 @@ object Streams {
       .withColumnRenamed("col", "bucket")
   }
 
-  private def readStore(s: SparkSession, dir: String): Option[DataFrame] =
-    scala.util.Try(s.read.parquet(dir)).toOption
+  private def readStore(s: SparkSession, dir: String): Option[DataFrame] = {
+    // Only "no store yet" maps to None. A blanket Try(...).toOption here
+    // would also swallow transient read failures (permissions, corrupt
+    // footer) — and a batch that silently matched against NOTHING would
+    // admit every duplicate and break replay idempotence. Those must
+    // propagate and fail the micro-batch so the trigger retries.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(s.read.parquet(dir))
+  }
 
   /** One micro-batch of the streaming near-dup index
     * ([[minhashDedupSink]]), exposed for direct replay testing.
@@ -1153,12 +1179,13 @@ object Streams {
         "content_md5",
         md5(concat_ws(
           "|",
-          col("timeseries_id"),
           // concat_ws silently SKIPS nulls, which would conflate a null
-          // field with an absent one — null-mark every nullable field
+          // field with an absent one (shifting every later token left) —
+          // null-mark EVERY nullable field, value and id included
+          coalesce(col("timeseries_id"), lit("-")),
           coalesce(col("sensor_name"), lit("-")),
           unix_micros(col("timestamp")),
-          col("value").cast("string"),
+          coalesce(col("value").cast("string"), lit("-")),
           coalesce(col("fc1_flag").cast("string"), lit("-")))))
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("content_md5")

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.Layout
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
@@ -397,8 +398,23 @@ class LayoutSpec extends SparkSpec {
       s"z ranges must skip at least one of ${zr.length} files")
     assert(candidates <= (zr.length * 3) / 4,
       s"expected a minority of files as candidates, got $candidates/${zr.length}")
-    // a probe entirely outside the written domain returns nothing
-    assert(Layout.zBoxQuery(spark, dir, 1000L, 2000L, tLo, tHi).count() === 0L)
+    // a probe entirely outside the written domain returns nothing — with
+    // the SAME schema as the hit path (no z leak on the early return)
+    val miss = Layout.zBoxQuery(spark, dir, 1000L, 2000L, tLo, tHi)
+    assert(miss.count() === 0L)
+    assert(miss.columns.toSet === got.columns.toSet)
+    // append is refused: z codes are quantized against whole-dataset
+    // bounds, so an append would mix incompatible z domains
+    intercept[IllegalArgumentException] {
+      Layout.writeTelemetryZOrdered(events, dir, mode = SaveMode.Append, keepZ = true)
+    }
+    // a layout written without keepZ names the contract in its error
+    val noZ = java.nio.file.Files.createTempDirectory("graft_noz").toString
+    Layout.writeTelemetryZOrdered(events.limit(100), noZ)
+    val e = intercept[IllegalStateException] {
+      Layout.zBoxQuery(spark, noZ, 5L, 9L, tLo, tHi)
+    }
+    assert(e.getMessage.contains("keepZ"))
   }
 
   test("q_layout_zorder: the z layout opens far fewer files than the date sort on the 2-D probe") {

@@ -116,6 +116,22 @@ class StreamingSpec extends SparkSpec {
       .filter(col("window_start") === ts("2024-08-28 12:05:00"))
       .collect()
     assert(w1.length === 3 && w1.forall(_.getAs[Long]("n_violations") === 0L))
+    // malformed STRING flags must fail the domain rule, not slip through:
+    // 'abc' casts to NULL (unparseable), '1.7' stays fractional; '1' and
+    // a NULL flag conform
+    val weird = Seq(
+      ("2024-08-28 12:00:10", "id-a", 0.5, "abc"),
+      ("2024-08-28 12:00:20", "id-a", 0.5, "1.7"),
+      ("2024-08-28 12:00:30", "id-a", 0.5, "1"),
+      ("2024-08-28 12:00:40", "id-a", 0.5, null))
+      .toDF("ts_s", "timeseries_id", "value", "fc1_flag")
+      .select(
+        col("ts_s").cast("timestamp").as("timestamp"),
+        col("timeseries_id"), col("value"), col("fc1_flag"))
+    val wf = Streams.qualityGate(weird)
+      .filter(col("rule_id") === "rv_flag_domain").collect()
+    assert(wf.map(_.getAs[Long]("n_violations")).sum === 2L,
+      "unparseable and fractional flags must both count as violations")
   }
 
   test("sessionize stream == batch on same rows") {
