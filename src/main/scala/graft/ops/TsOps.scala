@@ -81,6 +81,51 @@ object TsOps {
     */
   val TheilSenCap = 32
 
+  /** Per-series median of `(user_id, v)` by explicit rank selection — the
+    * two middle rows are picked by row_number and averaged as
+    * `sum(v) / count(*)` (one value on odd counts, (a+b)/2 on even): the
+    * identical IEEE ops in both engines, unlike their median() builtins
+    * (see [[slopeMedian]] for the full rationale — same two hazards:
+    * builtin interpolation order and the unbounded percentile buffer).
+    */
+  private def rankMedian(df: DataFrame, v: String, out: String): DataFrame =
+    df.select(
+        col("user_id"),
+        col(v),
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col(v))).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).as("m"))
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2"))
+      .groupBy(col("user_id"))
+      .agg((sum(col(v)) / count(lit(1))).as(out))
+
+  /** Per-series median of a (user_id, sm) slope frame by EXPLICIT rank
+    * selection, shared by the windowed contract query and the all-pairs
+    * twin. Not percentile()/median(): (a) the engines' builtins
+    * interpolate even counts differently (Spark lo + (hi−lo)·0.5 vs
+    * DuckDB (a+b)/2 — bit-equal only while |sm| < 2^52, and a sub-second
+    * dt can push the micro-slope past that); (b) Spark's exact percentile
+    * buffers EVERY slope of a series in one on-heap aggregation buffer —
+    * a hot series OOMs the executor at scale, where this window's sort
+    * spills. Both engines now compute literally
+    * CAST(lo + hi AS DOUBLE) / 2 on the same two rank-selected BIGINTs:
+    * identical IEEE ops, identical bits, at every slope magnitude.
+    */
+  private def slopeMedian(slopes: DataFrame): DataFrame =
+    slopes
+      .select(
+        col("user_id"),
+        col("sm"),
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("sm"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("user_id"))).as("m"))
+      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("m")).as("n_pairs"),
+        (sum(col("sm")).cast("double") / count(lit(1))).as("slope_med_micro"))
+      .orderBy("user_id")
+
   /** Windowed Theil-Sen (Sen's estimator over the `cap` nearest
     * successors), join-free: one series-key window exchange computes
     * lead(ts), lead(value) for k = 1..cap in a single window operator, the
@@ -115,11 +160,7 @@ object TsOps {
           (col("p.v2") - col("value")) * lit(3600000000.0)
             / (col("p.ts2") - col("ts_us")) * 1000000 + 0.5)
           .cast("long").as("sm"))
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        expr("percentile(sm, 0.5D)").as("slope_med_micro"))
-      .orderBy("user_id")
+      .transform(slopeMedian)
   }
 
   /** Exact all-pairs Theil-Sen — the O(n²)-per-series reference form the
@@ -142,11 +183,7 @@ object TsOps {
           (col("b.value") - col("a.value")) * lit(3600000000.0)
             / (col("b.ts_us") - col("a.ts_us")) * 1000000 + 0.5)
           .cast("long").as("sm"))
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        expr("percentile(sm, 0.5D)").as("slope_med_micro"))
-      .orderBy("user_id")
+      .transform(slopeMedian)
   }
 
   /** Epoch-seconds floor bucket, identical in Spark and DuckDB. */
@@ -160,7 +197,7 @@ object TsOps {
       """SELECT user_id,
         |  CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bkt,
         |  count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS avg_value_micro,
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY user_id, bkt ORDER BY user_id, bkt""".stripMargin) {
@@ -169,7 +206,7 @@ object TsOps {
           .groupBy(col("user_id"), bucket(900).as("bkt"))
           .agg(
             count(lit(1)).as("n"),
-            round(U.davg(col("value")), 4).as("avg_value"),
+            U.davgMicro("value").as("avg_value_micro"),
             min(col("value")).as("min_value"),
             max(col("value")).as("max_value"))
           .orderBy("user_id", "bkt")
@@ -220,20 +257,20 @@ object TsOps {
       """WITH b AS (
         |  SELECT user_id,
         |    CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bkt,
-        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS avg_v
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM b GROUP BY 1),
         |spine AS (SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bkt FROM bounds)
         |SELECT s.user_id, s.bkt,
         |  last_value(b.avg_v IGNORE NULLS) OVER (
         |    PARTITION BY s.user_id ORDER BY s.bkt
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_micro
         |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bkt = b.bkt
         |ORDER BY s.user_id, s.bkt""".stripMargin) { (s, d) =>
       val hourly = U
         .events(s, d)
         .groupBy(col("user_id"), bucket(3600).as("bkt"))
-        .agg(round(U.davg(col("value")), 4).as("avg_v"))
+        .agg(U.davgMicro("value").as("avg_v"))
       val spine = hourly
         .groupBy(col("user_id"))
         .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
@@ -243,13 +280,13 @@ object TsOps {
       spine
         .join(hourly, Seq("user_id", "bkt"), "left")
         .withColumn(
-          "filled",
+          "filled_micro",
           last(col("avg_v"), ignoreNulls = true).over(
             Window
               .partitionBy(col("user_id"))
               .orderBy(col("bkt"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), col("bkt"), col("filled"))
+        .select(col("user_id"), col("bkt"), col("filled_micro"))
         .orderBy("user_id", "bkt")
     },
 
@@ -306,7 +343,7 @@ object TsOps {
         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt
         |  FROM t)
         |SELECT user_id, CAST(sum(dt) AS BIGINT) AS dur_us,
-        |  round(CAST(sum(CAST(v0 AS DECIMAL(18,6)) * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT), 6) AS twa
+        |  CAST(floor(CAST(sum(CAST(v0 AS DECIMAL(18,6)) * dt) AS DOUBLE) / CAST(sum(dt) AS BIGINT) * 1000000 + 0.5) AS BIGINT) AS twa_micro
         |FROM seg WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin) {
       (s, d) =>
         val wUs = Window
@@ -326,10 +363,17 @@ object TsOps {
           .groupBy(col("user_id"))
           .agg(
             sum(col("dt")).as("dur_us"),
-            round(
+            // floor(x·1e6 + 0.5) instead of round(x, 6): round() rounds
+            // the shortest DECIMAL RENDERING in Spark but the binary value
+            // in DuckDB — divergent at .xxxxxx5 boundaries — while this is
+            // the same IEEE ops on the same double in both engines. (The
+            // all-integer davgMicro form is out: the decimal numerator
+            // ×1e6 here is value×duration_us and overflows BIGINT on
+            // year-long series.)
+            floor(
               sum(col("v0").cast(U.Dec) * col("dt")).cast("double") /
-                sum(col("dt")),
-              6).as("twa"))
+                sum(col("dt")) * 1000000 + 0.5)
+              .cast("long").as("twa_micro"))
           .orderBy("user_id")
     },
 
@@ -345,7 +389,7 @@ object TsOps {
       """WITH b AS (
         |  SELECT user_id,
         |    CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bkt,
-        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS avg_v
         |  FROM events GROUP BY 1, 2),
         |bounds AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1 FROM b GROUP BY 1),
         |spine AS (SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bkt FROM bounds),
@@ -362,13 +406,14 @@ object TsOps {
         |         wf AS (PARTITION BY user_id ORDER BY bkt
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, bkt,
-        |  CASE WHEN avg_v IS NOT NULL THEN avg_v
-        |       ELSE v0 + (v1 - v0) * ((bkt - t0) / (t1 - t0)) END AS interp
+        |  CASE WHEN avg_v IS NOT NULL THEN CAST(avg_v AS DOUBLE)
+        |       ELSE CAST(v0 AS DOUBLE) + (CAST(v1 AS DOUBLE) - CAST(v0 AS DOUBLE))
+        |            * ((bkt - t0) / (t1 - t0)) END AS interp_micro
         |FROM f ORDER BY user_id, bkt""".stripMargin) { (s, d) =>
       val hourly = U
         .events(s, d)
         .groupBy(col("user_id"), bucket(3600).as("bkt"))
-        .agg(round(U.davg(col("value")), 4).as("avg_v"))
+        .agg(U.davgMicro("value").as("avg_v"))
       val spine = hourly
         .groupBy(col("user_id"))
         .agg(min(col("bkt")).as("b0"), max(col("bkt")).as("b1"))
@@ -393,11 +438,16 @@ object TsOps {
         .select(
           col("user_id"),
           col("bkt"),
-          when(col("avg_v").isNotNull, col("avg_v"))
+          // endpoints are exact micro BIGINTs (≤3.3e8, exact as doubles);
+          // the interpolation is the identical IEEE op sequence in both
+          // engines, so the double result is bit-identical with no
+          // rounding step at all
+          when(col("avg_v").isNotNull, col("avg_v").cast("double"))
             .otherwise(
-              col("v0") + (col("v1") - col("v0")) *
+              col("v0").cast("double") +
+                (col("v1").cast("double") - col("v0").cast("double")) *
                 ((col("bkt") - col("t0")) / (col("t1") - col("t0"))))
-            .as("interp"))
+            .as("interp_micro"))
         .orderBy("user_id", "bkt")
     },
 
@@ -572,7 +622,7 @@ object TsOps {
         |    (CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) - CAST(unnest(generate_series(0, 2)) AS BIGINT)) * 300 AS w_start
         |  FROM events)
         |SELECT user_id, w_start, count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*) AS avg_v_micro
         |FROM h GROUP BY user_id, w_start ORDER BY user_id, w_start""".stripMargin) {
       (s, d) =>
         U.events(s, d)
@@ -588,7 +638,7 @@ object TsOps {
           .groupBy(col("user_id"), col("w_start"))
           .agg(
             count(lit(1)).as("n"),
-            round(U.davg(col("value")), 4).as("avg_v"))
+            U.davgMicro("value").as("avg_v_micro"))
           .orderBy("user_id", "w_start")
     },
 
@@ -608,7 +658,7 @@ object TsOps {
         |    CAST(sum(CAST(value AS DECIMAL(20,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
         |  FROM events GROUP BY user_id)
         |SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us, e.value,
-        |  round((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS z
+        |  CAST(floor((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) * 10000 + 0.5) AS BIGINT) AS z_e4
         |FROM events e JOIN m ON e.user_id = m.user_id
         |WHERE abs((e.value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
         |ORDER BY e.user_id, e.event_id""".stripMargin) { (s, d) =>
@@ -629,7 +679,10 @@ object TsOps {
           col("event_id"),
           unix_micros(col("ts")).as("ts_us"),
           col("value"),
-          round(z, 4).as("z"))
+          // floor(z·1e4 + 0.5): identical IEEE ops in both engines — no
+          // rendering-based round() boundary (z's doubles are themselves
+          // bit-identical: exact-decimal moments cast once)
+          floor(z * 10000 + 0.5).cast("long").as("z_e4"))
         .orderBy("user_id", "event_id")
     },
 
@@ -744,25 +797,41 @@ object TsOps {
     // extreme cardinality is percentile_approx in the same shape.
     Q(
       "q_ts_outlier_mad",
-      """WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+      """WITH r1 AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM events),
+        |m AS (SELECT user_id, sum(value) / count(*) AS med
+        |      FROM r1 WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1),
         |d AS (SELECT e.user_id, abs(e.value - m.med) AS dev, m.med AS med
         |      FROM events e JOIN m USING (user_id)),
-        |md AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1)
+        |r2 AS (SELECT user_id, dev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM d),
+        |md AS (SELECT user_id, sum(dev) / count(*) AS mad
+        |       FROM r2 WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY 1)
         |SELECT d.user_id, count(*) AS n,
         |  count(*) FILTER (WHERE dev > 3 * 1.4826 * mad) AS n_outliers,
-        |  round(any_value(d.med), 6) AS med,
-        |  round(any_value(mad), 6) AS mad
+        |  CAST(floor(any_value(d.med) * 1000000 + 0.5) AS BIGINT) AS med_e6,
+        |  CAST(floor(any_value(mad) * 1000000 + 0.5) AS BIGINT) AS mad_e6
         |FROM d JOIN md USING (user_id)
         |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin) { (s, d) =>
+      // rank-selected medians, not the engines' median() builtins: the
+      // builtins interpolate even counts with DIFFERENT op orders (Spark
+      // lo + (hi-lo)*0.5, DuckDB (a+b)/2 -- up to 1 ulp apart on doubles)
+      // and Spark's exact percentile buffers the whole series in one
+      // on-heap aggregation buffer. Both engines now sum the same two
+      // rank-selected rows and divide -- identical IEEE, spillable sort.
       val ev = U.events(s, d).select(col("user_id"), col("value"))
-      val m = ev.groupBy(col("user_id")).agg(expr("median(value)").as("med"))
+      val m = rankMedian(ev, "value", "med")
       val dev = ev
         .join(m, "user_id")
         .select(
           col("user_id"),
           abs(col("value") - col("med")).as("dev"),
           col("med"))
-      val md = dev.groupBy(col("user_id")).agg(expr("median(dev)").as("mad"))
+      val md = rankMedian(dev, "dev", "mad")
       dev
         .join(md, "user_id")
         .groupBy(col("user_id"))
@@ -770,8 +839,8 @@ object TsOps {
           count(lit(1)).as("n"),
           count(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1))
             .as("n_outliers"),
-          round(first(col("med")), 6).as("med"),
-          round(first(col("mad")), 6).as("mad"))
+          floor(first(col("med")) * 1000000 + 0.5).cast("long").as("med_e6"),
+          floor(first(col("mad")) * 1000000 + 0.5).cast("long").as("mad_e6"))
         .orderBy("user_id")
     },
 
@@ -787,8 +856,8 @@ object TsOps {
         |  SELECT user_id, min(value) AS lo, max(value) AS hi
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.user_id,
-        |  round(CASE WHEN hi = lo THEN 0.5
-        |             ELSE (e.value - lo) / (hi - lo) END, 6) AS value_norm
+        |  CAST(floor((CASE WHEN hi = lo THEN 0.5
+        |              ELSE (e.value - lo) / (hi - lo) END) * 1000000 + 0.5) AS BIGINT) AS value_norm_e6
         |FROM events e JOIN b USING (user_id)
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
       val ev = U.events(s, d)
@@ -798,10 +867,11 @@ object TsOps {
         .select(
           col("event_id"),
           col("user_id"),
-          round(
+          floor(
             when(col("hi") === col("lo"), 0.5)
-              .otherwise((col("value") - col("lo")) / (col("hi") - col("lo"))),
-            6).as("value_norm"))
+              .otherwise((col("value") - col("lo")) / (col("hi") - col("lo")))
+              * 1000000 + 0.5)
+            .cast("long").as("value_norm_e6"))
         .orderBy("event_id")
     },
 
@@ -921,9 +991,9 @@ object TsOps {
         |  FROM p GROUP BY lag)
         |SELECT lag, n,
         |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-        |    THEN round((n * sxy - sx * sy) /
-        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-        |  END AS xcorr
+        |    THEN CAST(floor((n * sxy - sx * sy) /
+        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000 + 0.5) AS BIGINT)
+        |  END AS xcorr_e6
         |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
       import s.implicits._
       val BucketS = 14400
@@ -957,10 +1027,10 @@ object TsOps {
           col("n"),
           when(
             col("n") > 1 && vxx > 0 && vyy > 0,
-            round(
+            floor(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                (sqrt(vxx) * sqrt(vyy)),
-              6)).as("xcorr"))
+                (sqrt(vxx) * sqrt(vyy)) * 1000000 + 0.5)
+              .cast("long")).as("xcorr_e6"))
         .orderBy("lag")
     },
 
@@ -991,9 +1061,9 @@ object TsOps {
         |  FROM p GROUP BY lag)
         |SELECT lag, n,
         |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-        |    THEN round((n * sxy - sx * sy) /
-        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-        |  END AS acf
+        |    THEN CAST(floor((n * sxy - sx * sy) /
+        |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000 + 0.5) AS BIGINT)
+        |  END AS acf_e6
         |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
       import s.implicits._
       val BucketS = 14400
@@ -1025,10 +1095,10 @@ object TsOps {
           col("n"),
           when(
             col("n") > 1 && vxx > 0 && vyy > 0,
-            round(
+            floor(
               (col("n") * col("sxy") - col("sx") * col("sy")) /
-                (sqrt(vxx) * sqrt(vyy)),
-              6)).as("acf"))
+                (sqrt(vxx) * sqrt(vyy)) * 1000000 + 0.5)
+              .cast("long")).as("acf_e6"))
         .orderBy("lag")
     },
 
@@ -1171,9 +1241,16 @@ object TsOps {
         |  FROM d a JOIN d b
         |    ON a.user_id = b.user_id
         |    AND b.rn - a.rn BETWEEN 1 AND $TheilSenCap
-        |    AND a.ts_us < b.ts_us)
-        |SELECT user_id, count(*) AS n_pairs, median(sm) AS slope_med_micro
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |    AND a.ts_us < b.ts_us),
+        |r AS (
+        |  SELECT user_id, sm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY sm) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS m
+        |  FROM p)
+        |SELECT user_id, max(m) AS n_pairs,
+        |  CAST(sum(sm) AS DOUBLE) / count(*) AS slope_med_micro
+        |FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       theilsen(s, d, TheilSenCap)
     },
 

@@ -59,6 +59,19 @@ object U {
   /** Deterministic mean: exact decimal sum divided by count, as double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Exact decimal mean emitted as micro-unit BIGINT — no double and no
+    * rounding op anywhere, so no cross-engine boundary EXISTS: the scale-6
+    * decimal sum ×1e6 is exactly integral, and integral division agrees
+    * between Spark `div` (trunc) and DuckDB `//` (floor) on the
+    * non-negative domain these averages live in. Replaces the
+    * `round(davg(x), 4)` emission whose HALF_UP-on-rendering vs
+    * round-binary divergence bit q_ts_seasonal at sf0.1 once already.
+    * SQL mirror:
+    * `CAST(sum(CAST(x AS DECIMAL(18,6))) * 1000000 AS BIGINT) // count(*)`.
+    */
+  def davgMicro(colName: String): Column =
+    expr(s"CAST(sum(CAST($colName AS DECIMAL(18,6))) * 1000000 AS BIGINT) div count(1)")
+
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // Upstream testdata has shipped two physical encodings for timestamps
     // (TIMESTAMP(NANOS) through round 7; plain NTZ micros from round 8's
