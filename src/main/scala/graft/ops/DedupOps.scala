@@ -55,6 +55,13 @@ object DedupOps {
     * every oracle that consumes the near-dup pair graph so the edge set is
     * the same by construction. s-interpolated so the Spark-side
     * MaxShingleDf and the oracle's cap are one constant.
+    *
+    * `jac` is MATERIALIZED: DuckDB inlines plain CTEs (re-executes per
+    * reference), so the multi-reference consumers — pagerank's `ed` reads
+    * jac twice, triangles' edge list feeds a 3-way self-join — were
+    * recomputing the quadratic pair join until the 46 GiB temp cap killed
+    * them at sf1. With the pair graph computed once, both finish in
+    * ~15-25 s at sf1 and the results are unchanged (hash-checked).
     */
   private[ops] val NgramJacSqlCte: String =
     s"""WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
@@ -70,7 +77,7 @@ object DedupOps {
        |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
        |          FROM ex x JOIN ex y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |          GROUP BY 1, 2),
-       |jac AS (SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
+       |jac AS MATERIALIZED (SELECT a, b, round(inter / (sa.n + sb.n - inter), 4) AS jaccard
        |        FROM pairs
        |        JOIN sizes sa ON sa.doc_id = a
        |        JOIN sizes sb ON sb.doc_id = b

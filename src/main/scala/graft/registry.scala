@@ -61,9 +61,10 @@ object U {
 
   /** Exact decimal mean emitted as micro-unit BIGINT — no double and no
     * rounding op anywhere, so no cross-engine boundary EXISTS: the scale-6
-    * decimal sum ×1e6 is exactly integral, and integral division agrees
-    * between Spark `div` (trunc) and DuckDB `//` (floor) on the
-    * non-negative domain these averages live in. Replaces the
+    * decimal sum ×1e6 is exactly integral (so DuckDB's round-on-cast and
+    * Spark's trunc-on-cast agree), and integral division agrees between
+    * Spark `div` and DuckDB `//` at EVERY sign — both truncate toward
+    * zero (checked: -7//2 = -3 in DuckDB, not floor's -4). Replaces the
     * `round(davg(x), 4)` emission whose HALF_UP-on-rendering vs
     * round-binary divergence bit q_ts_seasonal at sf0.1 once already.
     * SQL mirror:
