@@ -165,6 +165,34 @@ class TsOpsSpec extends SparkSpec {
     assert(got === Map(1L -> "ccc", 2L -> "aaaadddd"))
   }
 
+  test("MAD rank-median: hand-checked odd, even, and single-row series") {
+    // the rank-selected median (r11's replacement for the engines'
+    // median() builtins) on frames where the middle rows are visible by
+    // inspection: odd count takes the one middle row, even count averages
+    // the two middle rows as sum/2, a single row is its own median.
+    //   user 1 [1,2,100]: med 2; devs {1,0,98} -> mad 1; 98 > 3*1.4826 -> 1 outlier
+    //   user 2 [1,2,3,4]: med (2+3)/2 = 2.5; devs {1.5,.5,.5,1.5} -> mad (0.5+1.5)/2 = 1
+    //   user 3 [7]:       med 7; dev {0} -> mad 0; 0 > 0 is false -> 0 outliers
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    val vals = Seq((1L, 1.0), (1L, 2.0), (1L, 100.0),
+      (2L, 1.0), (2L, 2.0), (2L, 3.0), (2L, 4.0), (3L, 7.0))
+    vals.zipWithIndex.map { case ((u, v), i) =>
+      ((i + 1).toLong, (i + 1) * 1000000000L, u, "t", v, "{}")
+    }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_ts_outlier_mad")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("med_e6"), r.getAs[Long]("mad_e6"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 2000000L, 1000000L)),
+      2L -> ((4L, 0L, 2500000L, 1000000L)),
+      3L -> ((1L, 0L, 7000000L, 0L))))
+  }
+
   test("gap-fill: dense spine, forward fill carries last value, leading gaps stay null") {
     // series 1: hours 0,3 present -> spine 0..3, hours 1-2 filled from hour 0
     val hourly = Seq(
