@@ -246,7 +246,7 @@ object DedupOps {
       .join(dfTbl, Seq("sh"))
       .agg(sum(col("pdf") * col("df")))
       .first().getLong(0)
-    if (predicted > limit) throw new IllegalStateException(
+    if (predicted > limit) throw new graft.ScaleGuardRefusal(
       s"exact n-gram pair index predicts $predicted candidate pairs " +
         s"(limit $limit, conf $JaccardMaxCandConf): the shingle space is " +
         "saturated and every shared-shingle index is quadratic on this " +

@@ -77,23 +77,66 @@ object PropertyChecks {
     * identical cosines (precision 1). Recall is reported, not gated — the
     * recall floor is established on planted fixtures in DedupSimSpec.
     */
+  /** Recompute each reported pair's cosine with the IDENTICAL op order as
+    * `q_dedup_embed_cosine`'s kernel (round(dot/(na·nb), 4)) — linear in
+    * the result set, so it runs at every scale, including corpora where
+    * the all-pairs twin itself is guard-refused.
+    */
+  private def exactCosOf(
+      s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val n = U.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    pairs
+      .join(n.select(
+        col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
+      .join(n.select(
+        col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
+      .withColumn("exact_cos",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .drop("ea", "eb", "na", "nb")
+  }
+
+  /** Precision side without the all-pairs twin: membership in the exact
+    * relation is (a < b) ∧ (exact cosine ≥ 0.35) ∧ (reported == exact),
+    * each recomputed per REPORTED pair.
+    */
+  private def pairsPrecisionOnly(
+      s: SparkSession, d: String, pairs: DataFrame,
+      guardMsg: String): Either[String, String] = {
+    val wrong = exactCosOf(s, d, pairs)
+      .filter(col("exact_cos") =!= col("cos_sim") ||
+        col("cos_sim") < 0.35 || col("a") >= col("b"))
+      .count()
+    val nRes = pairs.count()
+    if (wrong > 0) Left(s"$wrong/$nRes reported pairs not genuine exact pairs")
+    else Right(s"precision 1: all $nRes reported cosines recomputed exact, " +
+      ">= 0.35, a<b; all-pairs recall twin guard-refused at this corpus " +
+      s"(${guardMsg.takeWhile(_ != ';').take(80)}) — recall verified at " +
+      "guard-admitted scales + planted fixtures (strong, precision-only)")
+  }
+
   private def pairsSubsetOfExact(
       s: SparkSession, d: String, key: String,
       pairCols: (String, String)): Either[String, String] = {
     val (ca, cb) = pairCols
     val res = run(s, d, key)
       .select(col(ca).as("a"), col(cb).as("b"), col("cos_sim"))
-    val exact = run(s, d, "q_dedup_embed_cosine")
-    val wrong = res.join(
-      exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
-      .filter(col("exact_cos").isNull ||
-        abs(col("cos_sim") - col("exact_cos")) > 1e-9)
-      .count()
-    val nRes = res.count()
-    val nEx = exact.count()
-    if (wrong > 0) Left(s"$wrong/$nRes pairs not in the exact all-pairs relation")
-    else Right(s"precision 1: all $nRes pairs exact (recall $nRes/$nEx; " +
-      "recall floor gated on planted fixtures in DedupSimSpec) (strong)")
+    try {
+      val exact = run(s, d, "q_dedup_embed_cosine")
+      val wrong = res.join(
+        exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
+        .filter(col("exact_cos").isNull ||
+          abs(col("cos_sim") - col("exact_cos")) > 1e-9)
+        .count()
+      val nRes = res.count()
+      val nEx = exact.count()
+      if (wrong > 0) Left(s"$wrong/$nRes pairs not in the exact all-pairs relation")
+      else Right(s"precision 1: all $nRes pairs exact (recall $nRes/$nEx; " +
+        "recall floor gated on planted fixtures in DedupSimSpec) (strong)")
+    } catch {
+      case e: graft.ScaleGuardRefusal =>
+        pairsPrecisionOnly(s, d, res, Option(e.getMessage).getOrElse(""))
+    }
   }
 
   /** Driver-side replay of a [[TsOps.foldSeries]]-shaped recurrence over
@@ -191,12 +234,21 @@ object PropertyChecks {
       val wrong = withSets
         .filter(abs(col("jaccard") - col("exact_j")) > 1e-9 || col("jaccard") < 0.7)
         .count()
-      val missed = DedupOps.ngramJaccardPairs(s, d)
-        .join(res.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
-        .count()
       if (wrong > 0) Left(s"$wrong pairs with non-exact jaccard or < 0.7")
-      else if (missed > 0) Left(s"$missed exact 0.8-pairs missed by LSH banding")
-      else Right("all reported jaccards exact; zero exact 0.8-pairs missed (strong)")
+      else try {
+        val missed = DedupOps.ngramJaccardPairs(s, d)
+          .join(res.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+          .count()
+        if (missed > 0) Left(s"$missed exact 0.8-pairs missed by LSH banding")
+        else Right("all reported jaccards exact; zero exact 0.8-pairs missed (strong)")
+      } catch {
+        case e: graft.ScaleGuardRefusal =>
+          Right("all reported jaccards recomputed exact from shingle sets; " +
+            "exact pair-index recall twin guard-refused at this corpus (" +
+            Option(e.getMessage).getOrElse("").take(80) + ") — recall " +
+            "verified at guard-admitted scales + planted fixtures " +
+            "(strong, precision-only)")
+      }
     }),
 
     "q_dedup_simhash" -> at("strong")((s, d) => {
@@ -301,19 +353,25 @@ object PropertyChecks {
 
     "q_dedup_semantic" -> at("strong")((s, d) => {
       val res = run(s, d, "q_dedup_semantic")
-      val exact = run(s, d, "q_dedup_embed_cosine")
-      // every pruned (dup_of, vec_id) is a genuine exact pair, same cosine
-      val wrong = res
+      val pairs = res
         .select(col("dup_of").as("a"), col("vec_id").as("b"), col("cos_sim"))
-        .join(exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
-        .filter(col("exact_cos").isNull ||
-          abs(col("cos_sim") - col("exact_cos")) > 1e-9)
-        .count()
       val order = res.filter(col("dup_of") >= col("vec_id")).count()
-      val n = res.count()
-      if (wrong > 0) Left(s"$wrong/$n pruned pairs not genuine exact pairs")
-      else if (order > 0) Left(s"$order rows violate keep-min-id (dup_of < vec_id)")
-      else Right(s"precision 1: all $n pruned pairs genuine, keep-min-id holds (strong)")
+      if (order > 0) Left(s"$order rows violate keep-min-id (dup_of < vec_id)")
+      else try {
+        // every pruned (dup_of, vec_id) is a genuine exact pair, same cosine
+        val exact = run(s, d, "q_dedup_embed_cosine")
+        val wrong = pairs
+          .join(exact.withColumnRenamed("cos_sim", "exact_cos"), Seq("a", "b"), "left")
+          .filter(col("exact_cos").isNull ||
+            abs(col("cos_sim") - col("exact_cos")) > 1e-9)
+          .count()
+        val n = res.count()
+        if (wrong > 0) Left(s"$wrong/$n pruned pairs not genuine exact pairs")
+        else Right(s"precision 1: all $n pruned pairs genuine, keep-min-id holds (strong)")
+      } catch {
+        case e: graft.ScaleGuardRefusal =>
+          pairsPrecisionOnly(s, d, pairs, Option(e.getMessage).getOrElse(""))
+      }
     }),
 
     // q_dedup_clusters graduated to a full DuckDB oracle in r11 (recursive

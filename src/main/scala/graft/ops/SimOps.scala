@@ -151,7 +151,7 @@ object SimOps {
     val limit = s.conf
       .get(AllPairsMaxVectorsConf, AllPairsMaxVectorsDefault.toString).toLong
     val n = U.embeddings(s, d).count()
-    if (n > limit) throw new IllegalStateException(
+    if (n > limit) throw new graft.ScaleGuardRefusal(
       s"$key is an O(n^2) exact verification baseline; refused at n=$n " +
         s"vectors (limit $limit, conf $AllPairsMaxVectorsConf). Use the " +
         "scale paths instead: q_dedup_embed_lsh (LSH banding) or " +
