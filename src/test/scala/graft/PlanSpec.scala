@@ -606,4 +606,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
       s"quantization bounds must broadcast:\n$plan")
   }
+
+  test("q_ts_theilsen: the slope data crosses exactly one exchange (series partitioning reused through explode and both median windows)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val plan = executed(q("q_ts_theilsen"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    // one series-key exchange feeds the lead window, the pair explode, and
+    // the rank-median windows; the only other exchange is the final
+    // orderBy's range partitioning over 150 output rows
+    val dataExchanges = exchanges.filterNot(
+      _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(dataExchanges.length === 1,
+      s"expected exactly one hash exchange, got ${dataExchanges.length}:\n$plan")
+    // two sorts on the slope data (lead window's ts order + the median's
+    // sm order) — a third would mean a lost partitioning
+    val sorts = plan.collect { case s: SortExec => s }
+    assert(sorts.length <= 3, // 2 window sorts + (possibly) the final orderBy
+      s"expected at most 3 sorts, got ${sorts.length}:\n$plan")
+  }
 }
