@@ -73,10 +73,6 @@ object PropertyChecks {
     else Right(s"all $n returned cosines equal the exact recompute (strong)")
   }
 
-  /** Result pairs must be a subset of the exact all-pairs relation with
-    * identical cosines (precision 1). Recall is reported, not gated — the
-    * recall floor is established on planted fixtures in DedupSimSpec.
-    */
   /** Recompute each reported pair's cosine with the IDENTICAL op order as
     * `q_dedup_embed_cosine`'s kernel (round(dot/(na·nb), 4)) — linear in
     * the result set, so it runs at every scale, including corpora where
@@ -103,18 +99,31 @@ object PropertyChecks {
   private def pairsPrecisionOnly(
       s: SparkSession, d: String, pairs: DataFrame,
       guardMsg: String): Either[String, String] = {
-    val wrong = exactCosOf(s, d, pairs)
+    val checked = exactCosOf(s, d, pairs)
+    // the recompute joins are INNER: a reported vec_id absent from
+    // embeddings would silently vanish instead of failing — count it
+    val nChecked = checked.count()
+    val nRes = pairs.count()
+    val wrong = checked
       .filter(col("exact_cos") =!= col("cos_sim") ||
         col("cos_sim") < 0.35 || col("a") >= col("b"))
       .count()
-    val nRes = pairs.count()
-    if (wrong > 0) Left(s"$wrong/$nRes reported pairs not genuine exact pairs")
+    if (nChecked != nRes)
+      Left(s"${nRes - nChecked}/$nRes reported pairs reference vec_ids " +
+        "absent from the corpus")
+    else if (wrong > 0) Left(s"$wrong/$nRes reported pairs not genuine exact pairs")
     else Right(s"precision 1: all $nRes reported cosines recomputed exact, " +
       ">= 0.35, a<b; all-pairs recall twin guard-refused at this corpus " +
       s"(${guardMsg.takeWhile(_ != ';').take(80)}) — recall verified at " +
       "guard-admitted scales + planted fixtures (strong, precision-only)")
   }
 
+  /** Result pairs must be a subset of the exact all-pairs relation with
+    * identical cosines (precision 1). Recall is reported, not gated — the
+    * recall floor is established on planted fixtures in DedupSimSpec.
+    * Where the all-pairs twin is guard-refused, degrades to
+    * [[pairsPrecisionOnly]].
+    */
   private def pairsSubsetOfExact(
       s: SparkSession, d: String, key: String,
       pairCols: (String, String)): Either[String, String] = {
