@@ -64,11 +64,17 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             "oracle_rows": oracle_rows, "err": err,
         }
 
+    # Past this many output rows the pandas sort-and-compare path is the
+    # bottleneck (not the engines): compare in DuckDB instead — symmetric
+    # EXCEPT ALL is hash-based, spills under the caps above, and its
+    # multiset semantics (NULL==NULL, NaN==NaN) match the pandas path.
+    BIG_ROWS = int(os.environ.get("GRAFT_BIG_COMPARE_ROWS", 15_000_000))
+
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            dump = f"{out_dir}/{name}/*.parquet"
+            got_rel = con.sql(f"SELECT * FROM '{dump}'")
             want_rel = con.sql(sql)
-            got, want = got_rel.df(), want_rel.df()
             # Dtype-strict gate: the driver hashes typed values, so a DuckDB
             # HUGEINT (e.g. un-cast sum(BIGINT)) vs Spark BIGINT must FAIL
             # here even though the Python ints compare equal below.
@@ -80,23 +86,57 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                     for c, t in zip(rel.columns, rel.types)
                 }
             g_types, w_types = typemap(got_rel), typemap(want_rel)
-            g, w = normalize(got), normalize(want)
-            if list(g.columns) != list(w.columns):
-                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-                record(name, rows_match=len(g) == len(w), schema_match=False,
-                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
+            g_cols = sorted(g_types)
+            if g_cols != sorted(w_types):
+                print(f"FAIL {name}: columns {g_cols} != {sorted(w_types)}")
+                record(name, schema_match=False, hash_match=False)
                 n_fail += 1
                 continue
             type_diff = {
                 c: (g_types[c], w_types[c])
-                for c in g.columns if g_types[c] != w_types[c]
+                for c in g_cols if g_types[c] != w_types[c]
             }
             if type_diff:
                 print(f"FAIL {name}: dtype mismatch (spark vs duckdb): {type_diff}")
-                record(name, rows_match=len(g) == len(w), schema_match=False,
-                       hash_match=False, spark_rows=len(g), oracle_rows=len(w))
+                record(name, schema_match=False, hash_match=False)
                 n_fail += 1
                 continue
+            n_g = con.sql(f"SELECT count(*) FROM '{dump}'").fetchone()[0]
+            if n_g > BIG_ROWS:
+                # in-engine multiset compare; tz-collapse timestamps the way
+                # normalize() does, and sort the column list the same way
+                def sel(src):
+                    return ", ".join(
+                        (f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+                         if g_types[c] == "TIMESTAMP" else f'"{c}"')
+                        for c in g_cols) + f" FROM {src}"
+                row = con.sql(
+                    f"WITH o AS MATERIALIZED ({sql}),\n"
+                    f"  g AS (SELECT * FROM '{dump}'),\n"
+                    f"  d1 AS (SELECT {sel('g')} EXCEPT ALL SELECT {sel('o')}),\n"
+                    f"  d2 AS (SELECT {sel('o')} EXCEPT ALL SELECT {sel('g')})\n"
+                    "SELECT (SELECT count(*) FROM o),\n"
+                    "  (SELECT count(*) FROM d1) + (SELECT count(*) FROM d2)"
+                ).fetchone()
+                n_w, n_diff = row
+                if n_g != n_w:
+                    print(f"FAIL {name}: rows {n_g} != {n_w}")
+                    record(name, rows_match=False, schema_match=True,
+                           hash_match=False, spark_rows=n_g, oracle_rows=n_w)
+                    n_fail += 1
+                elif n_diff != 0:
+                    print(f"FAIL {name}: {n_diff} rows differ (in-engine compare)")
+                    record(name, rows_match=True, schema_match=True,
+                           hash_match=False, spark_rows=n_g, oracle_rows=n_w)
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({n_g} rows, in-engine compare)")
+                    record(name, rows_match=True, schema_match=True,
+                           hash_match=True, spark_rows=n_g, oracle_rows=n_w)
+                    n_pass += 1
+                continue
+            got, want = got_rel.df(), want_rel.df()
+            g, w = normalize(got), normalize(want)
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 record(name, rows_match=False, schema_match=True,
