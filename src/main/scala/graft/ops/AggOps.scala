@@ -750,12 +750,9 @@ object AggOps {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"))
           .as("bits"))
       // the stored MV: daily word rows round-trip through parquet (scratch
-      // keyed by input dir, overwritten per run — same discipline as
-      // q_ingest_roundtrip)
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_bitmap_mv_${java.lang.Integer.toHexString(d.hashCode)}")
-        .toString
+      // keyed by input dir + JVM, overwritten per run — same discipline as
+      // q_ingest_roundtrip; see U.scratchDir)
+      val tmp = U.scratchDir("bitmap_mv", d)
       daily.write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp)
         .groupBy(col("event_type"), col("word"))
@@ -884,10 +881,7 @@ object AggOps {
           .agg(count(lit(1)).as("cnt"))
         // the stored MV: daily cell rows round-trip through parquet (same
         // scratch discipline as q_agg_bitmap_mv)
-        val tmp = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          s"graft_cm_mv_${java.lang.Integer.toHexString(d.hashCode)}")
-          .toString
+        val tmp = U.scratchDir("cm_mv", d)
         daily.write.mode("overwrite").parquet(tmp)
         val merged = s.read.parquet(tmp)
           .groupBy(col("dep"), col("bkt"))

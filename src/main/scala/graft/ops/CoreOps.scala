@@ -136,14 +136,11 @@ object CoreOps {
     Q(
       "q_ingest_roundtrip",
       "SELECT count(*) AS n FROM events") { (s, d) =>
-      // fixed scratch path keyed by input dir, overwritten per run — a fresh
-      // createTempDirectory per invocation would leak a copy of events every
-      // Verify/Bench run, and a single shared path would let a concurrent
-      // run at another scale factor overwrite this one mid-read
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_ingest_roundtrip_${java.lang.Integer.toHexString(d.hashCode)}")
-        .toString
+      // fixed scratch path keyed by input dir + JVM, overwritten per run —
+      // a fresh createTempDirectory per invocation would leak a copy of
+      // events every Verify/Bench run, while a path shared across JVMs
+      // would let a concurrent run overwrite this one mid-read
+      val tmp = U.scratchDir("ingest_roundtrip", d)
       U.events(s, d).write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).agg(count(lit(1)).as("n"))
     },
@@ -177,10 +174,7 @@ object CoreOps {
         col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 1000000 + 0.5).cast("long").as("value_micro"))
-      val base = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_ingest_formats_${java.lang.Integer.toHexString(d.hashCode)}")
-        .toString
+      val base = U.scratchDir("ingest_formats", d)
       sample.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       sample.write.mode("overwrite").json(s"$base/json")
       sample.write.mode("overwrite").orc(s"$base/orc")
@@ -419,7 +413,9 @@ object CoreOps {
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
         |  b AS (SELECT (min(us) + max(us) + 1) // 2 AS mid FROM e),
         |  g AS (SELECT event_type,
-        |      GREATEST(LEAST(CAST(floor(value / 25) AS BIGINT), 19), 0) AS bkt,
+        |      CASE WHEN isnan(value) THEN 0
+        |        ELSE GREATEST(LEAST(CAST(floor(value / 25) AS BIGINT), 19), 0)
+        |      END AS bkt,
         |      CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
         |      CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_b
         |    FROM e, b GROUP BY 1, 2),
@@ -456,7 +452,14 @@ object CoreOps {
     val g = ev.crossJoin(broadcast(b))
       .select(
         col("event_type"),
-        greatest(least(floor(col("value") / 25), lit(19L)), lit(0L)).as("bkt"),
+        // NaN pinned to bucket 0 EXPLICITLY on both sides: Spark's
+        // floor(NaN).cast(long) silently yields 0 while DuckDB ERRORS on
+        // the NaN->BIGINT cast — and NaN values are an anticipated shape
+        // (q_quality_expectations r7 counts them). Same hazard class as
+        // SimOps' documented NaN-cast guard.
+        when(isnan(col("value")), lit(0L))
+          .otherwise(greatest(least(floor(col("value") / 25), lit(19L)), lit(0L)))
+          .as("bkt"),
         when(col("us") < col("mid"), 1L).otherwise(0L).as("is_a"))
       .groupBy(col("event_type"), col("bkt"))
       .agg(

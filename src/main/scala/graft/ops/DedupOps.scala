@@ -241,10 +241,13 @@ object DedupOps {
     // the gate: Σ probeDf·df over the digest key — the exact row count of
     // the candidate join below, for the cost of two long-only aggregates
     val limit = s.conf.get(JaccardMaxCandConf, JaccardMaxCandDefault.toString).toLong
+    // coalesce: an empty probe set (empty corpus, or every shingle above
+    // MaxShingleDf) sums to NULL — that regime is trivially under budget,
+    // and the pre-gate builder returned an empty pair frame for it
     val predicted = probe
       .groupBy(col("sh")).agg(count(lit(1)).as("pdf"))
       .join(dfTbl, Seq("sh"))
-      .agg(sum(col("pdf") * col("df")))
+      .agg(coalesce(sum(col("pdf") * col("df")), lit(0L)))
       .first().getLong(0)
     if (predicted > limit) throw new graft.ScaleGuardRefusal(
       s"exact n-gram pair index predicts $predicted candidate pairs " +

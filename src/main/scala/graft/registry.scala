@@ -73,6 +73,38 @@ object U {
   def davgMicro(colName: String): Column =
     expr(s"CAST(sum(CAST($colName AS DECIMAL(18,6))) * 1000000 AS BIGINT) div count(1)")
 
+  /** Scratch directory for the MV / ingest-roundtrip keys. Keyed by the
+    * FULL input dir via md5 (not String.hashCode — distinct dataset paths
+    * can collide in 32 bits) AND a per-JVM token, so two concurrent JVMs
+    * on the same dataset (tools/run_class.sh deliberately bypasses the sbt
+    * lock) can never overwrite each other's scratch mid-read. Per-JVM, not
+    * per-call: re-runs inside one session still overwrite in place instead
+    * of leaking a copy per invocation; a shutdown hook reclaims the one
+    * copy each JVM leaves.
+    */
+  def scratchDir(prefix: String, d: String): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val f = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_${prefix}_${dirHash}_$jvmToken")
+    scratchRoots.synchronized {
+      if (scratchRoots.add(f.getAbsolutePath) && !shutdownHookAdded) {
+        shutdownHookAdded = true
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          scratchRoots.foreach(p => deleteRecursively(new java.io.File(p)))))
+      }
+    }
+    f.toString
+  }
+  private lazy val jvmToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private val scratchRoots = scala.collection.mutable.Set.empty[String]
+  private var shutdownHookAdded = false
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     // Upstream testdata has shipped two physical encodings for timestamps
     // (TIMESTAMP(NANOS) through round 7; plain NTZ micros from round 8's

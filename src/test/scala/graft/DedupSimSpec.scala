@@ -551,6 +551,19 @@ class DedupSimSpec extends SparkSpec {
     assert(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() === 6)
   }
 
+  test("candidate-volume gate: an empty probe set is under budget, not an NPE") {
+    // r12 (ADVICE): with an empty documents table the gate's
+    // sum(pdf*df) aggregate is NULL — it must read as 0 candidates and
+    // return an empty pair frame (the pre-gate behavior), not crash every
+    // pair-graph consumer with a NullPointerException.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jacempty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() === 0)
+  }
+
   test("ANN recall@10 does not collapse at the sf1 probe scale") {
     // r10 verdict item 6: the sf1 probe corpus is 10 decorrelated replicas
     // (20k vectors) — 10x the bucket occupancy of sf0.1, so LSH buckets,

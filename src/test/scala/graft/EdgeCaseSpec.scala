@@ -352,6 +352,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(one.head.getAs[Long]("tvd_ppm") === 500000L)
   }
 
+  test("driftTvd pins NaN values to bucket 0 instead of an engine-dependent cast") {
+    import spark.implicits._
+    // r12 (ADVICE): Spark's floor(NaN).cast(long) silently yields 0 while
+    // DuckDB errors on the NaN->BIGINT cast — both sides now pin NaN to
+    // bucket 0 explicitly, so a NaN-carrying corpus (the shape
+    // q_quality_expectations r7 counts) keeps the oracle runnable. NaN in
+    // the first half lands in the same bucket as a 0.0 value: identical
+    // histograms, zero drift.
+    val rows =
+      (0L until 10L).map(i => ("N", i, Double.NaN)) ++
+        (960L until 970L).map(i => ("N", i, 0.0))
+    val out = ops.CoreOps.driftTvd(rows.toDF("event_type", "us", "value")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("tvd_ppm") === 0L)
+    assert(!out.head.getAs[Boolean]("drifted"))
+  }
+
   test("zorderStats degenerate shapes: empty frame, constant column, single row") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
