@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.RunOne q_ts_drift /root/testdata/sf0.01 --explain"
   *   sbt "runMain graft.RunOne q_agg_kll_mv /root/testdata/sf0.01 --check"
   *
-  * `--check` runs the key's PropertyChecks verdict (no-oracle keys only)
+  * `--check` runs the key's PropertyChecks verdict (no-oracle keys, plus
+  * the pair-graph family's guard-scale verdicts)
   * instead of the query — the fast inner loop for a verification fix,
   * instead of the full 25-minute Verify pass it is normally embedded in.
   */
@@ -27,7 +28,12 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("--check")) {
-      val (depth, verdict) = ops.PropertyChecks.checks(key)(spark, sfDir)
+      // no-oracle keys live in `checks`; the oracle'd pair-graph family has
+      // guard-scale verdicts in `scaleChecks` (the DuckDB oracle cannot
+      // follow the MinHash edge path past the candidate gate)
+      val check = ops.PropertyChecks.checks
+        .getOrElse(key, ops.PropertyChecks.scaleChecks(key))
+      val (depth, verdict) = check(spark, sfDir)
       println(s"== $key [$depth] ==")
       verdict match {
         case Right(ok)  => println(s"PASS: $ok")

@@ -292,7 +292,7 @@ object PipelineOps {
         |)
         |SELECT src AS doc_id, min(node) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val pairs = DedupOps.ngramJaccardPairs(s, d).select(col("a"), col("b"))
+      val pairs = DedupOps.pairGraphEdges(s, d).select(col("a"), col("b"))
       connectedComponents(pairs)
         .toDF("doc_id", "cluster_id")
         .orderBy("doc_id")

@@ -655,6 +655,176 @@ object PropertyChecks {
     })
   )
 
+  /** Per-doc (n = FULL distinct-shingle count, cold = shingle array with
+    * df > MaxShingleDf dropped) recomputed INDEPENDENTLY in string space —
+    * the builders work in xxhash64-digest space, so this recompute cannot
+    * inherit a digest-side bug or collision. One scan + one df aggregate.
+    */
+  private def coldStringSets(s: SparkSession, d: String): DataFrame = {
+    val ex = U.shingled(s, d).select(
+      col("doc_id"),
+      size(col("shingles")).cast("long").as("n"),
+      explode(col("shingles")).as("t"))
+    val dfT = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    ex.join(dfT.filter(col("df") <= DedupOps.MaxShingleDf), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"), collect_list(col("t")).as("cold"))
+  }
+
+  /** Edge-genuineness gate for the pair-graph family: every (a, b[,
+    * jaccard]) edge the graph keys consumed must have exact Jaccard >= 0.8
+    * under the family's formula (cold-set intersection, full counts,
+    * round 4), recomputed in string space. Linear in the edge set — runs
+    * at every scale, including corpora where the exact index is
+    * guard-refused and the edges came from MinHash banding.
+    * Returns Left(problem) or Right(edge count).
+    */
+  private def genuineEdges(
+      s: SparkSession, d: String, edges: DataFrame): Either[String, Long] = {
+    val sets = coldStringSets(s, d)
+    val checked = edges
+      .join(sets.select(col("doc_id").as("a"), col("n").as("na"), col("cold").as("ca")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("n").as("nb"), col("cold").as("cb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("ca"), col("cb"))).cast("long"))
+      .withColumn("exact_j",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+    val nE = edges.count()
+    val nChecked = checked.count()
+    val bad = checked.filter(col("exact_j") < 0.8 || col("a") >= col("b") ||
+      (col("jaccard").isNotNull && abs(col("jaccard") - col("exact_j")) > 1e-9))
+      .count()
+    if (nChecked != nE)
+      Left(s"${nE - nChecked}/$nE edges reference doc_ids with no cold shingles")
+    else if (bad > 0) Left(s"$bad/$nE edges not genuine jaccard>=0.8 pairs")
+    else Right(nE)
+  }
+
+  /** Driver-side edge collection for the graph replays, inside the same
+    * budget discipline as the vector replays: the near-dup pair graph is
+    * edge-sparse by construction (it IS the dedup signal), so the budget
+    * admits every measured scale (sf10: ~2.5k edges).
+    */
+  private def collectEdges(
+      s: SparkSession, d: String): Option[Array[(Long, Long)]] = {
+    val e = DedupOps.pairGraphEdges(s, d).select(col("a"), col("b"))
+    if (e.count() > ReplayBudgetRows) None
+    else Some(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Strong in-run verdicts for the ORACLE'd pair-graph family (r12;
+    * VERDICT r11 item 1). These keys hash-match DuckDB wherever the exact
+    * index is admitted (sf0.001–sf1); past the candidate gate the engine
+    * now returns results from the MinHash edge path instead of refusing —
+    * and the DuckDB oracle cannot follow it there (the oracle's CTE IS the
+    * exact index). These checks are the gate for that regime: edge
+    * genuineness recomputed independently at any scale, plus a driver-side
+    * replay of each kernel on the same edges. NOT part of [[checks]] —
+    * RegistrySpec pins that map to exactly the no-oracle keys; `RunOne
+    * --check` and the sf10 gate read this map for the graph keys.
+    */
+  val scaleChecks: Map[String, Check] = Map(
+    "q_dedup_clusters" -> at("strong")((s, d) => {
+      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+        collectEdges(s, d) match {
+          case None => Left(s"$nE edges exceed the driver replay budget")
+          case Some(pairs) =>
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val p = parent.getOrElse(x, x)
+              if (p == x) x else { val r = find(p); parent(x) = r; r }
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+            val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+              .map(x => x -> find(x)).toMap
+            val got = run(s, d, "q_dedup_clusters").collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            if (got == want)
+              Right(s"all $nE edge jaccards recomputed exact >= 0.8; " +
+                s"components equal driver union-find over ${want.size} nodes (strong)")
+            else Left(s"${(got.toSet diff want.toSet).size + (want.toSet diff got.toSet).size} " +
+              "node labels differ from driver union-find")
+        }
+      }
+    }),
+
+    "q_graph_degrees" -> at("strong")((s, d) => {
+      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+        collectEdges(s, d) match {
+          case None => Left(s"$nE edges exceed the driver replay budget")
+          case Some(pairs) =>
+            val deg = pairs.flatMap(p => Seq(p._1, p._2))
+              .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+            // the engine ranks over (degree desc, doc_id) — a TOTAL order
+            // (doc_id is unique), so rank() degenerates to position
+            val want = deg.toSeq.sortBy { case (id, dg) => (-dg, id) }
+              .zipWithIndex
+              .map { case ((id, dg), i) => id -> ((dg, (i + 1).toLong)) }
+              .toMap
+            val got = run(s, d, "q_graph_degrees").collect()
+              .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+            if (got == want)
+              Right(s"all $nE edge jaccards recomputed exact >= 0.8; " +
+                s"degrees + ranks equal driver recompute over ${want.size} nodes (strong)")
+            else Left("degree/rank rows differ from driver recompute")
+        }
+      }
+    }),
+
+    "q_graph_triangles" -> at("strong")((s, d) => {
+      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+        collectEdges(s, d) match {
+          case None => Left(s"$nE edges exceed the driver replay budget")
+          case Some(pairs) =>
+            val es = pairs.toSet
+            val fwd = pairs.groupBy(_._1)
+              .map { case (k, v) => k -> v.map(_._2).toSet }
+              .withDefaultValue(Set.empty[Long])
+            val tri = pairs.iterator
+              .map { case (a, b) => (fwd(a) intersect fwd(b)).size.toLong }.sum
+            val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+            val got = run(s, d, "q_graph_triangles").collect()(0)
+            if (got.getLong(0) == nodes && got.getLong(1) == es.size.toLong &&
+              got.getLong(2) == tri)
+              Right(s"all $nE edge jaccards recomputed exact >= 0.8; node/edge/" +
+                s"triangle counts ($nodes/${es.size}/$tri) equal driver recompute (strong)")
+            else Left(s"counts (${got.getLong(0)},${got.getLong(1)},${got.getLong(2)}) " +
+              s"!= driver recompute ($nodes,${es.size},$tri)")
+        }
+      }
+    }),
+
+    "q_graph_pagerank" -> at("strong")((s, d) => {
+      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+        collectEdges(s, d) match {
+          case None => Left(s"$nE edges exceed the driver replay budget")
+          case Some(pairs) =>
+            val S = 1000000000L
+            val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+            val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+            val nodes = deg.keys.toSeq.sorted
+            val n = nodes.length.toLong
+            var r = nodes.map(_ -> S / n).toMap
+            val base = (15L * S) / (100L * n)
+            for (_ <- 1 to 10) {
+              val sc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+              edges.foreach { case (src, dst) => sc(dst) += r(src) / deg(src) }
+              r = nodes.map(x => x -> (base + (85L * sc(x)) / 100L)).toMap
+            }
+            val got = run(s, d, "q_graph_pagerank").collect()
+              .map(x => x.getLong(0) -> x.getLong(1)).toMap
+            if (got == r)
+              Right(s"all $nE edge jaccards recomputed exact >= 0.8; 10 integer " +
+                s"iterations replayed bit-exact driver-side over $n nodes (strong)")
+            else Left("integer PageRank diverged from the driver replay")
+        }
+      }
+    })
+  )
+
   /** Run every selected check; returns key -> (depth-that-ran, Either). */
   def runAll(s: SparkSession, d: String,
       selected: String => Boolean = _ => true)

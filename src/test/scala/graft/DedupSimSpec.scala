@@ -551,6 +551,70 @@ class DedupSimSpec extends SparkSpec {
     assert(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count() === 6)
   }
 
+  test("pair-graph scale path: forced minhash source reproduces the exact graph family") {
+    // r12 (VERDICT r11 item 1): the graph family consumes pairGraphEdges,
+    // whose minhash source verifies banding candidates with the IDENTICAL
+    // exact-Jaccard formula as the exact index. On this corpus the planted
+    // near-dups sit at ~0.9+, where 8x4 banding recall is ~1 — so every
+    // graph key must produce BIT-IDENTICAL output under either source.
+    import org.apache.spark.sql.DataFrame
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    val keys = Seq("q_dedup_clusters", "q_graph_degrees",
+      "q_graph_triangles", "q_graph_pagerank")
+    val exact = keys.map(k => k -> rows(SparkEntry.queries(k)(spark, sfDir))).toMap
+    spark.conf.set("spark.graft.pairgraph.source", "minhash")
+    try keys.foreach { k =>
+      assert(rows(SparkEntry.queries(k)(spark, sfDir)) === exact(k),
+        s"$k differs between exact and minhash edge sources")
+    } finally spark.conf.unset("spark.graft.pairgraph.source")
+  }
+
+  test("pair-graph scale path: auto falls back to minhash edges when the exact index refuses") {
+    // a 4-identical-doc corpus under a 1-candidate budget: the exact index
+    // refuses (pinned by the gate test above), but the graph family must
+    // now RETURN results — the scale promise of SURVEY §2.12 item 3 made
+    // code — and those results must equal the unbudgeted exact ones.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoscale").toString
+    val mk = (i: Long, t: String) => (i, t, "en", "web", t.length.toLong)
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine ten"
+    (Seq.tabulate(4)(i => mk(i.toLong, txt)) ++ Seq(mk(100L, other), mk(101L, other)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // budget FIRST: running the exact path before setting it would MatCache
+    // the pair stats and the gate (which runs at build time) never re-fires
+    spark.conf.set("spark.graft.jaccard.maxCandidates", "1")
+    val got =
+      try {
+        // exact source refuses under the budget...
+        spark.conf.set("spark.graft.pairgraph.source", "exact")
+        intercept[graft.ScaleGuardRefusal] {
+          SparkEntry.queries("q_dedup_clusters")(spark, dir).count()
+        }
+        // ...auto returns clusters via the minhash edge path
+        spark.conf.set("spark.graft.pairgraph.source", "auto")
+        val g = SparkEntry.queries("q_dedup_clusters")(spark, dir).collect().toSeq
+        // and the in-run strong verdict passes in the fallback regime too
+        val (depth, verdict) =
+          ops.PropertyChecks.scaleChecks("q_dedup_clusters")(spark, dir)
+        assert(depth === "strong")
+        assert(verdict.isRight, verdict.left.getOrElse(""))
+        g
+      } finally {
+        spark.conf.unset("spark.graft.jaccard.maxCandidates")
+        spark.conf.unset("spark.graft.pairgraph.source")
+      }
+    // the fallback's clusters equal the unbudgeted exact ones (pin the
+    // exact source: auto has memoized `minhash` for this dataset)
+    spark.conf.set("spark.graft.pairgraph.source", "exact")
+    val want =
+      try SparkEntry.queries("q_dedup_clusters")(spark, dir).collect().toSeq
+      finally spark.conf.unset("spark.graft.pairgraph.source")
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("candidate-volume gate: an empty probe set is under budget, not an NPE") {
     // r12 (ADVICE): with an empty documents table the gate's
     // sum(pdf*df) aggregate is NULL — it must read as 0 candidates and
