@@ -53,8 +53,51 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, factor)
+    if (args.contains("--diverse-part")) {
+      diversePart(spark, src, factor)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/part.parquet")
+      println(s"[scalegen] diverse part written ($factor x)")
+    } else generate(spark, src, dst, factor)
     spark.stop()
+  }
+
+  /** Diverse-vocabulary catalog variant (r12; VERDICT r11 item 2) — writes
+    * ONLY a `part` table. The driver catalog's 92-word name vocabulary
+    * saturates ANY substring signature (measured: 1.05 B of 8 B
+    * probe x catalog pairs share a PassJoin segment at sf10 — 13% density),
+    * so `q_join_fuzzy`'s verify step is data-bound quadratic THERE. A real
+    * product catalog carries shared vocabulary PLUS per-item distinguishing
+    * tokens spread through the name (brand + model number + variant codes);
+    * this variant models that by INTERLEAVING three unique 8-hex SKU tokens
+    * (thirds of md5(key)) at the start, middle, and end of each name — a
+    * mere suffix was measured insufficient (the middle PassJoin segment
+    * stayed pure shared vocabulary and its candidates still grew 100x per
+    * 100x corpus: 1.45 M -> 145 M), while the interleave puts a unique
+    * token chunk inside EVERY third of the string, so each segment key is
+    * per-item distinct and candidates stay O(probes). The fuzzy probes
+    * (first char dropped, every 500th key) still resolve to their source
+    * at distance 1.
+    */
+  private def diversePart(
+      spark: SparkSession, src: String, factor: Int): DataFrame = {
+    val shifted = replicate(U.tbl(spark, src, "part"), factor) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * KeySpan))
+    }
+    shifted
+      .withColumn("h", md5(col("p_partkey").cast("string")))
+      .withColumn("w", split(col("p_name"), " "))
+      .withColumn("nm", expr("size(w) div 2"))
+      .withColumn(
+        "p_name",
+        array_join(
+          flatten(array(
+            array(substring(col("h"), 1, 8)),
+            expr("slice(w, 1, nm)"),
+            array(substring(col("h"), 9, 8)),
+            expr("slice(w, nm + 1, size(w) - nm)"),
+            array(substring(col("h"), 17, 8)))),
+          " "))
+      .drop("h", "w", "nm")
   }
 
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
