@@ -104,6 +104,30 @@ object Verify {
         System.err.println(s"[verify] property $k FAILED: $msg")
       }
     }
+    // Streaming verdicts (r12): the 16 group-J kernels + MV readers were
+    // verified only in ScalaTest; StreamChecks re-runs their batch-
+    // equivalence / replay-idempotence cores HERE so the driver artifact
+    // carries the whole engine surface. Skipped when a VERIFY_ONLY subset
+    // is active (the fast single-key inner loop) or when explicitly opted
+    // out; the full driver gate always runs it.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_STREAMING")) {
+      val streamResults = streaming.StreamChecks.runAll(spark)
+      val streamJson = streamResults.map { case (k, covers, r) =>
+        val (ok, detail) = r match {
+          case Left(m)  => ("false", m)
+          case Right(m) => ("true", m)
+        }
+        s"${q(k)}: {\"ok\": $ok, \"covers\": [${covers.map(q).mkString(",")}], " +
+          s"\"detail\": ${q(detail)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/streaming_results.json"), streamJson)
+      streamResults.foreach { case (k, _, r) =>
+        r.left.foreach { msg =>
+          failures(s"streaming:$k") = msg
+          System.err.println(s"[verify] streaming $k FAILED: $msg")
+        }
+      }
+    }
     writeFailures()
     spark.stop()
   }

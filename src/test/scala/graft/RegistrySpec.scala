@@ -76,6 +76,24 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.propertyVerification.keySet === ops.PropertyChecks.checks.keySet)
   }
 
+  test("every public Streams kernel is covered by a StreamChecks verdict") {
+    // r12 (VERDICT r11 item 3): streaming_results.json must list every
+    // public member of the streaming surface — a new kernel cannot ship
+    // invisible to the driver artifact. Reflection over the object's
+    // declared public methods (synthetics and default-arg helpers carry
+    // '$'; Object's own methods are not declared here).
+    val pub = graft.streaming.Streams.getClass.getDeclaredMethods
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName)
+      .filterNot(_.contains("$"))
+      .toSet
+    val covered = graft.streaming.StreamChecks.coveredKernels
+    assert(covered.subsetOf(pub),
+      s"StreamChecks claims nonexistent kernels: ${covered -- pub}")
+    assert(pub.subsetOf(covered),
+      s"public Streams kernels with no streaming_results.json verdict: ${pub -- covered}")
+  }
+
   test("all PropertyChecks verdicts pass at STRONG depth (the no_oracle_results.json gate)") {
     val results = ops.PropertyChecks.runAll(spark, sfDir)
     val failed = results.collect { case (k, _, Left(m)) => s"$k: $m" }
