@@ -148,52 +148,6 @@ object PropertyChecks {
     }
   }
 
-  /** Driver-side replay of a [[TsOps.foldSeries]]-shaped recurrence over
-    * identically-ordered rows (bounded: events at verify scale), compared
-    * bit-exact after the query's own rounding.
-    */
-  private def foldReplay(
-      s: SparkSession, d: String, key: String,
-      seed: Double => Array[Double],
-      step: (Array[Double], Double, Long) => Array[Double])
-      : Either[String, String] = {
-    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    val rows = U.events(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("value"))
-      .orderBy("user_id", "ts_us", "event_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getDouble(3)))
-    val expected = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
-    var curUid = Long.MinValue
-    var st: Array[Double] = null
-    var t = 0L
-    var n = 0L
-    def flush(): Unit = if (st != null) expected(curUid) = (n, st)
-    rows.foreach { case (uid, v) =>
-      if (uid != curUid) { flush(); curUid = uid; st = seed(v); t = 1L; n = 1L }
-      else { st = step(st, v, t); t += 1; n += 1 }
-    }
-    flush()
-    val got = run(s, d, key).collect()
-    val bad = got.flatMap { r =>
-      val uid = r.getLong(0)
-      expected.get(uid) match {
-        case None => Some(s"user $uid unexpected")
-        case Some((en, est)) =>
-          val gotVals = (2 until r.length).map(r.getDouble)
-          val expVals = est.map(r6).toSeq
-          if (r.getLong(1) != en) Some(s"user $uid n mismatch")
-          else if (gotVals != expVals) Some(s"user $uid values mismatch")
-          else None
-      }
-    }
-    if (got.length != expected.size)
-      Left(s"row count ${got.length} != ${expected.size} series")
-    else if (bad.nonEmpty) Left(bad.take(3).mkString("; "))
-    else Right(s"bit-exact driver replay over ${expected.size} series (strong)")
-  }
-
   /** key -> check. The depth each check RAN is recorded in the JSON so a
     * consumer knows whether the verdict is a strong recompute or an
     * invariant.
@@ -489,30 +443,9 @@ object PropertyChecks {
       }
     }),
 
-    "q_ts_holt" -> at("strong")((s, d) => {
-      val a = 0.5; val b = 0.25
-      foldReplay(s, d, "q_ts_holt",
-        seed = v => Array(v, 0.0),
-        step = (st, v, _) => {
-          val ln = a * v + (1 - a) * (st(0) + st(1))
-          Array(ln, b * (ln - st(0)) + (1 - b) * st(1))
-        })
-    }),
-
-    "q_ts_holtwinters" -> at("strong")((s, d) => {
-      val al = 0.5; val be = 0.25; val ga = 0.25; val m = 6
-      foldReplay(s, d, "q_ts_holtwinters",
-        seed = v => Array(v, 0.0) ++ new Array[Double](m),
-        step = (st, v, t) => {
-          val idx = (t % m).toInt
-          val sOld = st(2 + idx)
-          val ln = al * (v - sOld) + (1 - al) * (st(0) + st(1))
-          val bn = be * (ln - st(0)) + (1 - be) * st(1)
-          val out = st.clone()
-          out(0) = ln; out(1) = bn; out(2 + idx) = ga * (v - ln) + (1 - ga) * sOld
-          out
-        })
-    }),
+    // q_ts_holt / q_ts_holtwinters graduated to recursive-CTE DuckDB
+    // oracles in r12 (TsOps.HoltOracleSql / HoltWintersOracleSql) — their
+    // driver-side fold replays remain in TsOpsSpec.
 
     "q_sim_knn_graph" -> at("strong")((s, d) => {
       val res = run(s, d, "q_sim_knn_graph")

@@ -190,6 +190,77 @@ object TsOps {
   private def bucket(seconds: Int) =
     (floor(unix_timestamp(col("ts")) / seconds) * seconds).cast("long")
 
+  /** Recursive-CTE oracle for `q_ts_holt` (r12; VERDICT r11 item 5). The
+    * list_reduce fold form is blocked by DuckDB's in-place struct-
+    * accumulator mutation (see the key's scaladoc), but WITH RECURSIVE
+    * over (series, row_number) carries (l, b) as plain columns: the
+    * anchor arm seeds (v_1, 0) per series, the recursive arm joins row
+    * rn+1 in and applies the engine's EXACT IEEE expression tree —
+    * `0.5*v + 0.5*(l+b)` then `0.25*(ln-l) + 0.75*b`, ln repeated inline
+    * (same expression → same bits; no lateral-alias dependence). `d` is
+    * MATERIALIZED (the recursive arm scans it once per iteration; DuckDB
+    * would otherwise recompute the window per iteration — the
+    * NgramJacSqlCte lesson). Iterations = max series length (99 on the
+    * driver data at every SF — series count scales, length doesn't), so
+    * the oracle is ~0.1 s at sf0.01 and 2.3 s at sf1, measured.
+    */
+  private[ops] val HoltOracleSql: String =
+    """WITH RECURSIVE d AS MATERIALIZED (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |r(user_id, rn, n, l, b) AS (
+      |  SELECT user_id, rn, n, value AS l, CAST(0 AS DOUBLE) AS b FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.rn, d.n,
+      |    0.5*d.value + 0.5*(r.l + r.b),
+      |    0.25*((0.5*d.value + 0.5*(r.l + r.b)) - r.l) + 0.75*r.b
+      |  FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+      |SELECT user_id, n, floor(l*1000000 + 0.5)/1000000 AS level,
+      |  floor(b*1000000 + 0.5)/1000000 AS trend
+      |FROM r WHERE rn = n ORDER BY user_id""".stripMargin
+
+  /** Recursive-CTE oracle for `q_ts_holtwinters`: [[HoltOracleSql]]'s
+    * construction with the six seasonal slots as plain columns. The
+    * engine's in-place `sArr(idx) = ...` write becomes a column-preserving
+    * CASE per slot keyed on (rn-1) % 6 — only the active slot updates, the
+    * other five copy through — and sOld/ln are the same repeated inline
+    * expressions, so every arithmetic step is the engine's IEEE tree.
+    * SQL is GENERATED (six mechanical slot columns), the PageRankOracleSql
+    * discipline.
+    */
+  private[ops] val HoltWintersOracleSql: String = {
+    val sold = "CASE (d.rn-1)%6 " +
+      (0 until 6).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END"
+    val ln = s"(0.5*(d.value - $sold) + 0.5*(r.l + r.b))"
+    val bn = s"(0.25*($ln - r.l) + 0.75*r.b)"
+    val sCols = (0 until 6).map(k =>
+      s"CASE WHEN (d.rn-1)%6 = $k THEN 0.25*(d.value - $ln) + 0.75*r.s$k " +
+        s"ELSE r.s$k END AS s$k").mkString(",\n    ")
+    val emit = (0 until 6)
+      .map(k => s"floor(s$k*1000000 + 0.5)/1000000 AS s$k").mkString(", ")
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+       |  SELECT user_id, value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |r(user_id, rn, n, l, b, s0, s1, s2, s3, s4, s5) AS (
+       |  SELECT user_id, rn, n, value, CAST(0 AS DOUBLE),
+       |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+       |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.user_id, d.rn, d.n, $ln, $bn,
+       |    $sCols
+       |  FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+       |SELECT user_id, n,
+       |  floor(l*1000000 + 0.5)/1000000 AS level,
+       |  floor(b*1000000 + 0.5)/1000000 AS trend,
+       |  $emit
+       |FROM r WHERE rn = n ORDER BY user_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     // Tumbling 15-minute buckets per series: count / avg / min / max.
     Q(
@@ -726,14 +797,19 @@ object TsOps {
     // forecasting generalization of q_ts_ewma, same secondary-sort
     // mapPartitions kernel with TWO fold variables instead of one — the
     // pattern extends to any per-series recurrence at O(1) state.
-    // no_oracle BY NECESSITY, not convention: DuckDB v1.0.0's list_reduce
-    // evaluates struct fields sequentially and mutates the accumulator in
-    // place, so a two-field recurrence where both fields read the old
-    // state returns corrupted values (verified: fold of {l,b} over
-    // [1,2,4] yields b=0.2578125 where the recurrence gives 0.421875) —
-    // the scalar-fold EWMA oracle is immune. TsOpsSpec runs the exact
-    // driver-side two-variable fold instead.
-    Q.noOracle("q_ts_holt") { (s, d) =>
+    // ORACLE'd since r12 via a recursive CTE ([[HoltOracleSql]]): the fold
+    // form stays blocked — DuckDB v1.0.0's list_reduce evaluates struct
+    // fields sequentially and mutates the accumulator in place, so a
+    // two-field recurrence where both fields read the old state returns
+    // corrupted values (verified: fold of {l,b} over [1,2,4] yields
+    // b=0.2578125 where the recurrence gives 0.421875; the scalar-fold
+    // EWMA oracle is immune) — but a WITH RECURSIVE over (series,
+    // row_number) carries (l, b) as PLAIN COLUMNS, no struct accumulator
+    // anywhere, and each arm repeats the engine's exact IEEE expression
+    // tree. The pagerank-graduation trick applied to per-series
+    // recurrences. TsOpsSpec keeps the driver-side fold replay as the
+    // in-process twin.
+    Q("q_ts_holt", HoltOracleSql) { (s, d) =>
       import s.implicits._
       val alpha = 0.5
       val beta = 0.25
@@ -1176,11 +1252,13 @@ object TsOps {
     //   l' = α·(v − s_old) + (1−α)·(l + b)
     //   b' = β·(l' − l) + (1−β)·b
     //   s[t mod 6] = γ·(v − l') + (1−γ)·s_old.
-    // no_oracle for the same reason as q_ts_holt: a multi-field
-    // list_reduce accumulator hits DuckDB's in-place struct mutation bug
-    // (see q_ts_holt scaladoc); TsOpsSpec replays the exact fold
-    // driver-side over identically-ordered rows instead.
-    Q.noOracle("q_ts_holtwinters") { (s, d) =>
+    // ORACLE'd since r12 the same way as q_ts_holt (whose scaladoc has the
+    // full story): the (level, trend, seasonal[6]) recurrence rides a
+    // recursive CTE with the six seasonal slots as plain columns — the
+    // slot update is a CASE on (rn-1) % 6, and the in-place array write
+    // the engine does becomes a column-preserving CASE in SQL. TsOpsSpec
+    // keeps the driver-side fold replay as the in-process twin.
+    Q("q_ts_holtwinters", HoltWintersOracleSql) { (s, d) =>
       import s.implicits._
       val alpha = 0.5
       val beta = 0.25

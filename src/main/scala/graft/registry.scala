@@ -359,10 +359,8 @@ object Registry {
       "merged == direct in the coupon regime, both estimates within the sketch error bound of exact distinct once promoted to dense HLL — FunctionsSpec 'HLL daily sketches union-merge to the direct whole-range estimate'",
     "q_agg_kll_mv" ->
       "merged == direct == exact order statistic (exact-mode sketches at test scale) + parquet round-trip — FunctionsSpec 'KLL daily sketches merge to the direct sketch AND the exact order statistic'",
-    "q_ts_holt" ->
-      "vs driver-side two-variable fold over identically-ordered rows — TsOpsSpec (DuckDB list_reduce struct-accumulator bug blocks an oracle; see TsOps scaladoc)",
-    "q_ts_holtwinters" ->
-      "vs driver-side (level, trend, seasonal[6]) fold over identically-ordered rows — TsOpsSpec (same DuckDB struct-accumulator limitation as q_ts_holt)",
+    // q_ts_holt / q_ts_holtwinters graduated to recursive-CTE DuckDB
+    // oracles in r12 (TsOps.HoltOracleSql / HoltWintersOracleSql)
     "q_sim_knn_graph" ->
       "every edge's cosine recomputed bit-exact driver-side + planted cosine-0.9 near-dups find their partner at rank 1 — DedupSimSpec",
     "q_embed_pq" ->
