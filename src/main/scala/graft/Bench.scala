@@ -105,6 +105,30 @@ object Bench {
       MatCache.harnessSweep(spark, blocking = true)
     }
 
+    // Host-noise canary (r12; VERDICT r11 item 7): identical code drifted
+    // the sf0.1 headline 63-88 s across one day of host steal, so a
+    // +20% round-over-round total was not attributable to code vs host
+    // from the artifact alone. Time a small fixed key set (min of 2, the
+    // QTime convention) immediately before and after the timed passes —
+    // same JVM, same plans, same data — and emit end/start as "drift":
+    // ~1.0 means the host was steady and the headline is comparable;
+    // well above 1.0 means the run was contaminated mid-flight and the
+    // per-query MINs, not the total, are the trustworthy numbers.
+    val canaryKeys = Seq(
+      "q_scan_project", "q_agg_hash", "q_win_rank", "q_tpch_q1", "q_ts_bucket")
+      .filter(k => queries.exists(_._1 == k))
+    def canaryTime(): Double = canaryKeys.map { k =>
+      val fn = SparkEntry.queries(k)
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }.sum
+    val canaryStart =
+      try if (canaryKeys.nonEmpty) Some(canaryTime()) else None
+      catch { case e: Throwable => record("_canary", e); None }
+
     // `passes` timed passes; keep the per-query minimum.
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes) {
@@ -134,6 +158,15 @@ object Bench {
       }
     }
 
+    val canaryEnd =
+      try canaryStart.map(_ => canaryTime())
+      catch { case e: Throwable => record("_canary", e); None }
+    val canaryJson = (canaryStart, canaryEnd) match {
+      case (Some(a), Some(b)) if a > 0 =>
+        f""","canary":{"keys":${canaryKeys.size},"start_sec":$a%.3f,"end_sec":$b%.3f,"drift":${b / a}%.3f}"""
+      case _ => ""
+    }
+
     val results = queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -156,7 +189,7 @@ object Bench {
       else ""
     val mainLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
-          .mkString("[", ",", "]")},"errors":$errJson$subset,"sf":"$sfDir"}"""
+          .mkString("[", ",", "]")},"errors":$errJson$subset$canaryJson,"sf":"$sfDir"}"""
     println(mainLine)
     persist(mainLine)
     // Second, SHORT summary line AFTER the big per-query line: a tail

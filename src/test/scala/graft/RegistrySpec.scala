@@ -94,6 +94,41 @@ class RegistrySpec extends SparkSpec {
       s"public Streams kernels with no streaming_results.json verdict: ${pub -- covered}")
   }
 
+  test("§2.13 lint: no TsOps emission carries an engine-defined rounding op") {
+    // r12 (VERDICT r11 item 8): the no-round()/davgMicro/rank-median rules
+    // were prose; this walks every TsOps key's ANALYZED plan for
+    // Round/BRound expressions (catches helper-hidden rounding, not just
+    // source text) and greps the mirrored oracle SQL — a round-13
+    // contributor cannot reintroduce the half-boundary class. round() in
+    // OTHER families (cosine/jaccard round-4 emissions) is a settled,
+    // oracle-mirrored convention outside §2.13's scope.
+    import org.apache.spark.sql.catalyst.expressions.{BRound, Round}
+    val offending = ops.TsOps.qs.flatMap { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.analyzed
+      val inPlan = plan.collect { case node =>
+        node.expressions.flatMap(_.collect {
+          case r: Round  => s"${q.name}: ${r.sql}"
+          case r: BRound => s"${q.name}: ${r.sql}"
+        })
+      }.flatten
+      val inOracle =
+        if (q.oracle.exists(_.toLowerCase.contains("round(")))
+          Seq(s"${q.name}: round( in oracle SQL")
+        else Nil
+      inPlan ++ inOracle
+    }
+    assert(offending.isEmpty,
+      s"§2.13 violations (use davgMicro / floor(x*scale+0.5) / rank medians):\n" +
+        offending.mkString("\n"))
+    // the lint must be able to FIRE: a deliberately violating plan is seen
+    val bad = U.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.round(col("value"), 2).as("v"))
+    val hits = bad.queryExecution.analyzed.collect { case node =>
+      node.expressions.flatMap(_.collect { case r: Round => r })
+    }.flatten
+    assert(hits.nonEmpty, "lint fixture: Round expression not detected")
+  }
+
   test("all PropertyChecks verdicts pass at STRONG depth (the no_oracle_results.json gate)") {
     val results = ops.PropertyChecks.runAll(spark, sfDir)
     val failed = results.collect { case (k, _, Left(m)) => s"$k: $m" }
