@@ -57,7 +57,15 @@ object ScaleGen {
       diversePart(spark, src, factor)
         .write.mode(SaveMode.Overwrite).parquet(s"$dst/part.parquet")
       println(s"[scalegen] diverse part written ($factor x)")
-    } else generate(spark, src, dst, factor)
+    } else {
+      // --tables doc,emb,...: generate a SUBSET of tables (the sf100 probe
+      // needs only documents + embeddings — 1000x the full 10-table set
+      // would be ~16 GB of lineitem nobody probes)
+      val tables = args.sliding(2).collectFirst {
+        case Array("--tables", t) => t.split(",").map(_.trim).toSet
+      }
+      generate(spark, src, dst, factor, tables)
+    }
     spark.stop()
   }
 
@@ -100,14 +108,16 @@ object ScaleGen {
       .drop("h", "w", "nm")
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def generate(spark: SparkSession, src: String, dst: String, factor: Int,
+      tables: Option[Set[String]] = None): Unit = {
     // no post-write count: re-reading the just-written table solely for a
     // log line doubles the I/O per table at sf1 scale (r10 advice); the
     // sanity counts live in the consumers (Bench probes, DedupSimSpec pins)
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
-      println(s"[scalegen] $name written")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (tables.forall(_.contains(name))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+        println(s"[scalegen] $name written")
+      }
     def shifted(name: String, keys: Seq[String]): DataFrame = {
       val base = U.tbl(spark, src, name)
       replicate(base, factor) { (df, i) =>

@@ -111,10 +111,22 @@ object SimOps {
       Seq.fill(c)(Seq.fill(PlaneDim)(rnd.nextGaussian()))
     })
 
-  /** (vec_id, tbl, bucket) triples for the pair-LSH family under the
-    * corpus-adaptive geometry, repartitioned into the one canonical
-    * exchange both self-join sides reuse. Input must carry
-    * (vec_id, embedding, ...).
+  /** (vec_id, embedding, nrm, tbl, bucket) rows for the pair-LSH family
+    * under the corpus-adaptive geometry, repartitioned into the one
+    * canonical exchange both self-join sides reuse. Input must carry
+    * (vec_id, embedding, nrm).
+    *
+    * The VECTOR rides in the bucketed exchange (r12): the exchange grows
+    * to n·tables·~280 B (6.7 GB at 2 M vectors — bounded, linear), and in
+    * return the bucket self-join computes every candidate cosine INLINE
+    * from co-located vectors. The previous shape — bucket ids only, then
+    * two vec_id joins to re-attach embeddings to 10⁷-10⁸ candidate PAIRS —
+    * shuffled a full vector per candidate row (the pair side is ~10× the
+    * corpus side at design occupancy 8), which the sf100 probe measured as
+    * 150+ GB of sort spill: the one exchange that scaled with CANDIDATES
+    * instead of the corpus. Per-candidate work rises by the multi-table
+    * duplicate factor (~1.3×, codegen dots), a constant traded for the
+    * candidate-scaled shuffle.
     */
   private def lshBucketed(n: DataFrame, corpusSize: Long): DataFrame = {
     val (bits, tables) = lshGeometry(corpusSize)
@@ -122,7 +134,8 @@ object SimOps {
     val tableBuckets = (0 until tables).map { t =>
       hyperplaneBucket(col("embedding"), planes.slice(t * bits, (t + 1) * bits))
     }
-    n.select(col("vec_id"), posexplode(array(tableBuckets: _*)))
+    n.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array(tableBuckets: _*)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
       // canonical exchange shared by both self-join sides => the
@@ -198,24 +211,24 @@ object SimOps {
     val n = base
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val bucketed = lshBucketed(n, corpusSize)
-    val cand = bucketed
+    // cosine computed INLINE from the co-located vectors (identical
+    // expression tree as the pre-r12 two-join form: dot(a,b)/(na·nb),
+    // round 4 — a<b operand order, so the emitted bits are unchanged);
+    // the minCos cut applies BEFORE the distinct, so the dedup exchange
+    // carries only (a, b, cos) rows that already passed the threshold
+    val cos = round(
+      dot(col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm")), 4)
+    bucketed
       .as("x")
       .join(
         bucketed.as("y"),
         col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
       .distinct()
-    val cos = round(
-      dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-    cand
-      .join(n.select(
-        col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na")), "a")
-      .join(n.select(
-        col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb")), "b")
-      .filter(cos >= minCos)
-      .select(col("a"), col("b"), cos.as("cos_sim"))
       .orderBy("a", "b")
   }
 
@@ -743,28 +756,25 @@ object SimOps {
     val n = base
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val bucketed = lshBucketed(n, corpusSize)
-    val cand = bucketed
+    // cosine INLINE from the co-located vectors — identical expression
+    // tree as the pre-r12 two-join form (dot(src,dst)/(ns·nd), round 4),
+    // so the emitted bits are unchanged; see [[lshBucketed]] for why the
+    // vector rides the bucket exchange instead of joining onto candidates
+    val cos = round(
+      dot(col("x.embedding"), col("y.embedding")) /
+        (col("x.nrm") * col("y.nrm")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    bucketed
       .as("x")
       .join(
         bucketed.as("y"),
         col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"), cos.as("cos_sim"))
       .distinct()
-    val cos = round(
-      dot(col("es"), col("ed")) / (col("ns") * col("nd")), 4)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"))
-      .orderBy(col("cos_sim").desc, col("dst"))
-    cand
-      .join(n.select(
-        col("vec_id").as("src"), col("embedding").as("es"), col("nrm").as("ns")),
-        "src")
-      .join(n.select(
-        col("vec_id").as("dst"), col("embedding").as("ed"), col("nrm").as("nd")),
-        "dst")
-      .select(col("src"), col("dst"), cos.as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
