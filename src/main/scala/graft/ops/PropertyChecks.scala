@@ -557,35 +557,8 @@ object PropertyChecks {
       }
     },
 
-    "q_ts_downsample_lttb" -> at("strong")((s, d) => {
-      val res = run(s, d, "q_ts_downsample_lttb")
-      val series = U.events(s, d).select(
-        col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("value"))
-      // every selected point is a real series point
-      val phantom = res.join(
-        series.select(col("user_id"), col("ts_us"), col("value")),
-        Seq("user_id", "ts_us", "value"), "left_anti").count()
-      // per-series structure: count = min(n, 12); first/last kept;
-      // sel_rank dense from 0
-      import org.apache.spark.sql.expressions.Window
-      val stats = series.groupBy(col("user_id")).agg(
-        count(lit(1)).as("n"),
-        min(col("ts_us")).as("first_ts"), max(col("ts_us")).as("last_ts"))
-      val perSeries = res.groupBy(col("user_id")).agg(
-        count(lit(1)).as("n_sel"),
-        min(col("sel_rank")).as("min_rk"), max(col("sel_rank")).as("max_rk"),
-        min(col("ts_us")).as("sel_first"), max(col("ts_us")).as("sel_last"))
-      val bad = perSeries.join(stats, "user_id")
-        .filter(col("n_sel") =!= least(col("n"), lit(12L)) ||
-          col("min_rk") =!= 0 || col("max_rk") =!= col("n_sel") - 1 ||
-          col("sel_first") =!= col("first_ts") || col("sel_last") =!= col("last_ts"))
-        .count()
-      if (phantom > 0) Left(s"$phantom selected points not in the source series")
-      else if (bad > 0) Left(s"$bad series violate count/first/last/rank structure")
-      else Right("all selections are real points; first/last kept; " +
-        "m=12 bucket structure holds per series (strong; IEEE replay in TsOpsSpec)")
-    })
+    // q_ts_downsample_lttb graduated to an unrolled-argmax DuckDB oracle
+    // in r12 (TsOps.LttbOracleSql) — its IEEE replay remains in TsOpsSpec.
   )
 
   /** Per-doc (n = FULL distinct-shingle count, cold = shingle array with

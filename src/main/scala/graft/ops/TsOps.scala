@@ -261,6 +261,79 @@ object TsOps {
        |FROM r WHERE rn = n ORDER BY user_id""".stripMargin
   }
 
+  /** Oracle for `q_ts_downsample_lttb` (r12): the LTTB selection recurrence
+    * UNROLLED as m-2 = 10 chained CTEs — the PageRankOracleSql discipline
+    * (the bucket count is a constant of the operator, and each step needs
+    * a per-series argmax, which SQL forbids inside a recursive CTE). Every
+    * arithmetic step repeats the engine kernel's pinned IEEE tree: bucket
+    * averages as LEFT-TO-RIGHT list_reduce sums over (idx-ordered) lists
+    * divided by count (seeding with the first element equals the kernel's
+    * 0.0+x₀), the one fixed cross-product area form on double-cast
+    * timestamps, and the strict-> keep-earliest tie as
+    * `ORDER BY area DESC, idx ASC`. Bucket boundaries are the kernel's
+    * truncating longs (`(k+1)·ni/buckets` = DuckDB `//` on positives).
+    * Series with n <= m pass through unchanged, rank = rn-1. Heavy CTEs
+    * are MATERIALIZED (interior/anch are referenced by all 10 steps — the
+    * NgramJacSqlCte inlining lesson). Bit-identical to the engine at
+    * sf0.01 and 1.5 s at sf1, measured.
+    */
+  private[ops] val LttbOracleSql: String = {
+    val buckets = 10 // m = 12 selections: first + 10 interior + last
+    val sels = (0 until buckets).map { k =>
+      val (anchor, ax, ay) =
+        if (k < buckets - 1)
+          (s"JOIN anch a ON a.user_id = i.user_id AND a.k = ${k + 1}", "a.ax", "a.ay")
+        else
+          ("JOIN lastp a ON a.user_id = i.user_id", "a.x", "a.y")
+      val prev = if (k == 0) "p0" else s"s${k - 1}"
+      val area = s"abs((p.px - $ax) * (i.y - p.py) - (p.px - i.x) * ($ay - p.py))"
+      s"""s$k AS MATERIALIZED (
+         |  SELECT user_id, ts_us, value, x AS px, y AS py FROM (
+         |    SELECT i.user_id, i.ts_us, i.value, i.x, i.y,
+         |      row_number() OVER (PARTITION BY i.user_id
+         |        ORDER BY $area DESC, i.idx ASC) AS pick
+         |    FROM interior i
+         |    JOIN $prev p ON p.user_id = i.user_id
+         |    $anchor
+         |    WHERE i.k = $k)
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val emits =
+      Seq("SELECT user_id, CAST(0 AS BIGINT) AS sel_rank, ts_us, value FROM p0") ++
+        (0 until buckets).map(k =>
+          s"SELECT user_id, CAST(${k + 1} AS BIGINT), ts_us, value FROM s$k") ++
+        Seq(
+          "SELECT user_id, CAST(11 AS BIGINT), ts_us, value FROM lastp",
+          "SELECT user_id, CAST(rn - 1 AS BIGINT), ts_us, value FROM d WHERE n <= 12")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |big AS MATERIALIZED (SELECT * FROM d WHERE n > 12),
+       |interior AS MATERIALIZED (
+       |  SELECT b.user_id, b.ts_us, b.value, b.rn - 2 AS idx,
+       |    CAST(b.ts_us AS DOUBLE) AS x, b.value AS y, r.k
+       |  FROM big b JOIN range($buckets) r(k)
+       |    ON b.rn - 2 >= (r.k * (b.n - 2)) // $buckets
+       |   AND b.rn - 2 < ((r.k + 1) * (b.n - 2)) // $buckets
+       |  WHERE b.rn >= 2 AND b.rn <= b.n - 1),
+       |anch AS MATERIALIZED (
+       |  SELECT user_id, k,
+       |    list_reduce(list(x ORDER BY idx), (a, b) -> a + b) / count(*) AS ax,
+       |    list_reduce(list(y ORDER BY idx), (a, b) -> a + b) / count(*) AS ay
+       |  FROM interior GROUP BY user_id, k),
+       |lastp AS MATERIALIZED (
+       |  SELECT user_id, ts_us, value, CAST(ts_us AS DOUBLE) AS x, value AS y
+       |  FROM big WHERE rn = n),
+       |p0 AS MATERIALIZED (
+       |  SELECT user_id, ts_us, value, CAST(ts_us AS DOUBLE) AS px, value AS py
+       |  FROM big WHERE rn = 1),
+       |$sels
+       |SELECT * FROM (${emits.mkString(" UNION ALL ")})
+       |ORDER BY user_id, sel_rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     // Tumbling 15-minute buckets per series: count / avg / min / max.
     Q(
@@ -1340,11 +1413,13 @@ object TsOps {
     // (selection k needs selection k-1) makes this a per-series streaming
     // pass, not a window: [[lttb]] extends the secondary-sort kernel with
     // one-bucket lookahead, so state is O(n/m) points — never the series.
-    // no_oracle: the selection recurrence is not SQL-expressible (the
-    // exact m4/min-max twin IS oracle'd: q_ts_downsample_minmax);
-    // TsOpsSpec replays the identical IEEE steps driver-side and asserts
-    // bit equality, plus the first/last/per-bucket structural invariants.
-    Q.noOracle("q_ts_downsample_lttb") { (s, d) => lttb(s, d, 12) },
+    // ORACLE'd since r12 via [[LttbOracleSql]]: the selection recurrence
+    // unrolls into the operator's constant m-2 = 10 chained argmax CTEs
+    // (SQL forbids per-series aggregation inside a recursive CTE, so
+    // unrolling — the PageRank trick — is the expressible form), each
+    // repeating the kernel's pinned IEEE area/average tree. TsOpsSpec
+    // keeps the driver-side IEEE replay and the structural invariants.
+    Q("q_ts_downsample_lttb", LttbOracleSql) { (s, d) => lttb(s, d, 12) },
 
     // Min-max downsampling for visualization (the M4 aggregation of
     // Jugel et al., VLDB 2014, minus the first/last columns OHLC already

@@ -366,7 +366,7 @@ object Registry {
     "q_embed_pq" ->
       "per-subspace L2 Lloyd training AND encoding replayed bit-exact driver-side — PropertyChecks in-run bit replay (r11) + DedupSimSpec 'PQ codebook training and encoding equal an exact driver-side simulation'",
     "q_sim_ann_ivfpq" ->
-      "every returned cosine bit-identical to the brute-force ranking (exact re-rank) + planted recall@10 — DedupSimSpec 'ANN IVF-PQ'",
-    "q_ts_downsample_lttb" ->
-      "bit-exact driver-side replay of the bucketed triangle selections (pinned IEEE sums/areas) + first/last/rank structure — TsOpsSpec 'LTTB selections equal an exact driver-side replay'")
+      "every returned cosine bit-identical to the brute-force ranking (exact re-rank) + planted recall@10 — DedupSimSpec 'ANN IVF-PQ'")
+    // q_ts_downsample_lttb graduated to an unrolled-argmax DuckDB oracle in
+    // r12 (TsOps.LttbOracleSql)
 }
