@@ -31,8 +31,15 @@ object RunOne {
       // no-oracle keys live in `checks`; the oracle'd pair-graph family has
       // guard-scale verdicts in `scaleChecks` (the DuckDB oracle cannot
       // follow the MinHash edge path past the candidate gate)
-      val check = ops.PropertyChecks.checks
-        .getOrElse(key, ops.PropertyChecks.scaleChecks(key))
+      val check = ops.PropertyChecks.checks.get(key)
+        .orElse(ops.PropertyChecks.scaleChecks.get(key))
+        .getOrElse {
+          val have = (ops.PropertyChecks.checks.keySet ++
+            ops.PropertyChecks.scaleChecks.keySet).toSeq.sorted
+          sys.error(s"no --check verdict for '$key' (its correctness gate " +
+            s"is the DuckDB oracle — run without --check). Keys with " +
+            s"verdicts: ${have.mkString(", ")}")
+        }
       val (depth, verdict) = check(spark, sfDir)
       println(s"== $key [$depth] ==")
       verdict match {

@@ -561,36 +561,37 @@ object PropertyChecks {
     // in r12 (TsOps.LttbOracleSql) — its IEEE replay remains in TsOpsSpec.
   )
 
-  /** Per-doc (n = FULL distinct-shingle count, cold = shingle array with
-    * df > MaxShingleDf dropped) recomputed INDEPENDENTLY in string space —
-    * the builders work in xxhash64-digest space, so this recompute cannot
-    * inherit a digest-side bug or collision. One scan + one df aggregate.
+  /** Per-doc (doc_id, FULL distinct-shingle count n, full shingle array)
+    * recomputed INDEPENDENTLY in string space — the builders work in
+    * xxhash64-digest space, so this recompute cannot inherit a digest-side
+    * bug or collision. Full sets, not df-capped ones (r13; VERDICT r12):
+    * the near-dup predicate is jaccard over FULL shingle sets at any
+    * corpus size, and a cap-consistent checker was exactly how the r12
+    * recall collapse stayed invisible. Map-side only.
     */
-  private def coldStringSets(s: SparkSession, d: String): DataFrame = {
-    val ex = U.shingled(s, d).select(
+  private def fullStringSets(s: SparkSession, d: String): DataFrame =
+    U.shingled(s, d).select(
       col("doc_id"),
       size(col("shingles")).cast("long").as("n"),
-      explode(col("shingles")).as("t"))
-    val dfT = ex.groupBy(col("t")).agg(count(lit(1)).as("df"))
-    ex.join(dfT.filter(col("df") <= DedupOps.MaxShingleDf), Seq("t"))
-      .groupBy(col("doc_id"))
-      .agg(first(col("n")).as("n"), collect_list(col("t")).as("cold"))
-  }
+      col("shingles").as("sset"))
 
   /** Edge-genuineness gate for the pair-graph family: every (a, b[,
     * jaccard]) edge the graph keys consumed must have exact Jaccard >= 0.8
-    * under the family's formula (cold-set intersection, full counts,
+    * under the family's formula (FULL-set intersection, full counts,
     * round 4), recomputed in string space. Linear in the edge set — runs
     * at every scale, including corpora where the exact index is
     * guard-refused and the edges came from MinHash banding.
     * Returns Left(problem) or Right(edge count).
+    *
+    * Precision-only by construction — a missing edge is invisible here,
+    * which is why every consumer also runs [[supersetWitness]] (recall).
     */
   private def genuineEdges(
       s: SparkSession, d: String, edges: DataFrame): Either[String, Long] = {
-    val sets = coldStringSets(s, d)
+    val sets = fullStringSets(s, d)
     val checked = edges
-      .join(sets.select(col("doc_id").as("a"), col("n").as("na"), col("cold").as("ca")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("n").as("nb"), col("cold").as("cb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("n").as("na"), col("sset").as("ca")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("n").as("nb"), col("sset").as("cb")), "b")
       .withColumn("inter",
         size(array_intersect(col("ca"), col("cb"))).cast("long"))
       .withColumn("exact_j",
@@ -601,10 +602,74 @@ object PropertyChecks {
       (col("jaccard").isNotNull && abs(col("jaccard") - col("exact_j")) > 1e-9))
       .count()
     if (nChecked != nE)
-      Left(s"${nE - nChecked}/$nE edges reference doc_ids with no cold shingles")
-    else if (bad > 0) Left(s"$bad/$nE edges not genuine jaccard>=0.8 pairs")
+      Left(s"${nE - nChecked}/$nE edges reference doc_ids with no shingles")
+    else if (bad > 0) Left(s"$bad/$nE edges not genuine full-set jaccard>=0.8 pairs")
     else Right(nE)
   }
+
+  /** Locate a contained subcorpus of `d` for the recall witness:
+    * `spark.graft.recall.subcorpus` names it explicitly; otherwise derive
+    * from the ScaleGen naming convention (…sf100 → …sf10 → …sf1 — replica
+    * content is factor-independent, so each smaller factor's documents are
+    * an identical-id, identical-text subset of the larger's). None at
+    * driver scales, where the DuckDB oracle already pins the full pair
+    * set and a witness would be redundant.
+    */
+  private[graft] val RecallSubcorpusConf = "spark.graft.recall.subcorpus"
+  private def subcorpusDir(s: SparkSession, d: String): Option[String] = {
+    val conf = s.conf.get(RecallSubcorpusConf, "")
+    val cand =
+      if (conf.nonEmpty) Some(conf)
+      else if (d.contains("sf100")) Some(d.replace("sf100", "sf10"))
+      else if (d.contains("sf10")) Some(d.replace("sf10", "sf1"))
+      else None
+    cand.filter(p =>
+      p != d && new java.io.File(s"$p/documents.parquet").exists())
+  }
+
+  /** Subcorpus-superset RECALL witness (r13; VERDICT r12 item 2): the
+    * probe-scale pair set restricted to a contained subcorpus's doc ids
+    * must cover >= 98% of the subcorpus's own pair set. Valid because the
+    * contained documents are bit-identical at both scales and the pair
+    * predicate is full-set jaccard/containment — corpus growth may only
+    * cost banding recall (designed >= 98.5% at the 0.8 cut), never
+    * redefine the predicate. This is the check that was structurally
+    * impossible to fail under r12's precision-only verdicts: the df-capped
+    * verify tail measured ~12% coverage here (judge repro, 40/328), while
+    * every emitted edge still verified "genuine" under its own formula.
+    */
+  private def supersetWitness(
+      s: SparkSession, d: String,
+      pairsOf: (SparkSession, String) => DataFrame): Either[String, String] =
+    subcorpusDir(s, d) match {
+      case None =>
+        Right("no contained subcorpus (driver scale — pair set oracle-pinned)")
+      case Some(sub) =>
+        val subIds = U.documents(s, sub).select(col("doc_id"))
+        val subPairs = pairsOf(s, sub).select(col("a"), col("b"))
+        val restricted = pairsOf(s, d).select(col("a"), col("b"))
+          .join(subIds.toDF("a"), Seq("a"), "left_semi")
+          .join(subIds.toDF("b"), Seq("b"), "left_semi")
+        val nSub = subPairs.count()
+        if (nSub == 0) Right(s"subcorpus $sub has no pairs (witness vacuous)")
+        else {
+          val covered =
+            subPairs.join(restricted, Seq("a", "b"), "left_semi").count()
+          val cov = covered.toDouble / nSub
+          if (covered * 100 >= nSub * 98)
+            Right(f"subcorpus-superset recall $covered/$nSub ($cov%.4f) vs $sub")
+          else Left(f"subcorpus-superset recall $covered/$nSub ($cov%.4f) < 0.98 " +
+            s"vs $sub: pairs present in the contained subcorpus are missing at scale")
+        }
+    }
+
+  /** genuineEdges (precision) + supersetWitness (recall) in one verdict —
+    * what every pair-graph-family scale check runs. */
+  private def edgesVerified(s: SparkSession, d: String): Either[String, String] =
+    genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+      supersetWitness(s, d, (ss, dd) => DedupOps.pairGraphEdges(ss, dd))
+        .map(w => s"all $nE edge jaccards recomputed exact >= 0.8 on full sets; $w")
+    }
 
   /** Driver-side edge collection for the graph replays, inside the same
     * budget discipline as the vector replays: the near-dup pair graph is
@@ -631,9 +696,9 @@ object PropertyChecks {
     */
   val scaleChecks: Map[String, Check] = Map(
     "q_dedup_clusters" -> at("strong")((s, d) => {
-      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+      edgesVerified(s, d).flatMap { ev =>
         collectEdges(s, d) match {
-          case None => Left(s"$nE edges exceed the driver replay budget")
+          case None => Left("edges exceed the driver replay budget")
           case Some(pairs) =>
             val parent = scala.collection.mutable.Map.empty[Long, Long]
             def find(x: Long): Long = {
@@ -649,7 +714,7 @@ object PropertyChecks {
             val got = run(s, d, "q_dedup_clusters").collect()
               .map(r => r.getLong(0) -> r.getLong(1)).toMap
             if (got == want)
-              Right(s"all $nE edge jaccards recomputed exact >= 0.8; " +
+              Right(s"$ev; " +
                 s"components equal driver union-find over ${want.size} nodes (strong)")
             else Left(s"${(got.toSet diff want.toSet).size + (want.toSet diff got.toSet).size} " +
               "node labels differ from driver union-find")
@@ -658,9 +723,9 @@ object PropertyChecks {
     }),
 
     "q_graph_degrees" -> at("strong")((s, d) => {
-      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+      edgesVerified(s, d).flatMap { ev =>
         collectEdges(s, d) match {
-          case None => Left(s"$nE edges exceed the driver replay budget")
+          case None => Left("edges exceed the driver replay budget")
           case Some(pairs) =>
             val deg = pairs.flatMap(p => Seq(p._1, p._2))
               .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
@@ -673,7 +738,7 @@ object PropertyChecks {
             val got = run(s, d, "q_graph_degrees").collect()
               .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
             if (got == want)
-              Right(s"all $nE edge jaccards recomputed exact >= 0.8; " +
+              Right(s"$ev; " +
                 s"degrees + ranks equal driver recompute over ${want.size} nodes (strong)")
             else Left("degree/rank rows differ from driver recompute")
         }
@@ -681,9 +746,9 @@ object PropertyChecks {
     }),
 
     "q_graph_triangles" -> at("strong")((s, d) => {
-      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+      edgesVerified(s, d).flatMap { ev =>
         collectEdges(s, d) match {
-          case None => Left(s"$nE edges exceed the driver replay budget")
+          case None => Left("edges exceed the driver replay budget")
           case Some(pairs) =>
             val es = pairs.toSet
             val fwd = pairs.groupBy(_._1)
@@ -695,7 +760,7 @@ object PropertyChecks {
             val got = run(s, d, "q_graph_triangles").collect()(0)
             if (got.getLong(0) == nodes && got.getLong(1) == es.size.toLong &&
               got.getLong(2) == tri)
-              Right(s"all $nE edge jaccards recomputed exact >= 0.8; node/edge/" +
+              Right(s"$ev; node/edge/" +
                 s"triangle counts ($nodes/${es.size}/$tri) equal driver recompute (strong)")
             else Left(s"counts (${got.getLong(0)},${got.getLong(1)},${got.getLong(2)}) " +
               s"!= driver recompute ($nodes,${es.size},$tri)")
@@ -704,9 +769,9 @@ object PropertyChecks {
     }),
 
     "q_graph_pagerank" -> at("strong")((s, d) => {
-      genuineEdges(s, d, DedupOps.pairGraphEdges(s, d)).flatMap { nE =>
+      edgesVerified(s, d).flatMap { ev =>
         collectEdges(s, d) match {
-          case None => Left(s"$nE edges exceed the driver replay budget")
+          case None => Left("edges exceed the driver replay budget")
           case Some(pairs) =>
             val S = 1000000000L
             val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
@@ -723,10 +788,55 @@ object PropertyChecks {
             val got = run(s, d, "q_graph_pagerank").collect()
               .map(x => x.getLong(0) -> x.getLong(1)).toMap
             if (got == r)
-              Right(s"all $nE edge jaccards recomputed exact >= 0.8; 10 integer " +
+              Right(s"$ev; 10 integer " +
                 s"iterations replayed bit-exact driver-side over $n nodes (strong)")
             else Left("integer PageRank diverged from the driver replay")
         }
+      }
+    }),
+
+    // r13 (VERDICT r12 item 5): past the candidate-volume gate the KEY
+    // itself serves the MinHash edge path, so it needs the same strong
+    // verdict as the graph family — every returned pair's jaccard
+    // recomputed on full string sets, plus the subcorpus recall witness.
+    "q_dedup_ngram_jaccard" -> at("strong")((s, d) => {
+      val pairs = run(s, d, "q_dedup_ngram_jaccard")
+      genuineEdges(s, d, pairs).flatMap { nE =>
+        supersetWitness(s, d, (ss, dd) => DedupOps.pairGraphEdges(ss, dd))
+          .map(w => s"all $nE returned pairs' jaccards recomputed exact " +
+            s">= 0.8 on full sets; $w (strong)")
+      }
+    }),
+
+    // r13 (VERDICT r12 item 4): containment re-verified at scale after the
+    // full-array verify fix — every returned pair's containment recomputed
+    // on full string sets, plus the recall witness on the containment cut.
+    "q_dedup_containment" -> at("strong")((s, d) => {
+      val sets = fullStringSets(s, d)
+      val got = run(s, d, "q_dedup_containment")
+      val checked = got
+        .join(sets.select(col("doc_id").as("a"), col("n").as("wna"), col("sset").as("ca")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("n").as("wnb"), col("sset").as("cb")), "b")
+        .withColumn("winter",
+          size(array_intersect(col("ca"), col("cb"))).cast("long"))
+      val nP = got.count()
+      val nChecked = checked.count()
+      val bad = checked.filter(
+        col("winter") =!= col("inter") || col("wna") =!= col("na") ||
+          col("wnb") =!= col("nb") ||
+          col("inter") * 10 < least(col("na"), col("nb")) * 9 ||
+          col("cont_ppm") =!= expr("inter * 1000000 div least(na, nb)"))
+        .count()
+      if (nChecked != nP)
+        Left(s"${nP - nChecked}/$nP pairs reference doc_ids with no shingles")
+      else if (bad > 0)
+        Left(s"$bad/$nP pairs fail the full-set containment recompute")
+      else {
+        val contPairs = (ss: SparkSession, dd: String) =>
+          run(ss, dd, "q_dedup_containment")
+        supersetWitness(s, d, contPairs).map(w =>
+          s"all $nP containment pairs recomputed exact on full string sets " +
+            s"(inter/na/nb/cont_ppm bit-equal, cut holds); $w (strong)")
       }
     })
   )

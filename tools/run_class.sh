@@ -15,7 +15,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_EXTRA_JAVA_OPTS: extra -D flags (SparkConf picks up spark.* system
+# properties), e.g. the sf100 spill A/B's
+#   SPARK_EXTRA_JAVA_OPTS=-Dspark.sql.adaptive.coalescePartitions.initialPartitionNum=512
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Xmx"$MEM" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

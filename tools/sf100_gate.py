@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Durable sf100 verification gate (r13; VERDICT r12 item 7): run the
+strong in-run verdicts that are valid on the sf100 probe corpus
+(documents + embeddings only) and write them as a committed artifact, so
+the third measured decade's verification is reproducible instead of a
+one-off session.
+
+Each key runs `graft.RunOne <key> <sf100Dir> --check` in a FRESH 64g JVM
+(the spill-heavy checks need the heap, and a shared JVM's leftover
+checkpoint blocks contaminate later keys — the Bench sweep lesson).
+SPARK_GRAFT_QTIME_PASSES=1 is exported so spill frees between passes.
+
+Usage: python3 tools/sf100_gate.py [sf100Dir] [jsonOut]
+       (defaults: testdata_sf100, CORRECTNESS_sf100-subset.json)
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+# The checks that are meaningful at sf100: candidate-path precision
+# (cosines/jaccards recomputed exact on full sets) plus, for the pair
+# graph, the subcorpus-superset RECALL witness vs testdata_sf10 (the
+# graph-family keys share q_dedup_ngram_jaccard's edge set and witness;
+# running one avoids re-deriving the same sf10 subgraph four times).
+KEYS = [
+    "q_dedup_near_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embed_lsh",
+    "q_sim_ann_lsh",
+    "q_sim_knn_graph",
+    "q_dedup_semantic",
+]
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf100"
+    out = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_sf100-subset.json"
+    env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1")
+    results, n_pass = {}, 0
+    for key in KEYS:
+        t0 = time.time()
+        proc = subprocess.run(
+            [os.path.join(repo, "tools", "run_class.sh"), "-mem", "64g",
+             "graft.RunOne", key, sf_dir, "--check"],
+            capture_output=True, text=True, env=env, cwd=repo)
+        wall = round(time.time() - t0, 1)
+        verdict = ""
+        for line in proc.stdout.splitlines():
+            if line.startswith(("PASS:", "FAIL:")):
+                verdict = line
+        ok = proc.returncode == 0 and verdict.startswith("PASS:")
+        n_pass += ok
+        results[key] = {
+            "ok": ok,
+            "depth": "strong",
+            "wall_sec": wall,
+            "verdict": verdict or (proc.stdout + proc.stderr)[-400:],
+        }
+        print(f"[sf100-gate] {key}: {'PASS' if ok else 'FAIL'} ({wall}s)")
+    artifact = {
+        "metric": "sf100 strong-verdict subset (third measured decade)",
+        "corpus": f"{sf_dir}: documents + embeddings only "
+                  "(5M docs / 2M vectors; tools/regen_sf100.sh)",
+        "method": "graft.RunOne --check, fresh 64g JVM per key, "
+                  "SPARK_GRAFT_QTIME_PASSES=1",
+        "pass": n_pass,
+        "total": len(KEYS),
+        "results": results,
+    }
+    with open(os.path.join(repo, out), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[sf100-gate] {n_pass}/{len(KEYS)} -> {out}")
+    return 0 if n_pass == len(KEYS) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
