@@ -19,9 +19,12 @@ object RunOne {
     val key = args(0)
     val sfDir = args(1)
     val explain = args.contains("--explain")
+    // SPARK_GRAFT_CPUS (default 8 — the fast inner loop): the sf100 gate
+    // sets 32, where 8 threads would stretch the heavy checks by ~4x
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

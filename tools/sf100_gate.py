@@ -38,7 +38,10 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf100"
     out = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_sf100-subset.json"
-    env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1")
+    env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
+               SPARK_GRAFT_CPUS="32",
+               SPARK_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.coalescePartitions"
+                                     ".initialPartitionNum=256")
     results, n_pass = {}, 0
     for key in KEYS:
         t0 = time.time()
@@ -59,7 +62,8 @@ def main() -> int:
             "wall_sec": wall,
             "verdict": verdict or (proc.stdout + proc.stderr)[-400:],
         }
-        print(f"[sf100-gate] {key}: {'PASS' if ok else 'FAIL'} ({wall}s)")
+        print(f"[sf100-gate] {key}: {'PASS' if ok else 'FAIL'} ({wall}s)",
+              flush=True)
     artifact = {
         "metric": "sf100 strong-verdict subset (third measured decade)",
         "corpus": f"{sf_dir}: documents + embeddings only "
