@@ -38,10 +38,15 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf100"
     out = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_sf100-subset.json"
+    # Append the pinned flag to any caller-exported SPARK_EXTRA_JAVA_OPTS
+    # instead of replacing it (ADVICE r13: overwriting discarded exactly
+    # the A/B flags run_class.sh documents this variable for).
+    pinned = ("-Dspark.sql.adaptive.coalescePartitions"
+              ".initialPartitionNum=256")
+    extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + pinned).strip()
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
                SPARK_GRAFT_CPUS="32",
-               SPARK_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.coalescePartitions"
-                                     ".initialPartitionNum=256")
+               SPARK_EXTRA_JAVA_OPTS=extra)
     results, n_pass = {}, 0
     for key in KEYS:
         t0 = time.time()
@@ -76,6 +81,7 @@ def main() -> int:
     }
     with open(os.path.join(repo, out), "w") as f:
         json.dump(artifact, f, indent=1)
+        f.write("\n")
     print(f"[sf100-gate] {n_pass}/{len(KEYS)} -> {out}")
     return 0 if n_pass == len(KEYS) else 1
 
