@@ -616,15 +616,31 @@ object PropertyChecks {
     * set and a witness would be redundant.
     */
   private[graft] val RecallSubcorpusConf = "spark.graft.recall.subcorpus"
-  private def subcorpusDir(s: SparkSession, d: String): Option[String] = {
+
+  /** Left = a witness corpus was EXPECTED (conf set, or the corpus path
+    * matches the sfN naming convention) but is absent/misconfigured —
+    * fail loudly instead of letting a renamed directory silently
+    * downgrade the verdict to precision-only (ADVICE r13). Right(None) =
+    * genuinely no subcorpus convention applies (driver scales). */
+  private def subcorpusDir(
+      s: SparkSession, d: String): Either[String, Option[String]] = {
     val conf = s.conf.get(RecallSubcorpusConf, "")
     val cand =
       if (conf.nonEmpty) Some(conf)
       else if (d.contains("sf100")) Some(d.replace("sf100", "sf10"))
       else if (d.contains("sf10")) Some(d.replace("sf10", "sf1"))
       else None
-    cand.filter(p =>
-      p != d && new java.io.File(s"$p/documents.parquet").exists())
+    cand match {
+      case None => Right(None)
+      case Some(p) if p == d =>
+        Left(s"recall witness misconfigured: subcorpus $p equals the " +
+          s"corpus under test (a self-witness is vacuously 100%)")
+      case Some(p) if !new java.io.File(s"$p/documents.parquet").exists() =>
+        Left(s"recall witness corpus $p missing documents.parquet — " +
+          s"refusing a vacuous precision-only pass at probe scale " +
+          s"(restore the corpus or point $RecallSubcorpusConf elsewhere)")
+      case Some(p) => Right(Some(p))
+    }
   }
 
   /** Subcorpus-superset RECALL witness (r13; VERDICT r12 item 2): the
@@ -642,9 +658,10 @@ object PropertyChecks {
       s: SparkSession, d: String,
       pairsOf: (SparkSession, String) => DataFrame): Either[String, String] =
     subcorpusDir(s, d) match {
-      case None =>
+      case Left(err) => Left(err)
+      case Right(None) =>
         Right("no contained subcorpus (driver scale — pair set oracle-pinned)")
-      case Some(sub) =>
+      case Right(Some(sub)) =>
         val subIds = U.documents(s, sub).select(col("doc_id"))
         val subPairs = pairsOf(s, sub).select(col("a"), col("b"))
         val restricted = pairsOf(s, d).select(col("a"), col("b"))
@@ -834,9 +851,18 @@ object PropertyChecks {
       else {
         val contPairs = (ss: SparkSession, dd: String) =>
           run(ss, dd, "q_dedup_containment")
+        // name the candidate regime (r14): whether the asymmetric
+        // small-side prefix probe was admitted, or recall rode symmetric
+        // banding only — the honest scope of the witness below
+        val limit = s.conf.get(DedupOps.JaccardMaxCandConf,
+          DedupOps.JaccardMaxCandDefault.toString).toLong
+        val cv = DedupOps.containmentProbeVolume(s, d)
+        val regime =
+          if (cv <= limit) s"asymmetric prefix probe active (volume $cv <= budget $limit)"
+          else s"asymmetric prefix probe REFUSED (volume $cv > budget $limit) — containment recall banding-only"
         supersetWitness(s, d, contPairs).map(w =>
           s"all $nP containment pairs recomputed exact on full string sets " +
-            s"(inter/na/nb/cont_ppm bit-equal, cut holds); $w (strong)")
+            s"(inter/na/nb/cont_ppm bit-equal, cut holds); $regime; $w (strong)")
       }
     })
   )

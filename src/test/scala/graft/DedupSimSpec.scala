@@ -77,6 +77,67 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("containment recall past the candidate gate: planted quote pairs survive the scale path") {
+    // r14 regression pin (VERDICT r13 item 1): past the exact index's
+    // volume gate the scale path used to source candidates from SYMMETRIC
+    // MinHash banding only — a short doc quoted inside a much longer one
+    // has J ~ n_small/n_large ~ 0.07 here, so banding recall per pair is
+    // ~1-(1-J^4)^8 ~ 2e-4: effectively zero, while its CONTAINMENT is
+    // exactly 1.0. The asymmetric small-side prefix probe (each doc's
+    // floor(0.1*n)+1 globally-rarest cold digests probe the full cold
+    // index — lossless for the 0.9*min cut by the same k > 0.1n prefix
+    // argument the exact index documents) must recover every planted
+    // quote through the identical full-set verify tail.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1414)
+    def words(k: Int) = Seq.fill(k)("w" + rnd.nextInt(500000))
+    val noise = (0 until 2000).map(i => (i.toLong, words(40).mkString(" ")))
+    val longs = (0 until 25).map(i => (10000L + i, words(400)))
+    val quotes = longs.zipWithIndex.map { case ((lid, lw), i) =>
+      val start = 37 + i * 9
+      (lid, 20000L + i, lw.slice(start, start + 30).mkString(" "))
+    }
+    val docs = (noise ++ longs.map { case (id, w) => (id, w.mkString(" ")) } ++
+      quotes.map(q => (q._2, q._3)))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_quote").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = quotes.map { case (lid, qid, _) => (lid, qid) }.toSet
+    def contPairs(): Map[(Long, Long), Long] =
+      SparkEntry.queries("q_dedup_containment")(spark, dir)
+        .collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("cont_ppm"))
+        .toMap
+    // RED baseline, pinned live: the pre-r14 scale path (banding-only
+    // candidates, probe forced off) misses essentially all quote pairs —
+    // if this half ever starts passing, banding got a containment source
+    // and the probe's witness would be measuring nothing.
+    spark.conf.set("spark.graft.pairgraph.source", "minhash")
+    spark.conf.set("spark.graft.containment.probe", "off")
+    try {
+      val missed = expected -- contPairs().keySet
+      assert(missed.size >= 20,
+        s"banding-only recalled ${25 - missed.size}/25 planted J~0.07 quote " +
+          "pairs — expected ~0; the RED baseline no longer measures the probe")
+    } finally spark.conf.unset("spark.graft.containment.probe")
+    spark.conf.unset("spark.graft.pairgraph.source")
+    // GREEN: both sources must now return exactly the planted quotes
+    for (src <- Seq("exact", "minhash")) {
+      spark.conf.set("spark.graft.pairgraph.source", src)
+      try {
+        val got = contPairs()
+        assert(expected.subsetOf(got.keySet),
+          s"$src: ${(expected -- got.keySet).size}/25 planted quote pairs missing " +
+            "(symmetric banding alone recalls ~0 low-jaccard containment pairs)")
+        assert(got.keySet === expected,
+          s"$src: unexpected extra pairs ${(got.keySet -- expected).take(3)}")
+        // a contiguous excerpt's shingles are a strict subset: cont = 1.0
+        got.values.foreach(ppm => assert(ppm === 1000000L))
+      } finally spark.conf.unset("spark.graft.pairgraph.source")
+    }
+  }
+
   test("minhash pairs are a superset check: every reported pair really has jaccard >= 0.7") {
     val pairs = SparkEntry.queries("q_dedup_near_minhash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.7))
