@@ -70,7 +70,7 @@ object DedupOps {
     * "What's wrong" item 2). */
   private val MaxWindowDfFloor = 50L
   private val WindowDfCapPpm = 1000L // 0.1% of corpus docs
-  private def windowDfCap(ndocs: Long): Long =
+  private[ops] def windowDfCap(ndocs: Long): Long =
     math.max(MaxWindowDfFloor, ndocs * WindowDfCapPpm / 1000000L)
 
   /** Session-scoped memo backed by the session's OWN RuntimeConfig

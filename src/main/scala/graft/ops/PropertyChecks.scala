@@ -864,6 +864,55 @@ object PropertyChecks {
           s"all $nP containment pairs recomputed exact on full string sets " +
             s"(inter/na/nb/cont_ppm bit-equal, cut holds); $regime; $w (strong)")
       }
+    }),
+
+    // r14 (VERDICT r13 item 2): the one capped pair operator that had no
+    // recall witness — the window-df cap is part of this key's PREDICATE
+    // (mirrored in the oracle), but past driver scales nothing measured
+    // whether cap-vs-df co-scaling keeps the pair set stable as the
+    // corpus grows. Precision: every returned pair's n_shared recomputed
+    // in raw window-STRING space (no digests, a different aggregation
+    // shape), with the global census as the one full-corpus pass.
+    // Recall: the subcorpus-superset witness on the pair set.
+    "q_dedup_substring" -> at("strong")((s, d) => {
+      val W = 20
+      val got = run(s, d, "q_dedup_substring").localCheckpoint()
+      val nP = got.count()
+      val winsAll = U.documents(s, d)
+        .select(col("doc_id"), U.words.as("w"))
+        .filter(size(col("w")) >= W)
+        .select(
+          col("doc_id"),
+          explode(sequence(lit(1), size(col("w")) - (W - 1))).as("i"),
+          col("w"))
+        .select(
+          col("doc_id"),
+          array_join(slice(col("w"), col("i"), lit(W)), " ").as("win"))
+        .distinct()
+        .localCheckpoint()
+      val cap = DedupOps.windowDfCap(DedupOps.docCount(s, d))
+      val dfT = winsAll.groupBy(col("win")).agg(count(lit(1)).as("wdf"))
+      val checkedDocs = got.select(col("a").as("doc_id"))
+        .union(got.select(col("b").as("doc_id"))).distinct()
+      // only the returned pairs' docs carry window strings into the
+      // recount joins — the full corpus contributes the census alone
+      val w = winsAll
+        .join(checkedDocs, Seq("doc_id"), "left_semi")
+        .join(dfT.filter(col("wdf") <= cap), Seq("win"), "left_semi")
+      val recount = got.select(col("a"), col("b"))
+        .join(w.select(col("doc_id").as("a"), col("win")), Seq("a"))
+        .join(w.select(col("doc_id").as("b"), col("win")), Seq("b", "win"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("win")).as("n2"))
+      val bad = got.join(recount, Seq("a", "b"), "left")
+        .filter(col("n2").isNull || col("n2") =!= col("n_shared"))
+        .count()
+      if (bad > 0)
+        Left(s"$bad/$nP pairs fail the raw-window-string n_shared recompute")
+      else
+        supersetWitness(s, d, (ss, dd) => run(ss, dd, "q_dedup_substring"))
+          .map(wit => s"all $nP pairs' n_shared recomputed in raw " +
+            s"window-string space (df cap $cap mirrored); $wit (strong)")
     })
   )
 

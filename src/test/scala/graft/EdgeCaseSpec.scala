@@ -325,6 +325,42 @@ class EdgeCaseSpec extends SparkSpec {
       s"2-doc language must fill head+middle only, got $buckets")
   }
 
+  test("perplexity terciles: tie groups straddling a boundary split exactly as ntile does") {
+    // r14 pin for the histogram-rank tercile plan (VERDICT r13 item 6):
+    // the bounded-domain reconstruction must reproduce ntile's total
+    // order (score desc, doc_id asc) BIT-EXACTLY, including how a tied
+    // score group straddling a tercile boundary splits by doc_id. Seven
+    // identical docs (one tied group) + two distinct docs in one
+    // language: n = 9, bucket size 3, so the tied group necessarily
+    // straddles at least one boundary wherever its score lands.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl_tie").toString
+    val docs = (0 until 7).map(i => (i.toLong, "t", "src", "a b a b c d")) ++
+      Seq((7L, "t", "src", "a b a b a b"), (8L, "t", "src", "zz qq rr ss"))
+    docs.toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_text_perplexity")(spark, dir).collect()
+    assert(rows.length === 9)
+    val tied = rows.groupBy(_.getAs[Long]("mean_pmicro")).values.map(_.length).max
+    assert(tied >= 7, "fixture must produce a 7-doc tied score group")
+    // driver-side ntile replay: sort by (score desc, doc_id asc), slice
+    // by ntile(3) bucket sizes (first n%3 buckets carry the extra row)
+    val ordered = rows.sortBy(r =>
+      (-r.getAs[Long]("mean_pmicro"), r.getAs[Long]("doc_id")))
+    val n = ordered.length
+    val (base, rem) = (n / 3, n % 3)
+    val s1 = base + (if (rem >= 1) 1 else 0)
+    val s2 = base + (if (rem >= 2) 1 else 0)
+    val want = ordered.zipWithIndex.map { case (r, i) =>
+      r.getAs[Long]("doc_id") ->
+        (if (i < s1) "head" else if (i < s1 + s2) "middle" else "tail")
+    }.toMap
+    val got = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket")).toMap
+    assert(got === want, "tie split diverged from ntile's doc_id order")
+  }
+
   test("driftTvd degenerate shapes: one-sided type maxes out; empty frame is empty; single row is one-sided") {
     import spark.implicits._
     // type A exists ONLY in the first half: its second-half histogram is
