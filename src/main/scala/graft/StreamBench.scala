@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Measured facts for the streaming surface (r14; VERDICT r13 item 4):
+  * the 19 StreamChecks contracts prove the kernels CORRECT, but nothing
+  * measured rows/s, per-micro-batch wall, or state-size-vs-watermark —
+  * the claims SCALING.md's streaming section needs artifacts for.
+  *
+  * Method: the sf events table is staged once as JSON-lines files (the
+  * reference's HTTP ingest format, `rusty_timeseries/src/main.rs:327-331`,
+  * landed to a directory), then each kernel consumes the SAME staged
+  * landing dir through a real file-source streaming query:
+  *
+  *   - `ingest`        — [[streaming.Streams.ingestFiles]]: JSON → day-
+  *                       partitioned parquet, checkpointed (R1/R9).
+  *   - `fault_counts`  — watermarked tumbling-window agg, run at TWO
+  *                       watermark horizons to measure state rows vs
+  *                       horizon (the state-bound claim).
+  *   - `upsert`        — [[streaming.Streams.upsertSink]]: idempotent
+  *                       key-replace merges into the day-partitioned store.
+  *   - `count_mv`      — [[streaming.Streams.countMvSink]]: per-batch MV
+  *                       partials + the [[streaming.Streams.mvMixDrift]]
+  *                       read that consumes them.
+  *   - `minhash_dedup` — [[streaming.Streams.minhashDedupSink]] over the
+  *                       documents table (staged the same way): streaming
+  *                       near-dup ingest dedup, the heaviest kernel.
+  *
+  * `maxFilesPerTrigger` splits the staged files into several micro-batches
+  * so per-batch wall and cross-batch state/store growth are real, and
+  * `Trigger.AvailableNow` drains them in one run. Timings are end-to-end
+  * query walls (start → awaitTermination), so they include checkpointing
+  * and sink I/O — the production cost, not just the transform.
+  *
+  * Run: `runMain graft.StreamBench <sfDir> [outJson]` — one JSON line per
+  * run, committed as STREAMBENCH_<sf>.json; run at sf0.1 and sf1 for the
+  * decade comparison.
+  */
+object StreamBench {
+  private def jq(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft_sbench").toString
+    def dir(name: String): String = { val p = s"$work/$name"; p }
+
+    // ---- stage the landing dirs (not timed: this is the producer's side)
+    val telemetry = U.events(spark, sfDir).select(
+      col("event_type").as("sensor_name"),
+      col("ts").as("timestamp"),
+      col("value"),
+      lit(null).cast("byte").as("fc1_flag"),
+      col("user_id").cast("string").as("timeseries_id"))
+    val nEvents = telemetry.count()
+    telemetry.repartition(32).write.mode(SaveMode.Overwrite)
+      .json(dir("landing_events"))
+    val docs = U.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    docs.repartition(16).write.mode(SaveMode.Overwrite)
+      .json(dir("landing_docs"))
+
+    def fileStream(landing: String, schema: org.apache.spark.sql.types.StructType,
+        filesPerTrigger: Int): DataFrame =
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .json(landing)
+
+    /** Drain a started query, return (wall sec, batches, per-batch ms,
+      * final state rows if any). */
+    def drain(q: StreamingQuery): (Double, Seq[Long], Option[Long]) = {
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val perBatch = prog.map(p =>
+        p.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+      val stateRows = prog.lastOption
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+      (wall, perBatch, stateRows)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def record(name: String, rows: Long, wall: Double, perBatchMs: Seq[Long],
+        extra: String = ""): Unit = {
+      val rps = if (wall > 0) (rows / wall).toLong else 0L
+      results(name) =
+        f"""{"rows":$rows,"wall_sec":$wall%.2f,"rows_per_sec":$rps,""" +
+          s""""n_batches":${perBatchMs.size},""" +
+          s""""batch_ms":[${perBatchMs.mkString(",")}]$extra}"""
+      println(f"[streambench] $name: $rows rows in $wall%.2f s " +
+        f"($rps rows/s, ${perBatchMs.size} batches)")
+    }
+
+    // ---- 1. ingest: JSON landing -> day-partitioned parquet
+    locally {
+      val q = streaming.Streams
+        .ingestFiles(spark, dir("landing_events"), dir("ingest_out"),
+          dir("ingest_ckpt"), Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val landed = spark.read.parquet(dir("ingest_out")).count()
+      require(landed == nEvents, s"ingest landed $landed of $nEvents")
+      record("ingest", nEvents, wall, perBatch)
+    }
+
+    // ---- 2. fault_counts at two watermark horizons: state ~ horizon
+    for ((wm, tag) <- Seq(("10 minutes", "wm10m"), ("6 hours", "wm6h"))) {
+      val src = fileStream(
+        dir("landing_events"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .faultCounts(src, threshold = 0.9, windowLen = "5 minutes",
+          watermark = wm)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", dir(s"fc_ckpt_$tag"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, stateRows) = drain(q)
+      record(s"fault_counts_$tag", nEvents, wall, perBatch,
+        s""","watermark":${jq(wm)},"state_rows":${stateRows.getOrElse(-1L)}""")
+    }
+
+    // ---- 3. upsert: idempotent key-replace into the partitioned store
+    locally {
+      val src = fileStream(
+        dir("landing_events"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .upsertSink(src, dir("upsert_out"), dir("upsert_ckpt"),
+          Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val stored = spark.read.parquet(dir("upsert_out")).count()
+      record("upsert", nEvents, wall, perBatch,
+        s""","stored_rows":$stored""")
+    }
+
+    // ---- 4. count MV maintenance + the monitor read it serves
+    locally {
+      val src = fileStream(
+        dir("landing_events"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .countMvSink(src, dir("cmv_out"), dir("cmv_ckpt"),
+          Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val t0 = System.nanoTime()
+      val nDrift = streaming.Streams.mvMixDrift(spark, dir("cmv_out")).count()
+      val readSec = (System.nanoTime() - t0) / 1e9
+      record("count_mv", nEvents, wall, perBatch,
+        f""","mv_read_sec":$readSec%.2f,"drift_rows":$nDrift""")
+    }
+
+    // ---- 5. streaming near-dup dedup over documents
+    locally {
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "text", org.apache.spark.sql.types.StringType)))
+      val src = fileStream(dir("landing_docs"), docSchema, 4)
+      val q = streaming.Streams
+        .minhashDedupSink(src, dir("dd_store"), dir("dd_ckpt"),
+          Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val survivors =
+        streaming.Streams.dedupSurvivors(spark, dir("dd_store")).count()
+      val dropped =
+        streaming.Streams.dedupDecisions(spark, dir("dd_store")).count()
+      require(survivors + dropped == nDocs,
+        s"dedup store $survivors+$dropped != $nDocs")
+      record("minhash_dedup", nDocs, wall, perBatch,
+        s""","survivors":$survivors,"dropped":$dropped""")
+    }
+
+    val json =
+      s"""{"metric":"streaming surface throughput","sf":${jq(sfDir)},""" +
+        s""""events":$nEvents,"docs":$nDocs,"cpus":$cpus,""" +
+        s""""method":"file-source micro-batches (maxFilesPerTrigger) drained by Trigger.AvailableNow; walls include checkpoint + sink I/O",""" +
+        results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("", ",", "}")
+    println(json)
+    out.foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+    }
+    // the staged landing dirs and stores are scratch
+    scala.reflect.io.Path(new java.io.File(work)).deleteRecursively()
+    spark.stop()
+  }
+}
