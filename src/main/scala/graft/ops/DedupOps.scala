@@ -546,7 +546,7 @@ object DedupOps {
     * always well below the exact index's (its prefix is half as long and
     * keeps only the globally rarest digests), so there are corpora where
     * the exact index is refused but this probe is still admitted. */
-  private[ops] def containmentProbeVolume(s: SparkSession, d: String): Long =
+  private[graft] def containmentProbeVolume(s: SparkSession, d: String): Long =
     memo(s, "contvolume", d) {
       val (_, dfTbl, _, ranked) = prefixIndexFrames(s, d)
       probeVolume(containmentProbe(ranked), dfTbl).toString
