@@ -1,11 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
 
 /** Dev utility: time (or explain) a subset of queries without the full
   * Bench sweep. Usage: runMain graft.QTime <sfDir> <name>[,<name>...]
   * [--explain]. Warm pass then 2 timed passes per query, min reported.
+  *
+  * SPARK_GRAFT_QTIME_AGG=hash swaps the `.count()` consumer for an
+  * aggregate of xxhash64 over EVERY output column. count() lets
+  * ColumnPruning drop any computed column the count does not need — for
+  * the window family that deletes the Window operators and their sorts
+  * entirely, so a count-based "measurement" of q_win_* times the parquet
+  * scan (verified: the count plan at sf100 runs 100 M windowed rows in
+  * 0.8 s — scan speed). The hash consumer forces every column through the
+  * full plan while still returning only one row to the driver.
   */
 object QTime {
+  private[graft] def evalRows(df: DataFrame, forceHash: Boolean): Long =
+    if (forceHash) {
+      // bit_xor, not sum: ANSI mode (Spark 4 default) makes a long sum of
+      // hashes overflow-fatal; xor is closed over Long and still forces
+      // every column through the plan.
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
+        .head.getLong(0)
+    } else df.count()
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
@@ -27,14 +46,22 @@ object QTime {
     // q_sim_knn_graph at sf100).
     val passes = math.max(
       1, sys.env.getOrElse("SPARK_GRAFT_QTIME_PASSES", "2").trim.toInt)
+    val forceHash = sys.env.get("SPARK_GRAFT_QTIME_AGG").contains("hash")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      if (explain) fn(spark, sfDir).explain("formatted")
-      val r0 = fn(spark, sfDir).count() // warm
+      if (explain && forceHash) {
+        // explain what the hash consumer actually executes (count() and
+        // the hash agg prune/keep different subtrees)
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
+          .explain("formatted")
+      } else if (explain) fn(spark, sfDir).explain("formatted")
+      val r0 = evalRows(fn(spark, sfDir), forceHash) // warm
       val ts = (1 to passes).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        evalRows(fn(spark, sfDir), forceHash)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[qtime] $n rows=$r0 min=${ts.min}%.3f s (passes: ${ts.map(t => f"$t%.3f").mkString(", ")})")

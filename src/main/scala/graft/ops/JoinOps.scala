@@ -266,11 +266,21 @@ object JoinOps {
           count(lit(1)).as("n_lines"))
     },
 
-    // TPC-H Q18 shape (large-volume customers): the HAVING subquery becomes
-    // a semi join against a pre-aggregated key set — the aggregate runs
-    // once, its exchange is reused by the semi join, and only qualifying
-    // orders flow into the 3-table join. Top-k plans as
+    // TPC-H Q18 shape (large-volume customers). The textbook form (semi
+    // join orders against the HAVING keys, then re-join the FULL lineitem
+    // and re-aggregate) shuffles 600 M lineitem rows TWICE at sf100 and
+    // re-computes the per-order sum it already had — measured 17×/decade
+    // (BENCH_sf100_rel.json, pre-rewrite). But the qualifying per-order
+    // aggregate IS the query's sum_qty: each output group
+    // (c_custkey, o_orderkey, o_orderdate, o_totalprice) contains exactly
+    // one order's lineitem rows, so grouping after the join is equivalent
+    // to joining the grouped-and-filtered aggregate (orders and customer
+    // are PK sides). One lineitem-wide exchange total; the rare qualifying
+    // set (sum > 250) then broadcast-joins orders → customer, so neither
+    // 150 M-row orders nor customer is ever shuffled. Top-k plans as
     // TakeOrderedAndProject; prices emit as exactly-integral micro units.
+    // The oracle SQL stays the textbook form — equivalence of the two
+    // shapes is exactly what the hash compare certifies.
     Q(
       "q_tpch_q18",
       """WITH big AS (SELECT l_orderkey FROM lineitem
@@ -289,24 +299,16 @@ object JoinOps {
           .groupBy(col("l_orderkey"))
           .agg(sum(col("l_quantity").cast(U.Dec)).as("q"))
           .filter(col("q") > 250)
-          .select(col("l_orderkey").as("big_orderkey"))
         U.orders(s, d)
-          .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
           .join(U.customer(s, d), col("c_custkey") === col("o_custkey"))
-          .join(U.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .groupBy(
-            col("c_custkey"),
-            col("o_orderkey"),
-            col("o_orderdate"),
-            col("o_totalprice"))
-          .agg(sum(col("l_quantity").cast(U.Dec)).cast("long").as("sum_qty"))
           .select(
             col("c_custkey"),
             col("o_orderkey"),
             unix_micros(col("o_orderdate")).as("orderdate_us"),
             floor(col("o_totalprice") * 1000000 + 0.5).cast("long")
               .as("totalprice_micro"),
-            col("sum_qty"))
+            col("q").cast("long").as("sum_qty"))
           .orderBy(col("totalprice_micro").desc, col("o_orderkey"))
           .limit(100)
     },

@@ -10,8 +10,12 @@ Each key runs `graft.RunOne <key> <sf100Dir> --check` in a FRESH 64g JVM
 checkpoint blocks contaminate later keys — the Bench sweep lesson).
 SPARK_GRAFT_QTIME_PASSES=1 is exported so spill frees between passes.
 
-Usage: python3 tools/sf100_gate.py [sf100Dir] [jsonOut]
-       (defaults: testdata_sf100, CORRECTNESS_sf100-subset.json)
+Usage: python3 tools/sf100_gate.py [sf100Dir] [jsonOut] [keys]
+       (defaults: testdata_sf100, CORRECTNESS_sf100-subset.json, all KEYS;
+        a comma-separated 3rd arg re-runs just those keys and merges them
+        into an existing jsonOut — each key's check is an independent
+        fresh-JVM run, so a partial refresh of the keys whose code changed
+        is sound while the untouched keys' rows stand)
 """
 import json
 import os
@@ -38,6 +42,11 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf100"
     out = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_sf100-subset.json"
+    keys = sys.argv[3].split(",") if len(sys.argv) > 3 else KEYS
+    out_path = os.path.join(repo, out)
+    results = {}
+    if len(sys.argv) > 3 and os.path.exists(out_path):
+        results = json.load(open(out_path)).get("results", {})
     # Append the pinned flag to any caller-exported SPARK_EXTRA_JAVA_OPTS
     # instead of replacing it (ADVICE r13: overwriting discarded exactly
     # the A/B flags run_class.sh documents this variable for).
@@ -47,8 +56,7 @@ def main() -> int:
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
                SPARK_GRAFT_CPUS="32",
                SPARK_EXTRA_JAVA_OPTS=extra)
-    results, n_pass = {}, 0
-    for key in KEYS:
+    for key in keys:
         t0 = time.time()
         proc = subprocess.run(
             [os.path.join(repo, "tools", "run_class.sh"), "-mem", "64g",
@@ -60,7 +68,6 @@ def main() -> int:
             if line.startswith(("PASS:", "FAIL:")):
                 verdict = line
         ok = proc.returncode == 0 and verdict.startswith("PASS:")
-        n_pass += ok
         results[key] = {
             "ok": ok,
             "depth": "strong",
@@ -71,19 +78,21 @@ def main() -> int:
               flush=True)
     artifact = {
         "metric": "sf100 strong-verdict subset (third measured decade)",
-        "corpus": f"{sf_dir}: documents + embeddings only "
-                  "(5M docs / 2M vectors; tools/regen_sf100.sh)",
+        "corpus": f"{sf_dir}: ScaleGen factor-1000 documents + embeddings "
+                  "(5M docs / 2M vectors; tools/regen_sf100.sh — the "
+                  "checked keys read only these two tables)",
         "method": "graft.RunOne --check, fresh 64g JVM per key, "
                   "SPARK_GRAFT_QTIME_PASSES=1",
-        "pass": n_pass,
-        "total": len(KEYS),
+        "pass": sum(r["ok"] for r in results.values()),
+        "total": len(results),
         "results": results,
     }
-    with open(os.path.join(repo, out), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
-    print(f"[sf100-gate] {n_pass}/{len(KEYS)} -> {out}")
-    return 0 if n_pass == len(KEYS) else 1
+    n_pass = sum(r["ok"] for r in results.values())
+    print(f"[sf100-gate] {n_pass}/{len(results)} -> {out}")
+    return 0 if n_pass == len(results) else 1
 
 
 if __name__ == "__main__":
