@@ -270,7 +270,8 @@ object JoinOps {
     // join orders against the HAVING keys, then re-join the FULL lineitem
     // and re-aggregate) shuffles 600 M lineitem rows TWICE at sf100 and
     // re-computes the per-order sum it already had — measured 17×/decade
-    // (BENCH_sf100_rel.json, pre-rewrite). But the qualifying per-order
+    // (228 s at sf100 in the r14 probe session; the committed
+    // BENCH_sf100_rel.json rows are post-rewrite). But the qualifying per-order
     // aggregate IS the query's sum_qty: each output group
     // (c_custkey, o_orderkey, o_orderdate, o_totalprice) contains exactly
     // one order's lineitem rows, so grouping after the join is equivalent
