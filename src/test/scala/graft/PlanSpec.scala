@@ -625,4 +625,48 @@ class PlanSpec extends SparkSpec {
     assert(sorts.length <= 3, // 2 window sorts + (possibly) the final orderBy
       s"expected at most 3 sorts, got ${sorts.length}:\n$plan")
   }
+
+  test("q_tpch_q18: one wide exchange — the HAVING aggregate IS the output, the qualifying set broadcasts") {
+    // the r14 rewrite: the textbook semi-join + re-join + re-aggregate
+    // shape shuffled lineitem twice (17×/decade at sf100); the rewritten
+    // plan aggregates lineitem once and broadcast-joins the rare
+    // qualifying set, so exactly ONE shuffle exchange may touch
+    // lineitem-sized data and no sort-merge join may appear
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executed(q("q_tpch_q18"))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length === 1,
+      s"expected exactly the lineitem aggregation exchange, got ${exchanges.length}:\n$plan")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"q18 must not sort-merge: the qualifying set is rare and broadcasts\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 2,
+      "expected orders⋈qualifying and ⋈customer as broadcast joins")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-100 must plan as TakeOrderedAndProject, not a global sort")
+  }
+
+  test("QTime forced-hash consumer: counts rows like count(), but keeps the Window operators count() prunes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = q("q_win_rank")
+    assert(QTime.evalRows(df, forceHash = true) === df.count(),
+      "hash consumer must return the plain row count")
+    assert(QTime.evalRows(spark.emptyDataFrame.selectExpr("1 as x").limit(0),
+      forceHash = true) === 0L, "empty input must count 0, not fail on null hash agg")
+    // the honesty property itself: under count() the optimizer deletes the
+    // window; under the hash consumer it cannot (SCALING.md consumer caveat)
+    def consumedPlan(force: Boolean): SparkPlan = withPlanShapeConf() {
+      import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+      val d = q("q_win_rank")
+      val consumer =
+        if (force)
+          d.select(xxhash64(struct(d.columns.map(col): _*)).as("h"))
+            .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
+        else d.groupBy().agg(count(lit(1)))
+      consumer.queryExecution.executedPlan
+    }
+    assert(consumedPlan(force = true).collect { case w: WindowExec => w }.nonEmpty,
+      "hash consumer lost the Window operator — the measurement is scan-bound again")
+    assert(consumedPlan(force = false).collect { case w: WindowExec => w }.isEmpty,
+      "count() now RETAINS windows? the consumer caveat documentation is stale")
+  }
 }
