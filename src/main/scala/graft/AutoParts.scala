@@ -1,0 +1,88 @@
+package graft
+import org.apache.spark.sql.DataFrame
+
+/** Automatic `initialPartitionNum` (r15; VERDICT r14 item 4): derive the
+  * AQE seed partition count per QUERY from the plan's own size estimates,
+  * replacing the per-corpus manual lever (128 @ sf10 / 256-512 @ sf100,
+  * BENCH_sf100_rel.json / BENCH_sf100_spillAB.json).
+  *
+  * Why per-query and not per-corpus: the sf100 A/Bs showed the best manual
+  * setting is a property of the PLAN, not the corpus — q_sim_knn_graph
+  * (pair-expanding shuffle) wanted 512 where q_dedup_embed_lsh (compact
+  * banded signatures, same input table) wanted 256; the window family's
+  * sort spill wanted 512 where the scan-bound TPC-H aggregates were happy
+  * at 256. Scan bytes alone cannot see that difference; the size estimate
+  * flowing into the shuffle-inducing operators can (PlanStats.signals).
+  *
+  * The formula: the largest of (a) scanned bytes, (b) the largest
+  * RELIABLE join input (PlanStats.signals' trust rule — size-only
+  * estimates are only read from join-free, aggregate-free subtrees),
+  * (c) SelfJoinWeight x the largest reliable inner-SELF-join input (the
+  * candidate-pair expansion shape), and (d) SortWeight x the largest
+  * reliable Window/global-Sort input (row-buffering operators), sized at
+  * `TargetPartBytes` of estimated input per partition and rounded up to
+  * a multiple of cpus. Floors at `cpus` — at driver scales (sf0.01 /
+  * sf0.1 the gate runs at) every estimate is far below cpus x target, so
+  * auto reproduces the r1-r10 default exactly. Caps at 1024: beyond
+  * that, per-partition scheduler/setup overhead dominates any spill
+  * relief on a 32-thread host.
+  *
+  * Activated by SPARK_GRAFT_INIT_PARTITIONS=auto in QTime/Bench — the
+  * conf is runtime-settable, so the harness sets it per query just before
+  * the consumer executes. Numeric values keep the documented manual
+  * behavior; unset keeps the default (= cpus).
+  */
+object AutoParts {
+  /** Estimated input bytes per shuffle partition. 32 MB of
+    * footer-estimated (columnar-compressed) input ≈ 100-500 MB in
+    * unsafe-row form mid-shuffle — small enough to sort without spilling
+    * in a 1-2 GB task share, large enough that per-partition setup cost
+    * stays negligible.
+    */
+  val TargetPartBytes: Long = 32L << 20
+
+  /** Window/global-Sort inputs buffer EVERY row in UnsafeRow form plus
+    * sort arrays; the footer-derived estimate of a pruned numeric column
+    * set under-counts that by roughly an order of magnitude (measured:
+    * q_win_rolling_median's 0.9 GB estimated input wanted 512 partitions
+    * at sf100 — 512 ≈ 0.9 GB x 16 / 32 MB — where 256 ran 3.7x slower,
+    * BENCH_sf100_rel_p512.json).
+    */
+  val SortWeight = 16
+
+  /** Inner self-joins (the LSH candidate-pair shape) expand their input
+    * by the per-bucket pair multiplicity, and the downstream distinct /
+    * top-k shuffles carry that expanded volume — invisible to any static
+    * size estimate. Same order-of-magnitude weight as SortWeight: the
+    * measured best settings for the pair keys (256-512 at sf100,
+    * BENCH_sf100_spillAB.json) sit ~16x above their ~0.6 GB reliable join
+    * input over the 32 MB target.
+    */
+  val SelfJoinWeight = 16
+
+  val MaxParts = 1024
+
+  /** Partition seed for this DataFrame's plan: see object doc. */
+  def partsFor(df: DataFrame, cpus: Int): Int = {
+    val s = PlanStats.signals(df.queryExecution.optimizedPlan)
+    val est = s.scan
+      .max(s.joinChild)
+      .max(s.selfJoinChild * SelfJoinWeight)
+      .max(s.winSortChild * SortWeight)
+    val raw = (est / TargetPartBytes).toLong
+    val rounded = ((raw + cpus - 1) / cpus) * cpus
+    math.max(cpus, rounded.min(MaxParts).toInt)
+  }
+
+  /** Apply the lever for one query if SPARK_GRAFT_INIT_PARTITIONS=auto:
+    * sets the AQE seed conf for the query about to execute and returns the
+    * chosen value (for logging); no-op returning -1 otherwise.
+    */
+  def applyIfAuto(df: DataFrame, cpus: Int): Int =
+    if (sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").contains("auto")) {
+      val n = partsFor(df, cpus)
+      df.sparkSession.conf
+        .set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+      n
+    } else -1
+}

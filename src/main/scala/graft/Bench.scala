@@ -29,7 +29,11 @@ object Bench {
       // scales is unchanged (default = cpus = the r1-r10 behavior)
       .config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
+        // "auto" = per-query AutoParts override (set at each query below);
+        // the builder seed stays the default so non-plan-derived work
+        // (canary probes, warmup) keeps the r1-r10 behavior
+        sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
+          .filter(_ != "auto").getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,7 +104,14 @@ object Bench {
     // where scratch is harmless (measured: unconditional sweeping cost
     // 2-17% wall at sf0.1) and fires it at the GB-scale leftovers that
     // actually starve later queries.
+    // per-query AQE seed when SPARK_GRAFT_INIT_PARTITIONS=auto (no-op
+    // otherwise); called OUTSIDE every timed region — the plan analysis it
+    // does must never land inside a measurement
+    def applyAuto(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+      catch { case _: Throwable => () }
     queries.foreach { case (name, fn) =>
+      applyAuto(fn)
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
       MatCache.harnessSweep(spark, blocking = true)
@@ -174,6 +185,7 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes) {
       queries.foreach { case (name, fn) =>
+        applyAuto(fn)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -244,6 +256,73 @@ object Bench {
     println(
       s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
           .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+
+    // ---- Plan-true parallel series (r15; VERDICT r14 item 6). The count()
+    // consumer above is the cross-round comparable (BENCH_r{N}) and the
+    // driver's baseline gate — but for pure column-appending plans (the
+    // window family; q1's aggregate expressions) ColumnPruning deletes the
+    // computed columns a count never reads, so those numbers are scan
+    // speeds (SCALING.md consumer caveat). This second sweep re-times the
+    // SAME keys through QTime.hashConsumer (xxhash64 over every output
+    // column — nothing prunable) and writes a separate artifact, so a
+    // future regression in a column-appending plan is visible without
+    // breaking the count series. Runs AFTER both primary stdout lines so a
+    // failure here can never cost the driver its headline number; disable
+    // with SPARK_GRAFT_HASH_BENCH_OUT="".
+    val hashOut = sys.env.getOrElse("SPARK_GRAFT_HASH_BENCH_OUT", "BENCH_hash.json")
+    if (hashOut.nonEmpty) try {
+      val hashPasses = math.max(1,
+        sys.env.getOrElse("SPARK_GRAFT_HASH_BENCH_PASSES", "2").trim.toInt)
+      // untimed warm pass: the hash-consumer plans (window operators kept,
+      // hash agg) codegen-compile here, not inside a timed pass
+      val hErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      queries.foreach { case (name, fn) =>
+        applyAuto(fn)
+        try QTime.evalRows(fn(spark, sfDir), forceHash = true)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-hash] warm $name failed: $e") }
+        MatCache.harnessSweep(spark, blocking = true)
+      }
+      val hBest = scala.collection.mutable.Map.empty[String, Double]
+      for (_ <- 1 to hashPasses) {
+        queries.foreach { case (name, fn) =>
+          applyAuto(fn)
+          val t0 = System.nanoTime()
+          val ok =
+            try { QTime.evalRows(fn(spark, sfDir), forceHash = true); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench-hash] $name failed: $e")
+              val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(2).mkString(" | ")
+              hErrors(name) = s"${e.getClass.getSimpleName}: $first"
+              false
+            }
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          hBest(name) =
+            if (t < 0 || hBest.getOrElse(name, Double.MaxValue) < 0) -1.0
+            else math.min(hBest.getOrElse(name, Double.MaxValue), t)
+          MatCache.harnessSweep(spark, blocking = true)
+        }
+      }
+      val hResults = queries.map { case (name, _) => name -> hBest(name) }
+      val hQs = hResults.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val hFailed = hResults.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      val hTotal =
+        if (hFailed.nonEmpty) 1e9
+        else if (hResults.nonEmpty) hResults.map(_._2).sum
+        else 0.0
+      val hErrJson = hErrors
+        .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+      val hashLine =
+        s"""{"metric":"total_hash","value":$hTotal,"unit":"sec","consumer":"xxhash64-struct (QTime.hashConsumer)","queries":$hQs,"passes":$hashPasses,"agg":"min","failed":${hFailed
+            .mkString("[", ",", "]")},"errors":$hErrJson$subset,"count_total_same_jvm":$total,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(hashOut), hashLine + "\n")
+      catch { case e: Exception => System.err.println(s"[bench-hash] write $hashOut failed: $e") }
+      println(s"""{"metric":"total_hash","short":true,"value":$hTotal,"unit":"sec","n":${hResults.size},"failed":${hFailed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-hash] series failed: $e")
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, count, expr, lit, struct, xxhash64}
 
 /** Dev utility: time (or explain) a subset of queries without the full
   * Bench sweep. Usage: runMain graft.QTime <sfDir> <name>[,<name>...]
@@ -16,15 +16,21 @@ import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
   * full plan while still returning only one row to the driver.
   */
 object QTime {
+  /** The ONE definition of the forced-hash consumer plan: xxhash64 over a
+    * struct of every output column, aggregated as (count, bit_xor). Used by
+    * evalRows, the --explain branch, and PlanSpec's honesty test — three
+    * hand-built copies drifted apart is exactly the failure mode this
+    * prevents. bit_xor, not sum: ANSI mode (Spark 4 default) makes a long
+    * sum of hashes overflow-fatal; xor is closed over Long and still forces
+    * every column through the plan.
+    */
+  private[graft] def hashConsumer(df: DataFrame): DataFrame =
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"))
+
   private[graft] def evalRows(df: DataFrame, forceHash: Boolean): Long =
-    if (forceHash) {
-      // bit_xor, not sum: ANSI mode (Spark 4 default) makes a long sum of
-      // hashes overflow-fatal; xor is closed over Long and still forces
-      // every column through the plan.
-      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
-        .head.getLong(0)
-    } else df.count()
+    if (forceHash) hashConsumer(df).head.getLong(0)
+    else df.count()
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
@@ -49,13 +55,15 @@ object QTime {
     val forceHash = sys.env.get("SPARK_GRAFT_QTIME_AGG").contains("hash")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // SPARK_GRAFT_INIT_PARTITIONS=auto: per-query AQE seed from the
+      // plan's own size estimates (AutoParts); set BEFORE any pass so the
+      // warm and timed passes run the same physical configuration.
+      val auto = AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+      if (auto > 0) println(s"[qtime] $n auto_init_partitions=$auto")
       if (explain && forceHash) {
         // explain what the hash consumer actually executes (count() and
         // the hash agg prune/keep different subtrees)
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
-          .explain("formatted")
+        hashConsumer(fn(spark, sfDir)).explain("formatted")
       } else if (explain) fn(spark, sfDir).explain("formatted")
       val r0 = evalRows(fn(spark, sfDir), forceHash) // warm
       val ts = (1 to passes).map { _ =>

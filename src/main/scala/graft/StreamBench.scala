@@ -68,6 +68,28 @@ object StreamBench {
     val nEvents = telemetry.count()
     telemetry.repartition(32).write.mode(SaveMode.Overwrite)
       .json(dir("landing_events"))
+    // Second landing dir staged in EVENT-TIME order (r15; VERDICT r14
+    // item 3): repartition(32) above round-robins rows, so every
+    // micro-batch carries every event date and the upsert sink rewrites
+    // ALL date partitions per batch — the worst-case arrival order. The
+    // ordered staging range-partitions by timestamp, so each batch's files
+    // cover a contiguous time slice and touch ~dates/batches partitions.
+    // The A/B between the two arms is the per-batch cost-regime probe:
+    // O(batch + touched-partition bytes) vs O(stored corpus).
+    telemetry.repartitionByRange(32, col("timestamp"))
+      .sortWithinPartitions("timestamp")
+      .write.mode(SaveMode.Overwrite).json(dir("landing_events_ord"))
+    // FileStreamSource batches files oldest-mtime-first; a parallel write
+    // finishes parts in task order, not range order, so pin strictly
+    // increasing mtimes along the part-file name order (= the range order).
+    locally {
+      val parts = new java.io.File(dir("landing_events_ord")).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 60000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(t0 + i * 60000L), s"mtime pin failed: $f")
+      }
+    }
     val docs = U.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val nDocs = docs.count()
     docs.repartition(16).write.mode(SaveMode.Overwrite)
@@ -135,6 +157,7 @@ object StreamBench {
     }
 
     // ---- 3. upsert: idempotent key-replace into the partitioned store
+    var shuffledStored = -1L
     locally {
       val src = fileStream(
         dir("landing_events"), streaming.Streams.telemetrySchema, 8)
@@ -144,8 +167,28 @@ object StreamBench {
         .start()
       val (wall, perBatch, _) = drain(q)
       val stored = spark.read.parquet(dir("upsert_out")).count()
+      shuffledStored = stored
       record("upsert", nEvents, wall, perBatch,
-        s""","stored_rows":$stored""")
+        s""","stored_rows":$stored,"arrival":"shuffled"""")
+    }
+
+    // ---- 3b. upsert under event-time-ORDERED arrival: same sink, same
+    // batching, but each micro-batch's files cover a contiguous time
+    // slice. stored_rows must equal the shuffled arm's — arrival order
+    // may only change COST, never the merged store's contents.
+    locally {
+      val src = fileStream(
+        dir("landing_events_ord"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .upsertSink(src, dir("upsert_ord_out"), dir("upsert_ord_ckpt"),
+          Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val stored = spark.read.parquet(dir("upsert_ord_out")).count()
+      require(stored == shuffledStored,
+        s"ordered upsert stored $stored != shuffled arm's $shuffledStored")
+      record("upsert_ordered", nEvents, wall, perBatch,
+        s""","stored_rows":$stored,"arrival":"event-time-ordered"""")
     }
 
     // ---- 4. count MV maintenance + the monitor read it serves

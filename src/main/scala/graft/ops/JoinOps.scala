@@ -280,6 +280,13 @@ object JoinOps {
     // set (sum > 250) then broadcast-joins orders → customer, so neither
     // 150 M-row orders nor customer is ever shuffled. Top-k plans as
     // TakeOrderedAndProject; prices emit as exactly-integral micro units.
+    // The broadcast() hint on `big` is load-bearing (ADVICE r14): without
+    // it the plan rests on the optimizer's SIZE ESTIMATE of the filtered
+    // aggregate — past autoBroadcastJoinThreshold at a larger sf it would
+    // silently degrade to shuffling 150 M-row orders, a regression
+    // PlanSpec's tiny-corpus one-exchange assertion could never catch. The
+    // qualifying set is rare by construction (sum > 250 ≈ top ~1% of
+    // orders, ~16 B/row), so pinning the broadcast is safe at any sf.
     // The oracle SQL stays the textbook form — equivalence of the two
     // shapes is exactly what the hash compare certifies.
     Q(
@@ -301,7 +308,7 @@ object JoinOps {
           .agg(sum(col("l_quantity").cast(U.Dec)).as("q"))
           .filter(col("q") > 250)
         U.orders(s, d)
-          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
           .join(U.customer(s, d), col("c_custkey") === col("o_custkey"))
           .select(
             col("c_custkey"),

@@ -655,12 +655,13 @@ class PlanSpec extends SparkSpec {
     // the honesty property itself: under count() the optimizer deletes the
     // window; under the hash consumer it cannot (SCALING.md consumer caveat)
     def consumedPlan(force: Boolean): SparkPlan = withPlanShapeConf() {
-      import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+      import org.apache.spark.sql.functions.{count, lit}
       val d = q("q_win_rank")
+      // the SAME consumer expression evalRows executes (QTime.hashConsumer)
+      // — a hand-built copy here would keep validating a stale shape if
+      // evalRows ever drifted (ADVICE r14)
       val consumer =
-        if (force)
-          d.select(xxhash64(struct(d.columns.map(col): _*)).as("h"))
-            .agg(count(lit(1)), org.apache.spark.sql.functions.expr("bit_xor(h)"))
+        if (force) QTime.hashConsumer(d)
         else d.groupBy().agg(count(lit(1)))
       consumer.queryExecution.executedPlan
     }

@@ -43,10 +43,23 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "testdata_sf100"
     out = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_sf100-subset.json"
     keys = sys.argv[3].split(",") if len(sys.argv) > 3 else KEYS
+    # ADVICE r14: a typo'd 3rd-arg key would otherwise create a bogus row
+    # counted in pass/total; fail loudly instead.
+    unknown = [k for k in keys if k not in KEYS]
+    if unknown:
+        print(f"[sf100-gate] unknown keys (not in KEYS): {unknown}")
+        return 2
     out_path = os.path.join(repo, out)
     results = {}
     if len(sys.argv) > 3 and os.path.exists(out_path):
         results = json.load(open(out_path)).get("results", {})
+        # drop rows for keys since removed from KEYS — stale rows must not
+        # keep counting toward pass/total after the gate's scope changes
+        stale = sorted(set(results) - set(KEYS))
+        if stale:
+            print(f"[sf100-gate] dropping stale merged rows: {stale}")
+            for k in stale:
+                results.pop(k)
     # Append the pinned flag to any caller-exported SPARK_EXTRA_JAVA_OPTS
     # instead of replacing it (ADVICE r13: overwriting discarded exactly
     # the A/B flags run_class.sh documents this variable for).
@@ -72,6 +85,9 @@ def main() -> int:
             "ok": ok,
             "depth": "strong",
             "wall_sec": wall,
+            # per-row timestamp (ADVICE r14): partial refreshes merge into
+            # the artifact, so each row must carry WHEN it was measured
+            "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "verdict": verdict or (proc.stdout + proc.stderr)[-400:],
         }
         print(f"[sf100-gate] {key}: {'PASS' if ok else 'FAIL'} ({wall}s)",

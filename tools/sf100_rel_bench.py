@@ -64,6 +64,11 @@ def run_key(repo, key, sf_dir, init_parts):
         "rows": int(m.group(1)) if m else None,
         "timed_sec": float(m.group(2)) if m else None,
         "jvm_wall_sec": wall,
+        # per-row record of the partition lever (ADVICE r14): a partial-key
+        # re-run with a different 5th arg merged into an existing artifact
+        # must stay attributable row-by-row, not only via the top-level
+        # method string (which describes the LAST run's setting)
+        "init_parts": init_parts,
         "ok": proc.returncode == 0 and m is not None,
     }
     if not row["ok"]:
@@ -78,10 +83,32 @@ def main() -> int:
     out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_sf100_rel.json"
     keys = sys.argv[4].split(",") if len(sys.argv) > 4 else KEYS
     sf100_parts = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    unknown = [k for k in keys if k not in KEYS]
+    if unknown:
+        # a typo'd key would otherwise create a bogus row in the artifact
+        print(f"[rel-bench] unknown keys (not in KEYS): {unknown}")
+        return 2
     results = {}
     out_path = os.path.join(repo, out)
     if len(sys.argv) > 4 and os.path.exists(out_path):
         results = json.load(open(out_path)).get("results", {})
+        # Refuse a silent mixed-config merge (ADVICE r14): if the existing
+        # artifact's sf100 rows were measured at a different
+        # initialPartitionNum, merging rows at this run's setting would
+        # make the artifact internally inconsistent with its own method
+        # string. Rows from tools predating init_parts tracking are
+        # grandfathered at 256 (the only setting ever used before it).
+        mixed = {
+            k: v["sf100"].get("init_parts", 256)
+            for k, v in results.items()
+            if k not in keys and v["sf100"].get("init_parts", 256) != sf100_parts
+        }
+        if mixed:
+            print(f"[rel-bench] REFUSING merge: existing rows measured at "
+                  f"sf100 init_parts {sorted(set(mixed.values()))}, this run "
+                  f"uses {sf100_parts} — write to a separate jsonOut "
+                  f"(e.g. the _p{sf100_parts} convention) instead")
+            return 2
     for key in keys:
         r10 = run_key(repo, key, sf10, 128)
         r100 = run_key(repo, key, sf100, sf100_parts)

@@ -43,8 +43,13 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     # self-join spilled >120 GB before dying on a full disk (r11) — cap the
     # temp directory so an oracle-side blow-up fails cleanly as that
     # query's ERROR row instead of taking the machine's disk with it
-    con.execute("SET memory_limit='40GB'")
-    con.execute("SET max_temp_directory_size='50GB'")
+    # overridable for the sf100 gate: its EXCEPT ALL compares touch 260 M-row
+    # outputs (more oracle memory helps) on a disk where 50 GB of DuckDB temp
+    # would not fit beside the dumps (less temp is mandatory)
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCKDB_MEM", "40GB"))
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("GRAFT_DUCKDB_TEMP", "50GB"))
     for t in TABLES:
         # driver testdata ships single files; ScaleGen's sf1 probe tables are
         # Spark-written directories — glob their part files in that case
