@@ -670,4 +670,33 @@ class PlanSpec extends SparkSpec {
     assert(consumedPlan(force = false).collect { case w: WindowExec => w }.isEmpty,
       "count() now RETAINS windows? the consumer caveat documentation is stale")
   }
+
+  test("AutoParts: plan-signal classification and the driver-scale floor") {
+    // floor: at sf0.001 every estimate is far below cpus x 32 MB, so auto
+    // must reproduce the default seed exactly (the r1-r10 behavior the
+    // driver gate runs under)
+    for (k <- Seq("q_tpch_q1", "q_win_rolling_median", "q_sim_knn_graph",
+        "q_tpch_q21", "q_dedup_embed_lsh"))
+      assert(AutoParts.partsFor(q(k), 32) === 32,
+        s"$k must floor to cpus at driver scale")
+    def sig(k: String) = PlanStats.signals(q(k).queryExecution.optimizedPlan)
+    // the LSH bucket self-join is the expansion shape: inner self-join
+    // detected, so the SelfJoinWeight multiplier applies
+    assert(sig("q_sim_knn_graph").selfJoinChild > 0,
+      "knn's inner bucket self-join must register as selfJoinChild")
+    // q21's lineitem self-joins are semi/anti (exists / not-exists) —
+    // non-expanding, so they must NOT trigger the expansion weight
+    val q21 = sig("q_tpch_q21")
+    assert(q21.selfJoinChild === BigInt(0),
+      "semi/anti self-joins must not count as expansion self-joins")
+    assert(q21.joinChild > 0, "q21's join inputs must still be sized")
+    // window input trusted only through join/agg-free subtrees: the
+    // rolling-median window reads a scan directly (trusted), q1's final
+    // sort sits above an aggregate (untrusted - the 6-row sort was
+    // 'estimated' at the full scan size before this rule)
+    assert(sig("q_win_rolling_median").winSortChild > 0,
+      "rolling_median's window input is join/agg-free and must be sized")
+    assert(sig("q_tpch_q1").winSortChild === BigInt(0),
+      "a sort above an aggregate must not contribute a bogus size signal")
+  }
 }
