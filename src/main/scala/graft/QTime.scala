@@ -34,7 +34,10 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val explain = args.contains("--explain")
+    // --explain-only: print the (consumer-wrapped) plan and SKIP execution
+    // — for inspecting big-SF plan geometry without paying the runs
+    val explainOnly = args.contains("--explain-only")
+    val explain = args.contains("--explain") || explainOnly
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,14 +68,16 @@ object QTime {
         // the hash agg prune/keep different subtrees)
         hashConsumer(fn(spark, sfDir)).explain("formatted")
       } else if (explain) fn(spark, sfDir).explain("formatted")
-      val r0 = evalRows(fn(spark, sfDir), forceHash) // warm
-      val ts = (1 to passes).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        evalRows(fn(spark, sfDir), forceHash)
-        (System.nanoTime() - t0) / 1e9
+      if (!explainOnly) {
+        val r0 = evalRows(fn(spark, sfDir), forceHash) // warm
+        val ts = (1 to passes).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          evalRows(fn(spark, sfDir), forceHash)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[qtime] $n rows=$r0 min=${ts.min}%.3f s (passes: ${ts.map(t => f"$t%.3f").mkString(", ")})")
       }
-      println(f"[qtime] $n rows=$r0 min=${ts.min}%.3f s (passes: ${ts.map(t => f"$t%.3f").mkString(", ")})")
     }
     spark.stop()
   }

@@ -37,6 +37,16 @@ KEY = "q_merge_upsert"
 def run(repo, sf_dir, init_parts, consumer):
     flag = ("-Dspark.sql.adaptive.coalescePartitions"
             f".initialPartitionNum={init_parts}")
+    # The third arm exists because the plain count arm measured SLOWER
+    # than the full hash plan at sf100 (105.7 vs 81.0 s): pruning every
+    # column leaves ~8-byte join rows, AQE's 64 MB advisory target then
+    # coalesces the 512-way exchanges into a handful of multi-10M-row
+    # tasks, and the merge runs at a different (worse) geometry than the
+    # plan being decomposed. count_fixedgeo pins coalescing OFF so the
+    # count plan executes at exactly the hash arm's 512-way geometry —
+    # only then is (hash - count) the output surface.
+    if consumer == "count_fixedgeo":
+        flag += " -Dspark.sql.adaptive.coalescePartitions.enabled=false"
     extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + flag).strip()
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
                SPARK_GRAFT_CPUS="32", SPARK_EXTRA_JAVA_OPTS=extra)
@@ -73,9 +83,10 @@ def main() -> int:
     out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_upsertAB.json"
     p10 = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     p100 = int(sys.argv[5]) if len(sys.argv) > 5 else 512
+    arms = ("count", "count_fixedgeo", "hash")
     rows = {
-        "sf10": {c: run(repo, sf10, p10, c) for c in ("count", "hash")},
-        "sf100": {c: run(repo, sf100, p100, c) for c in ("count", "hash")},
+        "sf10": {c: run(repo, sf10, p10, c) for c in arms},
+        "sf100": {c: run(repo, sf100, p100, c) for c in arms},
     }
 
     def t(sf, c):
@@ -83,15 +94,19 @@ def main() -> int:
         return r["timed_sec"] if r["ok"] else None
 
     derived = {}
-    if all(t(sf, c) for sf in rows for c in ("count", "hash")):
+    if all(t(sf, c) for sf in rows for c in arms):
         derived = {
+            # the valid kernel arm: same geometry as the full plan
             "merge_kernel_decade_ratio":
-                round(t("sf100", "count") / t("sf10", "count"), 2),
+                round(t("sf100", "count_fixedgeo") / t("sf10", "count_fixedgeo"), 2),
             "full_plan_decade_ratio":
                 round(t("sf100", "hash") / t("sf10", "hash"), 2),
+            # the naive count arm, kept to document the AQE-geometry trap
+            "count_coalesced_decade_ratio":
+                round(t("sf100", "count") / t("sf10", "count"), 2),
             "output_surface_sec": {
-                "sf10": round(t("sf10", "hash") - t("sf10", "count"), 2),
-                "sf100": round(t("sf100", "hash") - t("sf100", "count"), 2),
+                "sf10": round(t("sf10", "hash") - t("sf10", "count_fixedgeo"), 2),
+                "sf100": round(t("sf100", "hash") - t("sf100", "count_fixedgeo"), 2),
             },
         }
         d10 = derived["output_surface_sec"]["sf10"]
