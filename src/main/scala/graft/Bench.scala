@@ -106,14 +106,32 @@ object Bench {
     // actually starve later queries.
     // per-query AQE seed when SPARK_GRAFT_INIT_PARTITIONS=auto (no-op
     // otherwise); called OUTSIDE every timed region — the plan analysis it
-    // does must never land inside a measurement
+    // does must never land inside a measurement. Guarded on the env BEFORE
+    // constructing the DataFrame (ADVICE r15: the unconditional fn() call
+    // built and analyzed every plan twice even with the lever off), and a
+    // failure logs + resets to the builder default rather than silently
+    // inheriting the previous query's seed.
+    val autoMode = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").contains("auto")
+    val builderSeed: String =
+      sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").filter(_ != "auto").getOrElse(cpus)
+    // restore the builder-default seed after each query (and so before any
+    // canary probe): without this the LAST query's auto seed leaked into
+    // canaryEnd and into any query whose plan analysis threw (ADVICE r15)
+    def resetAuto(): Unit = if (autoMode) spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", builderSeed)
     def applyAuto(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
-      catch { case _: Throwable => () }
+      if (autoMode)
+        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] auto-parts analysis failed, default seed: $e")
+            resetAuto()
+        }
     queries.foreach { case (name, fn) =>
       applyAuto(fn)
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+      resetAuto()
       MatCache.harnessSweep(spark, blocking = true)
     }
 
@@ -201,6 +219,7 @@ object Bench {
         best(name) =
           if (t < 0 || best.getOrElse(name, Double.MaxValue) < 0) -1.0
           else math.min(best.getOrElse(name, Double.MaxValue), t)
+        resetAuto()
         // Outside the timed region: the previous query's localCheckpoint
         // scratch blocks are dead weight that starves later queries'
         // execution memory in a long shared JVM (SURVEY §2.12 item 5);
@@ -270,6 +289,11 @@ object Bench {
     // failure here can never cost the driver its headline number; disable
     // with SPARK_GRAFT_HASH_BENCH_OUT="".
     val hashOut = sys.env.getOrElse("SPARK_GRAFT_HASH_BENCH_OUT", "BENCH_hash.json")
+    // hash-series total, surfaced on the FINAL stdout line below (r16;
+    // VERDICT r15 nit: the hash short line printed last, so the driver's
+    // BENCH_r15.json headline silently became total_hash and broke the
+    // r01-r14 count series)
+    var hashTotal: Option[Double] = None
     if (hashOut.nonEmpty) try {
       val hashPasses = math.max(1,
         sys.env.getOrElse("SPARK_GRAFT_HASH_BENCH_PASSES", "2").trim.toInt)
@@ -281,6 +305,7 @@ object Bench {
         try QTime.evalRows(fn(spark, sfDir), forceHash = true)
         catch { case e: Throwable =>
           System.err.println(s"[bench-hash] warm $name failed: $e") }
+        resetAuto()
         MatCache.harnessSweep(spark, blocking = true)
       }
       val hBest = scala.collection.mutable.Map.empty[String, Double]
@@ -301,6 +326,7 @@ object Bench {
           hBest(name) =
             if (t < 0 || hBest.getOrElse(name, Double.MaxValue) < 0) -1.0
             else math.min(hBest.getOrElse(name, Double.MaxValue), t)
+          resetAuto()
           MatCache.harnessSweep(spark, blocking = true)
         }
       }
@@ -320,9 +346,19 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(hashOut), hashLine + "\n")
       catch { case e: Exception => System.err.println(s"[bench-hash] write $hashOut failed: $e") }
       println(s"""{"metric":"total_hash","short":true,"value":$hTotal,"unit":"sec","n":${hResults.size},"failed":${hFailed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      hashTotal = Some(hTotal)
     } catch { case e: Throwable =>
       System.err.println(s"[bench-hash] series failed: $e")
     }
+    // FINAL stdout line = the count-comparable headline, re-printed after
+    // the hash series with the hash total as an extra field: the driver
+    // keys BENCH_r{N}.json off the LAST short JSON line, which in r15 was
+    // the hash short line — this keeps "value" count-comparable across
+    // rounds by construction while still carrying the plan-true twin.
+    val hashField = hashTotal.map(h => s""","total_hash":$h""").getOrElse("")
+    println(
+      s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
+          .mkString("[", ",", "]")}$hashField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

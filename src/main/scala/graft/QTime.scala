@@ -60,8 +60,19 @@ object QTime {
       val fn = SparkEntry.queries(n)
       // SPARK_GRAFT_INIT_PARTITIONS=auto: per-query AQE seed from the
       // plan's own size estimates (AutoParts); set BEFORE any pass so the
-      // warm and timed passes run the same physical configuration.
-      val auto = AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+      // warm and timed passes run the same physical configuration. A
+      // plan-analysis failure degrades to the default seed and continues
+      // (ADVICE r15: unguarded, it aborted the whole remaining key list
+      // including --explain-only inspection runs).
+      val auto =
+        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[qtime] $n auto-parts analysis failed, default seed: $e")
+            spark.conf.set(
+              "spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus)
+            -1
+        }
       if (auto > 0) println(s"[qtime] $n auto_init_partitions=$auto")
       if (explain && forceHash) {
         // explain what the hash consumer actually executes (count() and

@@ -916,14 +916,35 @@ object DedupOps {
         |  rank() OVER (ORDER BY degree DESC, doc_id) AS degree_rank
         |FROM deg ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      pairGraphEdges(s, d)
+      val deg = pairGraphEdges(s, d)
         .select(explode(array(col("a"), col("b"))).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("degree"))
-        .withColumn(
-          "degree_rank",
-          rank().over(Window.orderBy(col("degree").desc, col("doc_id")))
-            .cast("long"))
+      // Global rank WITHOUT an unpartitioned window (the order key
+      // (degree desc, doc_id) is unique, so rank == position in the total
+      // order): a distinct-degree histogram — bounded by the max degree,
+      // never by the node count — self-joined for each degree's offset
+      // (# nodes with a strictly higher degree), then row_number within
+      // partitionBy(degree). Nodes = docs with >= 1 near-dup edge, which
+      // is corpus-scaled on boilerplate-heavy data; this keeps every sort
+      // in the plan partition-local. Same recipe as the perplexity
+      // terciles (TextOps); the oracle keeps the rank() spelling.
+      val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("cnt"))
+      val offsets = hist.as("h1")
+        .join(
+          broadcast(hist.as("h2")),
+          col("h2.degree") > col("h1.degree"),
+          "left")
+        .groupBy(col("h1.degree").as("degree"))
+        .agg(coalesce(sum(col("h2.cnt")), lit(0L)).as("rank_before"))
+      val wTie = Window.partitionBy(col("degree")).orderBy(col("doc_id"))
+      deg
+        .withColumn("rk", row_number().over(wTie))
+        .join(broadcast(offsets), Seq("degree"))
+        .select(
+          col("doc_id"),
+          col("degree"),
+          (col("rank_before") + col("rk")).cast("long").as("degree_rank"))
         .orderBy("doc_id")
     },
 

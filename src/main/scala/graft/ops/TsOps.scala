@@ -568,17 +568,26 @@ object TsOps {
         .partitionBy(col("user_id"))
         .orderBy(col("bkt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Forward lookup as a RUNNING frame over a DESCENDING sort: the
+      // nearest non-null at-or-after the current bucket is the last
+      // non-null seen when scanning buckets in descending order. Spark
+      // evaluates (unboundedPreceding, currentRow) with the O(n)
+      // UnboundedPrecedingWindowFunctionFrame, whereas the naive
+      // (currentRow, unboundedFollowing) form re-scans the rest of the
+      // partition for every row — O(n^2) per series (measured 17.9 s vs
+      // 1.28 s for gapfill on the identical sf0.1 spine). Same user_id
+      // exchange; only one extra in-partition sort.
       val wf = Window
         .partitionBy(col("user_id"))
-        .orderBy(col("bkt"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsBkt = when(col("avg_v").isNotNull, col("bkt"))
       spine
         .join(hourly, Seq("user_id", "bkt"), "left")
         .withColumn("v0", last(col("avg_v"), ignoreNulls = true).over(wb))
         .withColumn("t0", last(obsBkt, ignoreNulls = true).over(wb))
-        .withColumn("v1", first(col("avg_v"), ignoreNulls = true).over(wf))
-        .withColumn("t1", first(obsBkt, ignoreNulls = true).over(wf))
+        .withColumn("v1", last(col("avg_v"), ignoreNulls = true).over(wf))
+        .withColumn("t1", last(obsBkt, ignoreNulls = true).over(wf))
         .select(
           col("user_id"),
           col("bkt"),

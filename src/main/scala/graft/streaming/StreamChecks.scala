@@ -360,6 +360,63 @@ object StreamChecks {
       "update replaced the stored row (greatest-tuple tie-break); replay no-op"
     }),
 
+    ("s_upsert_delta",
+      Seq("upsertDeltaSink", "upsertDeltaBatch", "compactUpsertDeltas",
+        "upsertRead"), { s =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val out = tmp("graft_sc_updelta")
+      val ckpt = tmp("graft_sc_updelta_ckpt")
+      val mem = MemoryStream[Telemetry]
+      // compactEvery=2: batch 0 stays a pending delta, batch 1 triggers
+      // the fold, batch 2 is pending again — all three read states hit
+      val q = Streams.upsertDeltaSink(mem.toDF(), out, ckpt,
+        Trigger.ProcessingTime("0 seconds"), compactEvery = 2).start()
+      val b1 = Seq(T("2024-08-28 12:00:00", 1.0, "id-a"),
+        T("2024-08-28 12:01:00", 2.0, "id-a"), T("2024-08-29 09:00:00", 5.0, "id-b"))
+      // the same correction delivered twice with conflicting values: the
+      // greatest-tuple tie-break keeps 9.0 (the s_upsert fixture)
+      val b2 = Seq(T("2024-08-28 12:01:00", 9.0, "id-a"),
+        T("2024-08-28 12:01:00", 7.0, "id-a"))
+      // a LATER batch must beat an earlier one on the same key even with a
+      // SMALLER tuple (later-batch-wins = serial direct-merge order)
+      val b3 = Seq(T("2024-08-28 12:01:00", 3.0, "id-a"))
+      try {
+        Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select("timeseries_id", "timestamp", "value")
+          .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      val expected = Set(
+        ("id-a", ts("2024-08-28 12:00:00"), 1.0),
+        ("id-a", ts("2024-08-28 12:01:00"), 3.0),
+        ("id-b", ts("2024-08-29 09:00:00"), 5.0))
+      val view = snap(Streams.upsertRead(s, out))
+      expect(view == expected, s"merge-on-read view wrong: $view")
+      // b3 is still a pending delta: the compacted table must show the
+      // PRE-b3 value (plain readers see only folded data)...
+      val folded = snap(s.read.parquet(out))
+      expect(folded == Set(
+        ("id-a", ts("2024-08-28 12:00:00"), 1.0),
+        ("id-a", ts("2024-08-28 12:01:00"), 9.0),
+        ("id-b", ts("2024-08-29 09:00:00"), 5.0)),
+        s"compacted table wrong (b3 must still be pending): $folded")
+      // ...at-least-once replay of the pending batch is a no-op...
+      Streams.upsertDeltaBatch(b3.toDF(), out, batchId = 2, compactEvery = 99)
+      expect(snap(Streams.upsertRead(s, out)) == expected,
+        "replaying a pending delta batch must be a no-op")
+      // ...and after the final fold the store is byte-equal to what the
+      // DIRECT tier produces from the same batches
+      Streams.compactUpsertDeltas(s, out)
+      expect(snap(s.read.parquet(out)) == expected,
+        "compacted store != merge-on-read view after final fold")
+      val direct = tmp("graft_sc_updelta_direct")
+      Seq(b1, b2, b3).foreach(b => Streams.upsertBatch(b.toDF(), direct))
+      expect(snap(s.read.parquet(direct)) == expected,
+        "direct-tier store diverged from the delta-tier result")
+      "O(batch) delta landing; later-batch-wins fold == direct tier; replay no-op"
+    }),
+
     ("s_count_mv", Seq("countMvSink", "countMvBatch", "mvMixDrift"), { s =>
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._

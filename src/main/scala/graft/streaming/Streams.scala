@@ -633,6 +633,215 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  // ---- delta-log upsert tier (r16; VERDICT r15 item 6) --------------------
+  //
+  // [[upsertBatch]] merges every touched date partition per micro-batch —
+  // O(batch + touched-partition bytes), flat 502 k rows/s under event-time-
+  // ordered arrival (STREAMBENCH_sf10.json). But under SHUFFLED arrival
+  // (late corrections, backfill — every batch carries every date) "touched
+  // partitions" = the whole store, and the measured regime is corpus-
+  // coupled (77.9 k rows/s at sf10). The delta tier decouples them: each
+  // batch lands O(batch) in its own `_delta/batch=<id>` directory no
+  // matter which dates it touches, and a COMPACTION folds the accumulated
+  // deltas into the day partitions once every `compactEvery` batches — the
+  // store is rewritten once per K batches instead of once per batch.
+  //
+  // Semantics are IDENTICAL to the direct tier: within a batch the
+  // greatest-tuple row wins (same dedup), across batches the later batch
+  // wins (exactly what serial [[upsertBatch]] merges produce), so a
+  // drained-and-compacted delta store is byte-identical to the direct
+  // sink's on the same batches (pinned in StreamingSpec).
+  //
+  // Exactly-once in effect, the [[sketchMvBatch]] layout discipline: a
+  // replayed batch OVERWRITES its own `batch=<id>` directory whole. Crash
+  // safety inside a compaction: winners are folded per-date via
+  // [[graft.sources.Layout.upsertPartition]]'s swap invariant (re-folding
+  // the same winner set is a key-replace no-op), and the folded delta
+  // directories are deleted in ASCENDING batch order — a crash mid-delete
+  // leaves only the HIGHEST batches pending, whose rows beat every stored
+  // value they overlap by the later-batch-wins rule, so the re-fold is
+  // idempotent. (Descending deletion would leave a LOWER batch pending
+  // whose re-fold could overwrite an already-folded newer value.)
+
+  /** Pending delta directories under `rootDir/_delta`, ascending batch id.
+    * The `_` prefix keeps them invisible to plain
+    * `spark.read.parquet(rootDir)` readers (parquet hides `_`/`.` paths) —
+    * the compacted day partitions stay a clean table and [[upsertRead]] is
+    * the merge-on-read view that resolves what's pending.
+    */
+  private def deltaDirs(
+      s: SparkSession,
+      rootDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$rootDir/_delta")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else
+      fs.listStatus(root)
+        .toSeq
+        .collect {
+          case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+            (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath)
+        }
+        .sortBy(_._1)
+  }
+
+  /** The live (compacted) store, None before the first compaction — a
+    * `read.parquet(rootDir)` with only `_delta` under it cannot infer a
+    * schema, so existence is checked on the partition directories.
+    */
+  private def liveStore(s: SparkSession, rootDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val has = fs.exists(root) && fs
+      .listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("event_date="))
+    if (has) Some(s.read.parquet(rootDir)) else None
+  }
+
+  /** Conflict resolution across pending deltas: later batch wins, then the
+    * in-batch greatest-tuple tie-break — the order serial direct merges
+    * produce. Input carries the discovered `batch` partition column.
+    */
+  private def deltaWinners(
+      all: DataFrame,
+      seriesCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val others = all.columns.filterNot(c =>
+      c == seriesCol || c == tsCol || c == "batch" || c == "event_date")
+    val w = Window
+      .partitionBy(col(seriesCol), col(tsCol))
+      .orderBy(
+        (col("batch").cast("long").desc +:
+          others.toIndexedSeq.map(c => col(c).desc_nulls_last)): _*)
+    all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch")
+  }
+
+  /** One micro-batch of the delta-tier upsert ([[upsertDeltaSink]]): dedup
+    * the batch with [[upsertBatch]]'s discipline, land it O(batch) in its
+    * own `_delta/batch=<id>` directory (overwritten whole — replay
+    * idempotence), then compact if `compactEvery` deltas have accumulated.
+    */
+  def upsertDeltaBatch(
+      batch: DataFrame,
+      rootDir: String,
+      batchId: Long,
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp",
+      compactEvery: Int = 8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    if (batch.isEmpty) return
+    val others = batch.columns.filterNot(c => c == seriesCol || c == tsCol)
+    val w = Window
+      .partitionBy(col(seriesCol), col(tsCol))
+      .orderBy(others.toIndexedSeq.map(c => col(c).desc_nulls_last): _*)
+    batch
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("event_date", to_date(col(tsCol)))
+      .write
+      .mode("overwrite")
+      .parquet(s"$rootDir/_delta/batch=$batchId")
+    if (deltaDirs(batch.sparkSession, rootDir).size >= compactEvery)
+      compactUpsertDeltas(batch.sparkSession, rootDir, seriesCol, tsCol)
+  }
+
+  /** Fold every pending delta into the day partitions (see the tier doc
+    * above for the crash-safety argument); returns the number of delta
+    * directories folded. Driver loop bounded by distinct event DATES in
+    * the pending set, same as [[upsertBatch]]; each iteration is one
+    * distributed merge via the swap discipline.
+    */
+  def compactUpsertDeltas(
+      s: SparkSession,
+      rootDir: String,
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp"): Int = {
+    val dirs = deltaDirs(s, rootDir)
+    if (dirs.isEmpty) return 0
+    val winners =
+      deltaWinners(s.read.parquet(s"$rootDir/_delta"), seriesCol, tsCol)
+        .persist()
+    try {
+      val dates = winners
+        .select(col("event_date").cast("string"))
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .sorted
+      dates.foreach { d =>
+        graft.sources.Layout.upsertPartition(
+          s,
+          rootDir,
+          d,
+          winners.filter(col("event_date") === d).drop("event_date"),
+          seriesCol,
+          tsCol)
+      }
+    } finally winners.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    dirs.foreach { case (_, p) => fs.delete(p, true) } // ASCENDING batch order
+    dirs.size
+  }
+
+  /** Merge-on-read view of a delta-tier store: the compacted partitions
+    * with every pending delta resolved (later batch wins, then the
+    * greatest-tuple tie-break) — what a direct-tier reader would see if
+    * every batch had been merged eagerly. Plain
+    * `spark.read.parquet(rootDir)` remains valid for compacted-only reads.
+    */
+  def upsertRead(
+      s: SparkSession,
+      rootDir: String,
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp"): DataFrame = {
+    val dirs = deltaDirs(s, rootDir)
+    val live = liveStore(s, rootDir)
+    if (dirs.isEmpty)
+      return live.getOrElse(
+        throw new IllegalStateException(s"no upsert store at $rootDir"))
+    val winners =
+      deltaWinners(s.read.parquet(s"$rootDir/_delta"), seriesCol, tsCol)
+    live match {
+      case None => winners
+      case Some(lv) =>
+        lv.join(
+            winners.select(col(seriesCol), col(tsCol)),
+            Seq(seriesCol, tsCol),
+            "left_anti")
+          .unionByName(winners.select(lv.columns.toIndexedSeq.map(col): _*))
+    }
+  }
+
+  /** Delta-tier streaming upsert: [[upsertSink]]'s replace semantics at
+    * O(batch) landing cost regardless of arrival order — the mitigation
+    * for the shuffled-arrival regime STREAMBENCH_sf10.json priced
+    * (77.9 k vs 502 k rows/s when every batch touches every date
+    * partition). Late/backfill traffic lands in per-batch delta
+    * directories; the store is rewritten once per `compactEvery` batches
+    * (compaction) instead of once per batch. Readers wanting
+    * read-your-writes use [[upsertRead]]; plain parquet readers see the
+    * compacted table.
+    */
+  def upsertDeltaSink(
+      telemetry: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 minutes"),
+      seriesCol: String = "timeseries_id",
+      tsCol: String = "timestamp",
+      compactEvery: Int = 8): DataStreamWriter[Row] =
+    telemetry.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        upsertDeltaBatch(b, outDir, id, seriesCol, tsCol, compactEvery))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
   /** One micro-batch of the streaming quantile-sketch MV ([[sketchMvSink]]),
     * exposed for direct replay testing: aggregate the batch into per
     * (series, day) KLL partials and land them in this batch's OWN

@@ -129,6 +129,34 @@ class RegistrySpec extends SparkSpec {
     assert(hits.nonEmpty, "lint fixture: Round expression not detected")
   }
 
+  test("lint: no registry plan contains an unpartitioned Window operator") {
+    // r16 (VERDICT r15 item 3): an unpartitioned window moves EVERY row to
+    // one partition — q_graph_degrees carried the registry's last one (a
+    // global rank over the near-dup node list, corpus-scaled on
+    // boilerplate-heavy data) until the degree-histogram offset rewrite.
+    // This walks every registry key's OPTIMIZED plan so the class stays
+    // dead, the same enforcement move that killed Round/BRound in r12.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offending = Registry.all.flatMap { q =>
+      q.fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          s"${q.name}: ${w.windowExpressions.map(_.sql).mkString(", ")}"
+      }
+    }
+    assert(offending.isEmpty,
+      s"unpartitioned Window (single-partition sort of the whole input; " +
+        s"use the histogram-offset recipe):\n${offending.mkString("\n")}")
+    // the lint must be able to FIRE: a deliberately violating plan is seen
+    val bad = U.events(spark, sfDir).withColumn(
+      "r",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    val hits = bad.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(hits.nonEmpty, "lint fixture: unpartitioned Window not detected")
+  }
+
   test("all PropertyChecks verdicts pass at STRONG depth (the no_oracle_results.json gate)") {
     val results = ops.PropertyChecks.runAll(spark, sfDir)
     val failed = results.collect { case (k, _, Left(m)) => s"$k: $m" }

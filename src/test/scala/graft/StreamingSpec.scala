@@ -749,6 +749,74 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() === afterUpdate, "compaction after upserts must preserve contents")
   }
 
+  test("upsertDeltaSink: O(batch) delta landing, later-batch-wins fold == direct tier, crash-mid-delete refold is safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_updelta").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_updelta_ckpt").toString
+    val mem = MemoryStream[Tele]
+    // compactEvery=2: batch 0 pending, batch 1 folds both, batch 2 pending
+    val q = Streams
+      .upsertDeltaSink(mem.toDF(), out, ckpt,
+        Trigger.ProcessingTime("0 seconds"), compactEvery = 2)
+      .start()
+    def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
+    val b1 = Seq(
+      t("2024-08-28 12:00:00", 1.0, "id-a"),
+      t("2024-08-28 12:01:00", 2.0, "id-a"),
+      t("2024-08-29 09:00:00", 5.0, "id-b"))
+    val b2 = Seq( // conflicting duplicate delivery: greatest tuple (9.0) wins
+      t("2024-08-28 12:01:00", 9.0, "id-a"),
+      t("2024-08-28 12:01:00", 7.0, "id-a"))
+    val b3 = Seq( // later batch beats an earlier one even with a SMALLER value
+      t("2024-08-28 12:01:00", 3.0, "id-a"),
+      t("2024-08-30 10:00:00", 4.0, "id-c"))
+    Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("timeseries_id", "timestamp", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    val expected = Set(
+      ("id-a", ts("2024-08-28 12:00:00"), 1.0),
+      ("id-a", ts("2024-08-28 12:01:00"), 3.0),
+      ("id-b", ts("2024-08-29 09:00:00"), 5.0),
+      ("id-c", ts("2024-08-30 10:00:00"), 4.0))
+    // merge-on-read resolves the pending b3 delta; the compacted table
+    // (what a plain reader sees) still shows the pre-b3 fold
+    assert(snap(Streams.upsertRead(spark, out)) === expected)
+    assert(snap(spark.read.parquet(out)) === Set(
+      ("id-a", ts("2024-08-28 12:00:00"), 1.0),
+      ("id-a", ts("2024-08-28 12:01:00"), 9.0),
+      ("id-b", ts("2024-08-29 09:00:00"), 5.0)))
+    // the _delta dir is hidden from plain readers by the underscore prefix
+    assert(new java.io.File(s"$out/_delta").list().count(_.startsWith("batch=")) === 1)
+    // replay of the pending batch overwrites its own dir whole: no-op
+    Streams.upsertDeltaBatch(b3.toDF(), out, batchId = 2, compactEvery = 99)
+    assert(snap(Streams.upsertRead(spark, out)) === expected,
+      "replaying a pending delta batch must be a no-op")
+    // crash-mid-compaction window: winners already folded but delta dirs
+    // not yet deleted — the re-fold (same winner set) is a key-replace
+    // no-op, so compacting twice is safe
+    Streams.compactUpsertDeltas(spark, out)
+    assert(snap(spark.read.parquet(out)) === expected)
+    Streams.upsertDeltaBatch(b3.toDF(), out, batchId = 2, compactEvery = 99)
+    Streams.compactUpsertDeltas(spark, out) // the re-fold after a "crash"
+    assert(snap(spark.read.parquet(out)) === expected,
+      "re-folding an already-folded delta must be a no-op")
+    assert(new java.io.File(s"$out/_delta").list() === null ||
+      new java.io.File(s"$out/_delta").list().isEmpty)
+    // the delta tier's final state is byte-identical to the DIRECT tier's
+    // on the same batches (same dedup, same later-batch-wins order)
+    val direct = java.nio.file.Files.createTempDirectory("graft_updelta_direct").toString
+    Seq(b1, b2, b3).foreach(b => Streams.upsertBatch(b.toDF(), direct))
+    assert(snap(spark.read.parquet(direct)) === expected)
+    // day-partition layout survives for both tiers
+    val dirs = new java.io.File(out).list().filter(_.startsWith("event_date=")).sorted
+    assert(dirs.toSeq === Seq(
+      "event_date=2024-08-28", "event_date=2024-08-29", "event_date=2024-08-30"))
+  }
+
   test("sketchMvSink: stream-maintained KLL MV equals the direct batch sketch; replay is a no-op; day range prunes") {
     implicit val sqlCtx = spark.sqlContext
     val mv = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString

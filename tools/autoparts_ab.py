@@ -27,6 +27,16 @@ KEYS = {
     "q_tpch_q21": 512,
     "q_win_rolling_median": 512,
     "q_dedup_embed_lsh": 256,
+    # r16 extension (VERDICT r15 item 4): the remaining spill-sensitive
+    # keys. No per-key sweep exists for these — the manual arm pins the
+    # DOCUMENTED sf100 lever (256, the setting every sf100 gate/bench
+    # used), except merge_upsert whose measured best is 512
+    # (BENCH_upsertAB.json fixed-geometry arm).
+    "q_merge_upsert": 512,
+    "q_win_cumsum": 256,
+    "q_ts_theilsen": 256,
+    "q_dedup_substring": 256,
+    "q_text_perplexity": 256,
 }
 
 

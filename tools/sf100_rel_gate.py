@@ -36,6 +36,11 @@ KEYS = [
     "q_tpch_q21",
     "q_merge_upsert",
     "q_win_rolling_median", "q_win_cumsum",
+    # r16 (VERDICT r15 item 5): the LLM-side oracle-expressible keys —
+    # 5 M docs at sf100; the dedup/text family was property-checked only
+    # at this decade until now
+    "q_dedup_exact", "q_dedup_normalized", "q_dedup_decontaminate",
+    "q_text_dsir",
 ]
 
 

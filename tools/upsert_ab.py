@@ -94,7 +94,9 @@ def main() -> int:
         return r["timed_sec"] if r["ok"] else None
 
     derived = {}
-    if all(t(sf, c) for sf in rows for c in arms):
+    # `is not None`, not truthiness: a legitimate 0.0 timed_sec (sub-100ms
+    # run rounding) must not suppress the derived block (ADVICE r15)
+    if all(t(sf, c) is not None for sf in rows for c in arms):
         derived = {
             # the valid kernel arm: same geometry as the full plan
             "merge_kernel_decade_ratio":
