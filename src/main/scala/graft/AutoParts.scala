@@ -27,12 +27,25 @@ import org.apache.spark.sql.DataFrame
   * that, per-partition scheduler/setup overhead dominates any spill
   * relief on a 32-thread host.
   *
-  * Activated by SPARK_GRAFT_INIT_PARTITIONS=auto in QTime/Bench — the
-  * conf is runtime-settable, so the harness sets it per query just before
-  * the consumer executes. Numeric values keep the documented manual
-  * behavior; unset keeps the default (= cpus).
+  * THE DEFAULT since r16 (VERDICT r15 item 4): the harnesses (Bench,
+  * QTime, Verify) apply the per-query seed unless SPARK_GRAFT_INIT_PARTITIONS
+  * overrides it — a numeric value keeps the documented manual behavior
+  * (builder-level seed, no per-query override), "off"/"default" keeps the
+  * pre-r16 fixed default (= cpus), "auto" is the explicit spelling of the
+  * default. Safe to default because the formula floors at cpus: at the
+  * driver gate scales every estimate is far below cpus x target, so auto
+  * reproduces the r1-r15 behavior exactly (pinned in PlanSpec); at big SF
+  * it matched or beat the per-key manual best on the nine A/B keys
+  * (BENCH_autoparts_AB.json). The conf is runtime-settable, so the
+  * harness sets it per query just before the consumer executes.
   */
 object AutoParts {
+  /** Is the per-query auto seed active? Unset and "auto" mean yes (the
+    * r16 default); any other value (a numeric manual seed, "off",
+    * "default") disables the per-query override.
+    */
+  def autoEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").forall(_ == "auto")
   /** Estimated input bytes per shuffle partition. 32 MB of
     * footer-estimated (columnar-compressed) input ≈ 100-500 MB in
     * unsafe-row form mid-shuffle — small enough to sort without spilling
@@ -74,12 +87,13 @@ object AutoParts {
     math.max(cpus, rounded.min(MaxParts).toInt)
   }
 
-  /** Apply the lever for one query if SPARK_GRAFT_INIT_PARTITIONS=auto:
-    * sets the AQE seed conf for the query about to execute and returns the
-    * chosen value (for logging); no-op returning -1 otherwise.
+  /** Apply the lever for one query when auto mode is active (the r16
+    * default — see [[autoEnabled]]): sets the AQE seed conf for the query
+    * about to execute and returns the chosen value (for logging); no-op
+    * returning -1 otherwise.
     */
   def applyIfAuto(df: DataFrame, cpus: Int): Int =
-    if (sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").contains("auto")) {
+    if (autoEnabled) {
       val n = partsFor(df, cpus)
       df.sparkSession.conf
         .set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)

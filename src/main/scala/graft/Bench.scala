@@ -29,11 +29,12 @@ object Bench {
       // scales is unchanged (default = cpus = the r1-r10 behavior)
       .config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        // "auto" = per-query AutoParts override (set at each query below);
-        // the builder seed stays the default so non-plan-derived work
-        // (canary probes, warmup) keeps the r1-r10 behavior
+        // a NUMERIC env value pins the builder seed; otherwise (auto mode
+        // — the r16 default — or "off"/"default") the builder seed stays
+        // cpus so non-plan-derived work (canary probes, warmup) keeps the
+        // r1-r10 behavior and per-query auto overrides are set per query
         sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
-          .filter(_ != "auto").getOrElse(cpus))
+          .filter(v => v.nonEmpty && v.forall(_.isDigit)).getOrElse(cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,16 +105,18 @@ object Bench {
     // where scratch is harmless (measured: unconditional sweeping cost
     // 2-17% wall at sf0.1) and fires it at the GB-scale leftovers that
     // actually starve later queries.
-    // per-query AQE seed when SPARK_GRAFT_INIT_PARTITIONS=auto (no-op
-    // otherwise); called OUTSIDE every timed region — the plan analysis it
-    // does must never land inside a measurement. Guarded on the env BEFORE
+    // per-query AQE seed — auto is the DEFAULT since r16 (numeric /
+    // "off" / "default" env values disable it; AutoParts.autoEnabled);
+    // called OUTSIDE every timed region — the plan analysis it does must
+    // never land inside a measurement. Guarded on the mode BEFORE
     // constructing the DataFrame (ADVICE r15: the unconditional fn() call
     // built and analyzed every plan twice even with the lever off), and a
     // failure logs + resets to the builder default rather than silently
     // inheriting the previous query's seed.
-    val autoMode = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").contains("auto")
+    val autoMode = AutoParts.autoEnabled
     val builderSeed: String =
-      sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").filter(_ != "auto").getOrElse(cpus)
+      sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
+        .filter(v => v.nonEmpty && v.forall(_.isDigit)).getOrElse(cpus)
     // restore the builder-default seed after each query (and so before any
     // canary probe): without this the LAST query's auto seed leaked into
     // canaryEnd and into any query whose plan analysis threw (ADVICE r15)

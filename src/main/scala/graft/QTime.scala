@@ -39,14 +39,27 @@ object QTime {
     val explainOnly = args.contains("--explain-only")
     val explain = args.contains("--explain") || explainOnly
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // a NUMERIC SPARK_GRAFT_INIT_PARTITIONS pins the AQE seed for the
+    // whole run (parity with Bench; pinned -D flags keep working because
+    // nothing is set here otherwise); auto mode — the r16 default — seeds
+    // per query below
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
+      .filter(v => v.nonEmpty && v.forall(_.isDigit))
+      .foreach(n => builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // whatever seed the session actually started with (numeric env,
+    // a tool's pinned -D flag, or Spark's own default) — what a failed
+    // auto analysis must reset to
+    val defaultSeed = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     // SPARK_GRAFT_QTIME_PASSES (default 2): big-SF probes whose shuffle
     // spill approaches the disk budget run 1 timed pass. The GC between
     // passes releases the previous pass's ShuffleDependencies so the
@@ -69,8 +82,12 @@ object QTime {
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[qtime] $n auto-parts analysis failed, default seed: $e")
-            spark.conf.set(
-              "spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus)
+            defaultSeed match {
+              case Some(v) => spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+              case None => spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+            }
             -1
         }
       if (auto > 0) println(s"[qtime] $n auto_init_partitions=$auto")

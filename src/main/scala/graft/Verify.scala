@@ -67,8 +67,28 @@ object Verify {
     // stays 1 (the driver's sf0.01 artifact layout, one tidy file per key).
     val coalesceOne =
       !sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").contains("0")
+    // per-query AQE seed, auto by default since r16 (AutoParts.autoEnabled;
+    // numeric env / -D pins disable it) — the same engine-default geometry
+    // Bench/QTime run, so the correctness gate certifies the plans users
+    // actually get. Analysis failure degrades to the session default.
+    val verifyDefaultSeed = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    def applyAuto(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      if (AutoParts.autoEnabled)
+        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] auto-parts analysis failed, default seed: $e")
+            verifyDefaultSeed match {
+              case Some(v) => spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+              case None => spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+            }
+        }
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
+        applyAuto(fn)
         val df = fn(spark, sfDir)
         (if (coalesceOne) df.coalesce(1) else df).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -48,7 +48,10 @@ def run(repo, sf_dir, key, mode, manual_parts):
                 f".initialPartitionNum={manual_parts}")
         env["SPARK_EXTRA_JAVA_OPTS"] = (
             env.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + flag).strip()
-        env.pop("SPARK_GRAFT_INIT_PARTITIONS", None)
+        # numeric env value DISABLES the r16 per-query auto default (and
+        # pins the builder seed itself — the -D flag is kept for tools
+        # replaying this against pre-r16 classes)
+        env["SPARK_GRAFT_INIT_PARTITIONS"] = str(manual_parts)
     else:
         env["SPARK_GRAFT_INIT_PARTITIONS"] = "auto"
     t0 = time.time()

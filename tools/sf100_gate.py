@@ -68,6 +68,8 @@ def main() -> int:
     extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + pinned).strip()
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
                SPARK_GRAFT_CPUS="32",
+               # numeric value also disables the r16 per-query auto default
+               SPARK_GRAFT_INIT_PARTITIONS="256",
                SPARK_EXTRA_JAVA_OPTS=extra)
     for key in keys:
         t0 = time.time()

@@ -52,6 +52,8 @@ def run_key(repo, key, sf_dir, init_parts):
     extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + flag).strip()
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
                SPARK_GRAFT_CPUS="32", SPARK_GRAFT_QTIME_AGG="hash",
+               # numeric value also disables the r16 per-query auto default
+               SPARK_GRAFT_INIT_PARTITIONS=str(init_parts),
                SPARK_EXTRA_JAVA_OPTS=extra)
     t0 = time.time()
     proc = subprocess.run(

@@ -12,8 +12,8 @@ re-run on the round's code (q18 carries the new pinned broadcast), plus
 q3/q9/q21, the merge key, and the two spill-lever window keys.
 
 Resource notes (single host, 128 GiB / ~60 GB free disk):
-  - the Spark dump runs in one 64g JVM, 32 threads, AQE
-    initialPartitionNum=256 (the documented sf100 lever);
+  - the Spark dump runs in one 64g JVM, 32 threads, per-query AutoParts
+    AQE seed (the r16 engine default; session fallback 256);
   - the DuckDB compare gets more memory (60GB) and LESS temp (35GB) than
     the sf0.01 defaults — the dumps live on the same disk;
   - dumps land in a scratch dir and are deleted after the compare.
@@ -67,6 +67,9 @@ def main() -> int:
 
     dump = os.path.join(repo, ".sf100rel_dump")
     shutil.rmtree(dump, ignore_errors=True)
+    # -D 256 is the session-default seed (what an analysis failure falls
+    # back to); since r16 Verify applies the per-query AutoParts seed on
+    # top — the gate certifies the engine-DEFAULT geometry users get.
     pinned = ("-Dspark.sql.adaptive.coalescePartitions"
               ".initialPartitionNum=256")
     extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " "
@@ -75,6 +78,7 @@ def main() -> int:
                SPARK_GRAFT_VERIFY_ONLY=",".join(keys),
                SPARK_GRAFT_VERIFY_COALESCE="0",
                SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_INIT_PARTITIONS="auto",
                SPARK_EXTRA_JAVA_OPTS=extra)
     t0 = time.time()
     proc = subprocess.run(
@@ -125,7 +129,8 @@ def main() -> int:
                   "(600M lineitem / 150M orders / 100M events; "
                   "tools/regen_sf100.sh)",
         "method": "graft.Verify multi-part dump (64g JVM, 32 threads, AQE "
-                  "initialPartitionNum=256) -> tools/verify_local.py "
+                  "seed auto per query since r16 — AutoParts, session "
+                  "default 256) -> tools/verify_local.py "
                   "DuckDB compare; outputs past GRAFT_BIG_COMPARE_ROWS "
                   "verified in-engine via symmetric EXCEPT ALL "
                   "(multiset semantics)",

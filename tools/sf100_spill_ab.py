@@ -33,7 +33,10 @@ def main() -> int:
             extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "")
                      + " " + flag).strip()
             env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
-                       SPARK_GRAFT_CPUS="32", SPARK_EXTRA_JAVA_OPTS=extra)
+                       SPARK_GRAFT_CPUS="32",
+                       # numeric: disables the r16 per-query auto default
+                       SPARK_GRAFT_INIT_PARTITIONS=str(p),
+                       SPARK_EXTRA_JAVA_OPTS=extra)
             t0 = time.time()
             proc = subprocess.run(
                 [os.path.join(repo, "tools", "run_class.sh"), "-mem", "64g",

@@ -49,7 +49,10 @@ def run(repo, sf_dir, init_parts, consumer):
         flag += " -Dspark.sql.adaptive.coalescePartitions.enabled=false"
     extra = (os.environ.get("SPARK_EXTRA_JAVA_OPTS", "") + " " + flag).strip()
     env = dict(os.environ, SPARK_GRAFT_QTIME_PASSES="1",
-               SPARK_GRAFT_CPUS="32", SPARK_EXTRA_JAVA_OPTS=extra)
+               SPARK_GRAFT_CPUS="32",
+               # numeric value also disables the r16 per-query auto default
+               SPARK_GRAFT_INIT_PARTITIONS=str(init_parts),
+               SPARK_EXTRA_JAVA_OPTS=extra)
     if consumer == "hash":
         env["SPARK_GRAFT_QTIME_AGG"] = "hash"
     else:
