@@ -82,9 +82,14 @@ object AutoParts {
       .max(s.joinChild)
       .max(s.selfJoinChild * SelfJoinWeight)
       .max(s.winSortChild * SortWeight)
-    val raw = (est / TargetPartBytes).toLong
+    // clamp in the BigInt domain BEFORE narrowing: .toLong on an
+    // astronomic BigInt truncates to the low 64 bits (possibly negative),
+    // and a negative Long's .toInt wraps again — the r16 probe measured a
+    // 1,733,712,384-partition seed from a 6.9e61 checkpoint stat this way
+    // (PlanStats now also zeroes such garbage at the signal level)
+    val raw = (est / TargetPartBytes).min(BigInt(MaxParts)).toLong
     val rounded = ((raw + cpus - 1) / cpus) * cpus
-    math.max(cpus, rounded.min(MaxParts).toInt)
+    math.max(cpus, rounded.min(MaxParts.toLong).toInt)
   }
 
   /** Apply the lever for one query when auto mode is active (the r16

@@ -56,11 +56,34 @@ object PlanStats {
       selfJoinChild: BigInt,
       winSortChild: BigInt)
 
+  /** Stats at or beyond this are not measurements: Spark assigns
+    * `defaultSizeInBytes` (= Long.MaxValue) to nodes it cannot size —
+    * notably the LogicalRDDs behind MatCache's localCheckpoints — and
+    * width-ratio/Generate multipliers then compound it into astronomic
+    * BigInts (measured: 6.9e61 on q_dedup_clusters' checkpointed pair
+    * graph). Any such value is UNKNOWN, not huge: treating it as real
+    * wrapped BigInt→Long→Int in partsFor to a 1.7-BILLION partition seed
+    * and OOM'd the JVM (r16 probe). 1 PiB is far above any real signal
+    * here (the sf100 corpus is 16 GB; a 100 TB fleet input still passes)
+    * and far below the garbage band (>= 8 EiB).
+    */
+  private val SaneStatBytes = BigInt(1L << 50)
+
   def signals(plan: LogicalPlan): Signals = {
+    // LogicalRDDs (localCheckpoint materializations — MatCache artifacts,
+    // q11's twice-consumed aggregate) carry defaultSizeInBytes-derived
+    // stats, not measurements: astronomic (6.9e61 on the checkpointed
+    // pair graph) or arbitrarily scaled (3e13 "bytes" for q11's 25-row
+    // frame at sf0.1). A subtree containing one is as unknowable as one
+    // containing a Join/Aggregate.
     def reliable(p: LogicalPlan): Boolean =
-      p.collectFirst { case n @ (_: Join | _: Aggregate) => n }.isEmpty
+      p.collectFirst {
+        case n @ (_: Join | _: Aggregate) => n
+        case n: org.apache.spark.sql.execution.LogicalRDD => n
+      }.isEmpty
+    def sane(b: BigInt): BigInt = if (b >= SaneStatBytes) BigInt(0) else b
     def maxOf(xs: Seq[BigInt]): BigInt =
-      if (xs.isEmpty) BigInt(0) else xs.max
+      if (xs.isEmpty) BigInt(0) else xs.map(sane).max
     def roots(p: LogicalPlan): Set[String] = p.collect {
       case l: LogicalRelation => l.relation match {
         case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -83,7 +106,7 @@ object PlanStats {
       case w: Window if reliable(w.child) => w.child.stats.sizeInBytes
       case s: Sort if s.global && reliable(s.child) => s.child.stats.sizeInBytes
     }
-    Signals(scans.sum, maxOf(joinIn), maxOf(selfJoinIn), maxOf(wsIn))
+    Signals(scans.map(sane).sum, maxOf(joinIn), maxOf(selfJoinIn), maxOf(wsIn))
   }
 
   def main(args: Array[String]): Unit = {

@@ -699,4 +699,26 @@ class PlanSpec extends SparkSpec {
     assert(sig("q_tpch_q1").winSortChild === BigInt(0),
       "a sort above an aggregate must not contribute a bogus size signal")
   }
+
+  test("AutoParts: checkpoint-poisoned stats floor to cpus, never overflow the cap") {
+    // MatCache's localCheckpoints surface as LogicalRDDs whose stats are
+    // defaultSizeInBytes-derived garbage (measured 6.9e61 bytes on the
+    // pair graph at sf0.1); before the r16 sanity filter + BigInt-domain
+    // clamp, partsFor wrapped BigInt->Long->Int into a 1,733,712,384
+    // partition seed and the executing JVM OOM'd on 3.4e9 shuffle blocks.
+    for (k <- Seq("q_dedup_clusters", "q_graph_pagerank", "q_graph_degrees")) {
+      val n = AutoParts.partsFor(q(k), 32)
+      assert(n === 32,
+        s"$k (checkpoint-backed plan) must floor to cpus at driver scale, got $n")
+    }
+    // the clamp itself: a synthetic astronomic estimate stays at the cap
+    val garbage = BigInt("68781492363497275225038277326762912707510552851647261873377053")
+    val raw = (garbage * 16 / AutoParts.TargetPartBytes)
+      .min(BigInt(AutoParts.MaxParts)).toLong
+    assert(raw === AutoParts.MaxParts.toLong)
+    // and the signal-level filter zeroes it before the formula ever sees it
+    assert(PlanStats.signals(q("q_dedup_clusters").queryExecution.optimizedPlan)
+      .winSortChild < BigInt(1L << 50),
+      "garbage checkpoint stats must be filtered at the signal level")
+  }
 }
