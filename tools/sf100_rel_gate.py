@@ -41,6 +41,10 @@ KEYS = [
     # at this decade until now
     "q_dedup_exact", "q_dedup_normalized", "q_dedup_decontaminate",
     "q_text_dsir",
+    # r16 widening pass: the per-doc text-analysis keys (language id,
+    # quality scoring, token counting, fingerprinting, stats)
+    "q_text_langid", "q_text_quality", "q_text_tokens",
+    "q_text_fingerprint", "q_text_stats",
 ]
 
 
