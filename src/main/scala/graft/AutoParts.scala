@@ -35,17 +35,36 @@ import org.apache.spark.sql.DataFrame
   * default. Safe to default because the formula floors at cpus: at the
   * driver gate scales every estimate is far below cpus x target, so auto
   * reproduces the r1-r15 behavior exactly (pinned in PlanSpec); at big SF
-  * it matched or beat the per-key manual best on the nine A/B keys
-  * (BENCH_autoparts_AB.json). The conf is runtime-settable, so the
-  * harness sets it per query just before the consumer executes.
+  * it matched or beat the per-key manual best on 8 of the nine A/B keys
+  * (BENCH_autoparts_AB.json) — q_merge_upsert was the documented
+  * exception (auto 384 → 1.83x the manual 512 best; the global sort above
+  * its full-outer join buffers the join OUTPUT, whose row count no static
+  * size estimate can see), closed in r17 by the registry's per-key
+  * [[Q.seedHint]] consumed in [[applyIfAuto]]. The conf is
+  * runtime-settable, so the harness sets it per query just before the
+  * consumer executes.
   */
 object AutoParts {
   /** Is the per-query auto seed active? Unset and "auto" mean yes (the
-    * r16 default); any other value (a numeric manual seed, "off",
-    * "default") disables the per-query override.
+    * r16 default); a numeric manual seed, "off" or "default" disables the
+    * per-query override. Anything else (e.g. "AUTO", a typo) ALSO
+    * disables it — the harness builder filter drops non-numeric values,
+    * so the session silently falls back to the cpus seed — but warns once
+    * to stderr so a misspelling is never a silent config change
+    * (ADVICE r16).
     */
-  def autoEnabled: Boolean =
-    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").forall(_ == "auto")
+  lazy val autoEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_INIT_PARTITIONS") match {
+      case None | Some("auto")            => true
+      case Some("off") | Some("default")  => false
+      case Some(v) if v.nonEmpty && v.forall(_.isDigit) => false
+      case Some(v) =>
+        System.err.println(
+          s"[autoparts] unrecognized SPARK_GRAFT_INIT_PARTITIONS='$v' " +
+            "(expected a number, 'auto', 'off' or 'default'); auto seeding " +
+            "DISABLED, session falls back to the builder-default seed")
+        false
+    }
   /** Estimated input bytes per shuffle partition. 32 MB of
     * footer-estimated (columnar-compressed) input ≈ 100-500 MB in
     * unsafe-row form mid-shuffle — small enough to sort without spilling
@@ -96,6 +115,36 @@ object AutoParts {
     * default — see [[autoEnabled]]): sets the AQE seed conf for the query
     * about to execute and returns the chosen value (for logging); no-op
     * returning -1 otherwise.
+    *
+    * When the registry declares a [[Q.seedHint]] for `name` AND the
+    * formula itself is above the cpu floor (the plan's estimates are in
+    * the spill regime — i.e. big SF, not the driver gate), the hint wins:
+    * it encodes a measured optimum the static signals cannot derive
+    * (q_merge_upsert's sort-above-full-outer-join, VERDICT r16 item 1).
+    * At gate scales the formula floors at cpus, the hint never fires, and
+    * auto remains bit-identical to the r16 behavior (PlanSpec pins both
+    * sides of that gate).
+    */
+  def applyIfAuto(name: String, df: DataFrame, cpus: Int): Int =
+    if (autoEnabled) {
+      val n = chooseSeed(name, partsFor(df, cpus), cpus)
+      df.sparkSession.conf
+        .set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+      n
+    } else -1
+
+  /** The hint-vs-formula decision, pure for tests: the registry hint wins
+    * only when the formula is above the cpu floor (spill regime); at gate
+    * scales the formula floors at cpus and the hint is inert.
+    */
+  def chooseSeed(name: String, formula: Int, cpus: Int): Int =
+    Registry.byName.get(name).flatMap(_.seedHint) match {
+      case Some(h) if formula > cpus => h
+      case _                         => formula
+    }
+
+  /** Formula-only variant (no registry hint) — kept for probes that size a
+    * plan outside the named-registry context.
     */
   def applyIfAuto(df: DataFrame, cpus: Int): Int =
     if (autoEnabled) {

@@ -122,16 +122,18 @@ object Bench {
     // canaryEnd and into any query whose plan analysis threw (ADVICE r15)
     def resetAuto(): Unit = if (autoMode) spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum", builderSeed)
-    def applyAuto(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def applyAuto(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (autoMode)
-        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+        try AutoParts.applyIfAuto(name, fn(spark, sfDir), cpus.toInt)
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] auto-parts analysis failed, default seed: $e")
             resetAuto()
         }
     queries.foreach { case (name, fn) =>
-      applyAuto(fn)
+      applyAuto(name, fn)
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
       resetAuto()
@@ -206,7 +208,7 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes) {
       queries.foreach { case (name, fn) =>
-        applyAuto(fn)
+        applyAuto(name, fn)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -268,16 +270,13 @@ object Bench {
           .mkString("[", ",", "]")},"errors":$errJson$subset$canaryJson,"sf":"$sfDir"}"""
     println(mainLine)
     persist(mainLine)
-    // Second, SHORT summary line AFTER the big per-query line: a tail
-    // capture of this process's stdout truncates the front, which for
-    // rounds 4-6 cut the line above before its "value" field — the
-    // headline number was lost. This line is small enough to survive any
-    // reasonable tail window and carries the same verdict fields.
-    // "short":true disambiguates this record from the full line above so a
-    // consumer aggregating on metric=total can't double-count the run
-    println(
-      s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
-          .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    // The short count-headline summary prints ONCE, as the FINAL stdout
+    // line after the hash series below (ADVICE r16: printing it both here
+    // and at the end gave two identical-shape short lines, so a consumer
+    // summing metric=total short records double-counted the run). The
+    // final line always prints — the hash series runs inside its own
+    // try/catch — so the rounds-4-6 tail-truncation protection (a short
+    // line small enough to survive any tail window) is preserved.
 
     // ---- Plan-true parallel series (r15; VERDICT r14 item 6). The count()
     // consumer above is the cross-round comparable (BENCH_r{N}) and the
@@ -304,7 +303,7 @@ object Bench {
       // hash agg) codegen-compile here, not inside a timed pass
       val hErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
       queries.foreach { case (name, fn) =>
-        applyAuto(fn)
+        applyAuto(name, fn)
         try QTime.evalRows(fn(spark, sfDir), forceHash = true)
         catch { case e: Throwable =>
           System.err.println(s"[bench-hash] warm $name failed: $e") }
@@ -314,7 +313,7 @@ object Bench {
       val hBest = scala.collection.mutable.Map.empty[String, Double]
       for (_ <- 1 to hashPasses) {
         queries.foreach { case (name, fn) =>
-          applyAuto(fn)
+          applyAuto(name, fn)
           val t0 = System.nanoTime()
           val ok =
             try { QTime.evalRows(fn(spark, sfDir), forceHash = true); true }
@@ -353,11 +352,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench-hash] series failed: $e")
     }
-    // FINAL stdout line = the count-comparable headline, re-printed after
-    // the hash series with the hash total as an extra field: the driver
-    // keys BENCH_r{N}.json off the LAST short JSON line, which in r15 was
-    // the hash short line — this keeps "value" count-comparable across
-    // rounds by construction while still carrying the plan-true twin.
+    // FINAL stdout line = the ONE short count-comparable headline (see the
+    // comment at the mainLine print), carrying the hash total as an extra
+    // field: the driver keys BENCH_r{N}.json off the LAST short JSON line,
+    // which in r15 was the hash short line — this keeps "value"
+    // count-comparable across rounds by construction while still carrying
+    // the plan-true twin.
     val hashField = hashTotal.map(h => s""","total_hash":$h""").getOrElse("")
     println(
       s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed

@@ -124,9 +124,10 @@ object PlanStats {
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       val s0 = signals(df.queryExecution.optimizedPlan)
+      val formula = AutoParts.partsFor(df, cpus.toInt)
       println(s"[planstats] $n scan=${s0.scan} joinChild=${s0.joinChild} " +
         s"selfJoinChild=${s0.selfJoinChild} winSortChild=${s0.winSortChild} " +
-        s"auto=${AutoParts.partsFor(df, cpus.toInt)}")
+        s"auto=${AutoParts.chooseSeed(n, formula, cpus.toInt)} formula=$formula")
     }
     spark.stop()
   }

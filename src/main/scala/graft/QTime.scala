@@ -76,20 +76,25 @@ object QTime {
       // warm and timed passes run the same physical configuration. A
       // plan-analysis failure degrades to the default seed and continues
       // (ADVICE r15: unguarded, it aborted the whole remaining key list
-      // including --explain-only inspection runs).
+      // including --explain-only inspection runs). The fn() call sits
+      // INSIDE the mode guard (ADVICE r16): with auto disabled by a
+      // numeric env the plan must not be built-and-analyzed a wasted
+      // extra time.
       val auto =
-        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[qtime] $n auto-parts analysis failed, default seed: $e")
-            defaultSeed match {
-              case Some(v) => spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
-              case None => spark.conf.unset(
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-            }
-            -1
-        }
+        if (!AutoParts.autoEnabled) -1
+        else
+          try AutoParts.applyIfAuto(n, fn(spark, sfDir), cpus.toInt)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[qtime] $n auto-parts analysis failed, default seed: $e")
+              defaultSeed match {
+                case Some(v) => spark.conf.set(
+                  "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+                case None => spark.conf.unset(
+                  "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+              }
+              -1
+          }
       if (auto > 0) println(s"[qtime] $n auto_init_partitions=$auto")
       if (explain && forceHash) {
         // explain what the hash consumer actually executes (count() and

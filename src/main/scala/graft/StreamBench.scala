@@ -216,6 +216,30 @@ object StreamBench {
         s""","stored_rows":$stored,"arrival":"shuffled","compact_every":8""")
     }
 
+    // ---- 3d. the delta tier under ORDERED arrival (r17; VERDICT r16
+    // item 3: "both arrival orders" at every measured decade): when each
+    // batch touches few dates the direct tier is already O(batch), so this
+    // arm prices the delta tier's OVERHEAD (landing + one final fold) in
+    // the regime it wasn't built for — the tier is only worth defaulting
+    // to if this stays within ~1x of upsert_ordered.
+    locally {
+      val src = fileStream(
+        dir("landing_events_ord"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .upsertDeltaSink(src, dir("upsert_delta_ord_out"),
+          dir("upsert_delta_ord_ckpt"), Trigger.AvailableNow())
+        .start()
+      val (wall0, perBatch, _) = drain(q)
+      val t0 = System.nanoTime()
+      streaming.Streams.compactUpsertDeltas(spark, dir("upsert_delta_ord_out"))
+      val wall = wall0 + (System.nanoTime() - t0) / 1e9
+      val stored = spark.read.parquet(dir("upsert_delta_ord_out")).count()
+      require(stored == shuffledStored,
+        s"ordered delta upsert stored $stored != direct arm's $shuffledStored")
+      record("upsert_delta_ordered", nEvents, wall, perBatch,
+        s""","stored_rows":$stored,"arrival":"event-time-ordered","compact_every":8""")
+    }
+
     // ---- 4. count MV maintenance + the monitor read it serves
     locally {
       val src = fileStream(
@@ -230,6 +254,30 @@ object StreamBench {
       val readSec = (System.nanoTime() - t0) / 1e9
       record("count_mv", nEvents, wall, perBatch,
         f""","mv_read_sec":$readSec%.2f,"drift_rows":$nDrift""")
+    }
+
+    // ---- 4b. CM-sketch MV maintenance + a point-frequency read (r17;
+    // VERDICT r16 item 3 names the cm MV among the sinks without a deep
+    // decade): per-batch cost must stay flat — the sink appends
+    // fixed-width integer cell rows (4x512 per batch-day), never rescans
+    locally {
+      val src = fileStream(
+        dir("landing_events"), streaming.Streams.telemetrySchema, 8)
+      val q = streaming.Streams
+        .cmMvSink(src, dir("cmmv_out"), dir("cmmv_ckpt"),
+          Trigger.AvailableNow())
+        .start()
+      val (wall, perBatch, _) = drain(q)
+      val probeKeys = telemetry.select(col("timeseries_id"))
+        .distinct().orderBy(col("timeseries_id")).limit(8)
+        .collect().map(_.getString(0)).toSeq
+      val t0 = System.nanoTime()
+      val nEst = streaming.Streams
+        .cmEstimate(spark, dir("cmmv_out"), probeKeys, "1970-01-01", "2100-01-01")
+        .count()
+      val readSec = (System.nanoTime() - t0) / 1e9
+      record("cm_mv", nEvents, wall, perBatch,
+        f""","mv_read_sec":$readSec%.2f,"probe_keys":$nEst""")
     }
 
     // ---- 5. streaming near-dup dedup over documents

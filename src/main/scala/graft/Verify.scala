@@ -73,9 +73,11 @@ object Verify {
     // actually get. Analysis failure degrades to the session default.
     val verifyDefaultSeed = spark.conf.getOption(
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-    def applyAuto(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def applyAuto(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (AutoParts.autoEnabled)
-        try AutoParts.applyIfAuto(fn(spark, sfDir), cpus.toInt)
+        try AutoParts.applyIfAuto(name, fn(spark, sfDir), cpus.toInt)
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[verify] auto-parts analysis failed, default seed: $e")
@@ -88,7 +90,7 @@ object Verify {
         }
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
-        applyAuto(fn)
+        applyAuto(name, fn)
         val df = fn(spark, sfDir)
         (if (coalesceOne) df.coalesce(1) else df).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -529,7 +529,17 @@ object JoinOps {
             .otherwise("update")
             .as("op"))
         .orderBy("o_orderkey")
-    },
+    // Spill-regime seed hint (r17; VERDICT r16 item 1): the global sort
+    // buffers the full-outer join OUTPUT (~260 M rows at sf100) whose row
+    // count depends on the delta aggregate's group count — invisible to
+    // every static size signal (winSortChild is rightly 0: the sort's
+    // child contains the join). Measured optimum is non-monotonic
+    // (384 → 82.6 s, 512 → 45.2 s, 1024 → 139.9 s at sf100,
+    // BENCH_autoparts_AB.json), so a weight-based correction would
+    // overshoot into the 1024 cap; the hint pins the measured best. Inert
+    // below the spill regime (AutoParts applies it only when the formula
+    // is above the cpu floor).
+    }.withSeedHint(512),
 
     // TPC-H Q4 shape (order priority checking): EXISTS decorrelates into a
     // LEFT SEMI join whose condition mixes the equi key with a non-equi

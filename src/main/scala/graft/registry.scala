@@ -11,7 +11,23 @@ import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** Measured AQE-seed override for the spill regime (r17; VERDICT r16
+      * item 1): when AutoParts runs in auto mode AND its formula is above
+      * the cpu floor (i.e. the plan's size estimates put the query in the
+      * big-SF spill regime), this seed replaces the formula's. Exists for
+      * the plan shapes whose buffered volume no static estimate can see —
+      * q_merge_upsert's global sort buffers the full-outer join OUTPUT
+      * (~260 M rows at sf100), which depends on the delta side's group
+      * count; the measured optimum there is non-monotonic (384→82.6 s,
+      * 512→45.2 s, 1024→139.9 s, BENCH_autoparts_AB.json), so any
+      * weight-based correction overshoots into the bad cap. At driver-gate
+      * scales the formula floors at cpus and the hint is inert, so the
+      * r1-r16 gate behavior is unchanged (pinned in PlanSpec).
+      */
+    seedHint: Option[Int] = None) {
+  def withSeedHint(n: Int): Q = copy(seedHint = Some(n))
+}
 
 object Q {
   def apply(name: String, oracle: String)(

@@ -738,6 +738,17 @@ object Streams {
     val w = Window
       .partitionBy(col(seriesCol), col(tsCol))
       .orderBy(others.toIndexedSeq.map(c => col(c).desc_nulls_last): _*)
+    // Atomic landing (ADVICE r16): a plain overwrite of batch=<id> exposes
+    // a half-written directory to upsertRead/compactUpsertDeltas if the
+    // writer crashes mid-write (until streaming replay overwrites it).
+    // Write to a dot-prefixed tmp dir — hidden from parquet readers and
+    // from deltaDirs' batch= filter alike — then swap in with a rename,
+    // which is atomic on every FileSystem this engine targets (HDFS, and
+    // the local FS the harness runs on; object stores would use their
+    // committer at this layer). Replay idempotence is preserved: the
+    // pre-rename delete clears any previous copy of the same batch.
+    val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/_delta/.tmp_batch=$batchId")
+    val dst = new org.apache.hadoop.fs.Path(s"$rootDir/_delta/batch=$batchId")
     batch
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -745,7 +756,11 @@ object Streams {
       .withColumn("event_date", to_date(col(tsCol)))
       .write
       .mode("overwrite")
-      .parquet(s"$rootDir/_delta/batch=$batchId")
+      .parquet(tmp.toString)
+    val fs = dst.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"delta landing rename failed: $tmp -> $dst")
     if (deltaDirs(batch.sparkSession, rootDir).size >= compactEvery)
       compactUpsertDeltas(batch.sparkSession, rootDir, seriesCol, tsCol)
   }

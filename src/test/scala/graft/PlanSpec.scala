@@ -700,6 +700,26 @@ class PlanSpec extends SparkSpec {
       "a sort above an aggregate must not contribute a bogus size signal")
   }
 
+  test("AutoParts: registry seed hint fires only in the spill regime") {
+    // q_merge_upsert's measured-optimum hint (512 at sf100,
+    // BENCH_autoparts_AB.json) replaces the formula ONLY when the formula
+    // is above the cpu floor — i.e. the plan's estimates put the query in
+    // the big-SF spill regime. In the spill regime the hint wins:
+    assert(AutoParts.chooseSeed("q_merge_upsert", 384, 32) === 512)
+    // at the floor (driver-gate scales) the hint is inert — the gate runs
+    // the exact r1-r16 geometry:
+    assert(AutoParts.chooseSeed("q_merge_upsert", 32, 32) === 32)
+    assert(AutoParts.partsFor(q("q_merge_upsert"), 32) === 32,
+      "merge_upsert must still floor to cpus at driver scale")
+    // keys without a hint keep the formula either way:
+    assert(AutoParts.chooseSeed("q_tpch_q1", 384, 32) === 384)
+    assert(AutoParts.chooseSeed("q_tpch_q1", 32, 32) === 32)
+    // exactly one key carries a hint today — a new hint must come with its
+    // own measured A/B artifact before it lands here:
+    assert(Registry.all.filter(_.seedHint.isDefined).map(_.name) ===
+      Seq("q_merge_upsert"))
+  }
+
   test("AutoParts: checkpoint-poisoned stats floor to cpus, never overflow the cap") {
     // MatCache's localCheckpoints surface as LogicalRDDs whose stats are
     // defaultSizeInBytes-derived garbage (measured 6.9e61 bytes on the

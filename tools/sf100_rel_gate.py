@@ -59,11 +59,19 @@ def main() -> int:
         return 2
     out_path = os.path.join(repo, out)
     results = {}
-    if len(sys.argv) > 3 and os.path.exists(out_path):
+    if os.path.exists(out_path):
         prior = json.load(open(out_path))
         # accept both the flat r14 shape and this tool's wrapped shape
-        results = prior.get("results", prior)
-        stale = sorted(set(results) - set(KEYS))
+        merged = prior.get("results", prior)
+        # rows owned by tools/sf100_ts_gate.py (subset-form TS keys) are
+        # ALWAYS preserved — they are certified by that tool, not this one
+        results = {k: v for k, v in merged.items()
+                   if isinstance(v, dict) and "form" in v}
+        if len(sys.argv) > 3:
+            results.update({k: v for k, v in merged.items()
+                            if k not in results})
+        stale = sorted(set(results) - set(KEYS)
+                       - {k for k, v in results.items() if "form" in v})
         for k in stale:
             results.pop(k)
         if stale:
