@@ -128,6 +128,33 @@ object UpsertReadBench {
         () => spark.read.parquet(store), expectRows(NBatches))
     }
 
+    // the REALISTIC backlog regime (r17): late corrections touch a handful
+    // of dates, not every partition — land 4 pending deltas confined to
+    // the two most recent event dates and re-price the merge-on-read.
+    // The date-pruned anti-join (Streams.upsertRead) should collapse the
+    // tax to the touched partitions + pending volume; the merged row
+    // count is unchanged (the corrections re-state existing keys).
+    locally {
+      val locDates = batched
+        .select(to_date(col("timestamp")).as("d")).distinct()
+        .orderBy(col("d").desc).limit(2)
+        .collect().map(_.getDate(0))
+      val local = batched
+        .filter(to_date(col("timestamp")).isin(locDates.toIndexedSeq: _*))
+      val nLocal = local.count()
+      (0 until 4).foreach { i =>
+        streaming.Streams.upsertDeltaBatch(
+          local.filter(pmod(col("_b"), lit(4)) === i).drop("_b"),
+          store, 100L + i, compactEvery = Int.MaxValue)
+      }
+      println(s"[upsertread] local backlog: $nLocal rows across " +
+        s"${locDates.length} dates in 4 pending deltas")
+      price("merge_on_read_local4", 4,
+        () => streaming.Streams.upsertRead(spark, store), expectRows(NBatches))
+      results("local_backlog") =
+        s"""{"pending_rows":$nLocal,"touched_dates":${locDates.length}}"""
+    }
+
     val json =
       s"""{"metric":"merge-on-read cost vs pending-delta backlog","sf":"$sfDir",""" +
         s""""events":$nEvents,"cpus":$cpus,"n_batches":$NBatches,""" +

@@ -809,6 +809,22 @@ object Streams {
     * greatest-tuple tie-break) — what a direct-tier reader would see if
     * every batch had been merged eagerly. Plain
     * `spark.read.parquet(rootDir)` remains valid for compacted-only reads.
+    *
+    * Date-pruned anti-join (r17; BENCH_upsertread_sf100.json found the
+    * naive form paying 8.8x the plain read at a worst-case backlog): a
+    * pending delta row can only replace a stored row on its OWN
+    * `event_date` — both sides' partition date is `to_date` of the same
+    * (`seriesCol`,`tsCol`) key's timestamp, so equal keys imply equal
+    * dates — which makes restricting the anti-join to the dates the
+    * pending set actually touches EXACT. Untouched partitions pass
+    * through without entering any exchange (partition pruning at the
+    * scan), so the read tax is proportional to touched-partition bytes +
+    * pending volume, not store size. The touched-date list is a bounded
+    * driver-side collect (distinct event dates across pending deltas —
+    * the same discipline as the per-date compaction loop). Under the
+    * worst case (backfill touching every date) this degenerates to the
+    * old plan; under the realistic late-correction regime (a handful of
+    * touched dates) the tax collapses to those partitions.
     */
   def upsertRead(
       s: SparkSession,
@@ -825,11 +841,44 @@ object Streams {
     live match {
       case None => winners
       case Some(lv) =>
-        lv.join(
+        def antiMerged(in: DataFrame): DataFrame = in
+          .join(
             winners.select(col(seriesCol), col(tsCol)),
             Seq(seriesCol, tsCol),
             "left_anti")
           .unionByName(winners.select(lv.columns.toIndexedSeq.map(col): _*))
+        // touched dates as NATIVE date values — a cast around the
+        // partition column would defeat partition pruning and turn both
+        // branches into full row-filtered scans (measured: backlog-8
+        // worst case 4.9 s vs the naive plan's 2.1 s at sf10)
+        val touched = winners
+          .select(col("event_date"))
+          .distinct()
+          .collect()
+          .map(_.getDate(0))
+        // store partitions from the fs listing (metadata-only, the
+        // liveStore discipline): when the pending set touches most of the
+        // store (backfill), the split degenerates — one untouched branch
+        // pruned to nothing plus plan overhead — so keep the single-scan
+        // plan there and split only when at least half the partitions can
+        // skip the exchange
+        val rootP = new org.apache.hadoop.fs.Path(rootDir)
+        val storeDates = rootP
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .listStatus(rootP)
+          .collect {
+            case st if st.isDirectory &&
+              st.getPath.getName.startsWith("event_date=") =>
+              st.getPath.getName.stripPrefix("event_date=")
+          }
+        val untouchedN =
+          storeDates.count(d => !touched.exists(_.toString == d))
+        if (untouchedN * 2 < storeDates.length) antiMerged(lv)
+        else {
+          val touchedCol = col("event_date").isin(touched.map(x => x: Any): _*)
+          lv.filter(!touchedCol)
+            .unionByName(antiMerged(lv.filter(touchedCol)))
+        }
     }
   }
 
