@@ -45,6 +45,12 @@ KEYS = [
     # quality scoring, token counting, fingerprinting, stats)
     "q_text_langid", "q_text_quality", "q_text_tokens",
     "q_text_fingerprint", "q_text_stats",
+    # r17 widening pass: the semi/anti join shapes (q4 EXISTS, q12
+    # two-route CASE agg, q14 promo ratio) and the events-table windowed
+    # shapes (sessionization, funnel) — none of the event analytics had a
+    # third-decade oracle row before
+    "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
+    "q_ts_session", "q_funnel",
 ]
 
 
