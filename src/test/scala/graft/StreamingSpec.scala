@@ -817,6 +817,54 @@ class StreamingSpec extends SparkSpec {
       "event_date=2024-08-28", "event_date=2024-08-29", "event_date=2024-08-30"))
   }
 
+  test("upsertRead: both anti-join plans — date-pruned split and the all-touched single-scan fallback — resolve identically") {
+    // The r17 date-pruned read has two branches (Streams.upsertRead): a
+    // touched/untouched partition split when at least half the store's
+    // partitions can skip the exchange, and the single-scan fallback when
+    // the pending set touches most dates. The delta-sink test above
+    // exercises the split (its pending delta leaves 08-29 untouched);
+    // this one pins the FALLBACK and that both resolve like eager merges.
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_upread").toString
+    def t(s: String, v: Double, id: String) = Tele("S", ts(s), v, None, id)
+    val base = Seq(
+      t("2024-08-28 10:00:00", 1.0, "id-a"),
+      t("2024-08-29 10:00:00", 2.0, "id-a"),
+      t("2024-08-30 10:00:00", 3.0, "id-b"),
+      t("2024-08-31 10:00:00", 4.0, "id-b"))
+    Streams.upsertDeltaBatch(base.toDF(), out, batchId = 0, compactEvery = 99)
+    Streams.compactUpsertDeltas(spark, out)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("timeseries_id", "timestamp", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    // pending delta touching EVERY store date -> untouched = 0 -> fallback
+    val all = Seq(
+      t("2024-08-28 10:00:00", 10.0, "id-a"),
+      t("2024-08-29 10:00:00", 20.0, "id-a"),
+      t("2024-08-30 10:00:00", 30.0, "id-b"),
+      t("2024-08-31 10:00:00", 40.0, "id-b"))
+    Streams.upsertDeltaBatch(all.toDF(), out, batchId = 1, compactEvery = 99)
+    assert(snap(Streams.upsertRead(spark, out)) === Set(
+      ("id-a", ts("2024-08-28 10:00:00"), 10.0),
+      ("id-a", ts("2024-08-29 10:00:00"), 20.0),
+      ("id-b", ts("2024-08-30 10:00:00"), 30.0),
+      ("id-b", ts("2024-08-31 10:00:00"), 40.0)),
+      "all-touched fallback must resolve every pending replacement")
+    Streams.compactUpsertDeltas(spark, out)
+    // pending delta touching ONE of four dates -> split path: three
+    // untouched partitions pass through, the touched one anti-joins
+    val one = Seq(t("2024-08-30 10:00:00", 99.0, "id-b"))
+    Streams.upsertDeltaBatch(one.toDF(), out, batchId = 2, compactEvery = 99)
+    assert(snap(Streams.upsertRead(spark, out)) === Set(
+      ("id-a", ts("2024-08-28 10:00:00"), 10.0),
+      ("id-a", ts("2024-08-29 10:00:00"), 20.0),
+      ("id-b", ts("2024-08-30 10:00:00"), 99.0),
+      ("id-b", ts("2024-08-31 10:00:00"), 40.0)),
+      "date-pruned split must replace only the touched partition's row")
+  }
+
   test("sketchMvSink: stream-maintained KLL MV equals the direct batch sketch; replay is a no-op; day range prunes") {
     implicit val sqlCtx = spark.sqlContext
     val mv = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
