@@ -76,11 +76,21 @@ object AnnRecallProbe {
 
     // jitter scaled to the source's own norm: cos ~ 1/sqrt(1 + 0.04) ~ 0.98
     // for any corpus scaling (the fixture's absolute 0.2 assumed unit-ish
-    // gaussian coordinates)
+    // gaussian coordinates). Planted vectors are rounded through the
+    // STORAGE element type (array<float> at every gate scale) before the
+    // truth cosines are computed — the operator only ever sees the
+    // float32 copy, and a raw-double truth within ~1e-7 of a round4
+    // boundary could otherwise flip cosines_exact / the 0.9 membership
+    // (ADVICE r17).
+    val elemT = base.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val storageRound: Double => Double =
+      if (elemT == org.apache.spark.sql.types.FloatType) x => x.toFloat.toDouble
+      else identity
     val rnd = new scala.util.Random(17)
     val planted = sources.zipWithIndex.map { case ((srcId, v), i) =>
       val scale = 0.2 * math.sqrt(v.map(x => x * x).sum / v.length)
-      val dup = v.map(x => x + scale * rnd.nextGaussian())
+      val dup = v.map(x => storageRound(x + scale * rnd.nextGaussian()))
       (maxId + 1 + i, srcId, dup)
     }
     // truth set under the operator's own round-to-4-then-threshold cut
@@ -96,8 +106,6 @@ object AnnRecallProbe {
     // combined scratch corpus, planted rows cast to the base schema
     val scratch = java.nio.file.Files.createTempDirectory("graft_annrecall").toString
     import spark.implicits._
-    val elemT = base.schema("embedding").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val plantedDf = planted.toSeq
       .map { case (dupId, _, dup) => (dupId, dup.toSeq, 0) }
       .toDF("vec_id", "embedding", "label")

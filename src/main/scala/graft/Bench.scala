@@ -296,6 +296,20 @@ object Bench {
     // BENCH_r15.json headline silently became total_hash and broke the
     // r01-r14 count series)
     var hashTotal: Option[Double] = None
+    // Crash insurance for the hash series (ADVICE r17): an OOM kill in the
+    // sweep below is not catchable, and with no short line yet emitted the
+    // driver (which keys BENCH_r{N}.json off the LAST short JSON line)
+    // would lose the run's count-comparable headline entirely. Flush a
+    // provisional short headline first — "provisional":true keeps it
+    // distinguishable from the final line (the r16 double-count concern),
+    // and when the run completes normally the final line still prints
+    // last and wins.
+    if (hashOut.nonEmpty) {
+      println(
+        s"""{"metric":"total","short":true,"provisional":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
+            .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
     if (hashOut.nonEmpty) try {
       val hashPasses = math.max(1,
         sys.env.getOrElse("SPARK_GRAFT_HASH_BENCH_PASSES", "2").trim.toInt)

@@ -42,8 +42,16 @@ object SubsetDump {
     keys.foreach { key =>
       val q = Registry.byName(key)
       // engine-default geometry, same as Verify (the gate certifies the
-      // plans users actually get)
-      AutoParts.applyIfAuto(key, q.fn(spark, sfDir), cpus.toInt)
+      // plans users actually get); analysis failure degrades to the
+      // default seed instead of aborting the dump (ADVICE r17)
+      if (AutoParts.autoEnabled)
+        try AutoParts.applyIfAuto(key, q.fn(spark, sfDir), cpus.toInt)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[subsetdump] auto-parts analysis failed, default seed: $e")
+            spark.conf.unset(
+              "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        }
       val df = q.fn(spark, sfDir)
       require(df.columns.contains("user_id"),
         s"$key has no user_id series column — the subset form does not apply")

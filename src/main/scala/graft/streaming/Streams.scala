@@ -590,8 +590,10 @@ object Streams {
         .distinct()
         .collect()
         .map(_.getString(0))
-        .sorted
-      dates.foreach { d =>
+      // null timestamp -> null event_date: land in the Hive default
+      // partition (read back as a null date), matching the delta tier's
+      // compaction so both tiers stay bit-equal on null-ts rows
+      dates.filter(_ != null).sorted.foreach { d =>
         graft.sources.Layout.upsertPartition(
           batch.sparkSession,
           rootDir,
@@ -600,6 +602,14 @@ object Streams {
           seriesCol,
           tsCol)
       }
+      if (dates.contains(null))
+        graft.sources.Layout.upsertPartition(
+          batch.sparkSession,
+          rootDir,
+          "__HIVE_DEFAULT_PARTITION__",
+          deduped.filter(col("event_date").isNull).drop("event_date"),
+          seriesCol,
+          tsCol)
     } finally deduped.unpersist()
   }
 
@@ -787,8 +797,12 @@ object Streams {
         .distinct()
         .collect()
         .map(_.getString(0))
-        .sorted
-      dates.foreach { d =>
+      // A null timestamp yields a null event_date (to_date(null)); such
+      // rows land in the Hive default partition so they survive the fold
+      // instead of NPE-ing the sort / vanishing from every date filter.
+      // Spark reads that directory back as a null date value, so
+      // upsertRead and plain readers both see the row again.
+      dates.filter(_ != null).sorted.foreach { d =>
         graft.sources.Layout.upsertPartition(
           s,
           rootDir,
@@ -797,6 +811,14 @@ object Streams {
           seriesCol,
           tsCol)
       }
+      if (dates.contains(null))
+        graft.sources.Layout.upsertPartition(
+          s,
+          rootDir,
+          "__HIVE_DEFAULT_PARTITION__",
+          winners.filter(col("event_date").isNull).drop("event_date"),
+          seriesCol,
+          tsCol)
     } finally winners.unpersist()
     val fs = new org.apache.hadoop.fs.Path(rootDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -850,12 +872,17 @@ object Streams {
         // touched dates as NATIVE date values — a cast around the
         // partition column would defeat partition pruning and turn both
         // branches into full row-filtered scans (measured: backlog-8
-        // worst case 4.9 s vs the naive plan's 2.1 s at sf10)
+        // worst case 4.9 s vs the naive plan's 2.1 s at sf10). Null
+        // event_date (null-ts key) is kept OUT of this list and routed to
+        // the anti-join branch below: a raw isin() split evaluates null
+        // on BOTH branch predicates and would silently drop null-date
+        // store rows the single-scan fallback keeps.
         val touched = winners
           .select(col("event_date"))
           .distinct()
           .collect()
           .map(_.getDate(0))
+          .filter(_ != null)
         // store partitions from the fs listing (metadata-only, the
         // liveStore discipline): when the pending set touches most of the
         // store (backfill), the split degenerates — one untouched branch
@@ -871,11 +898,16 @@ object Streams {
               st.getPath.getName.startsWith("event_date=") =>
               st.getPath.getName.stripPrefix("event_date=")
           }
-        val untouchedN =
-          storeDates.count(d => !touched.exists(_.toString == d))
+        val touchedSet = touched.map(_.toString).toSet
+        val untouchedN = storeDates.count(d =>
+          !touchedSet.contains(d) && d != "__HIVE_DEFAULT_PARTITION__")
         if (untouchedN * 2 < storeDates.length) antiMerged(lv)
         else {
-          val touchedCol = col("event_date").isin(touched.map(x => x: Any): _*)
+          // isNull first: null-date store rows ride the anti-join branch
+          // (where SQL null-join semantics keep them, matching the
+          // single-scan plan) instead of being dropped by both filters
+          val touchedCol = col("event_date").isNull ||
+            col("event_date").isin(touched.map(x => x: Any): _*)
           lv.filter(!touchedCol)
             .unionByName(antiMerged(lv.filter(touchedCol)))
         }

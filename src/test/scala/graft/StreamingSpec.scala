@@ -865,6 +865,74 @@ class StreamingSpec extends SparkSpec {
       "date-pruned split must replace only the touched partition's row")
   }
 
+  test("upsertRead: null-timestamp rows survive BOTH anti-join plans and both tiers (ADVICE r17)") {
+    // A null timestamp yields a null event_date. Contract: (1) compaction
+    // and the direct tier land such rows in the Hive default partition
+    // instead of NPE-ing/losing them; (2) upsertRead's date-pruned split
+    // routes null-date store rows to the anti-join branch, where SQL
+    // null-join semantics keep them — identical to the single-scan
+    // fallback; (3) null keys never REPLACE (null != null in joins), so a
+    // pending null-ts row appends beside a stored one — consistent across
+    // every read path.
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_upnull").toString
+    def t(s: String, v: Double, id: String) =
+      Tele("S", if (s == null) null else ts(s), v, None, id)
+    val base = Seq(
+      t("2024-08-28 10:00:00", 1.0, "id-a"),
+      t("2024-08-29 10:00:00", 2.0, "id-a"),
+      t("2024-08-30 10:00:00", 3.0, "id-b"),
+      t("2024-08-31 10:00:00", 4.0, "id-b"),
+      t(null, 5.0, "id-n"))
+    Streams.upsertDeltaBatch(base.toDF(), out, batchId = 0, compactEvery = 99)
+    Streams.compactUpsertDeltas(spark, out)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("timeseries_id", "timestamp", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    // the compacted store itself must retain the null-ts row (Hive
+    // default partition, read back as null)
+    assert(snap(spark.read.parquet(out)).contains(("id-n", null, 5.0)),
+      "compaction must not lose a null-ts row")
+    assert(new java.io.File(out).list().contains("event_date=__HIVE_DEFAULT_PARTITION__"))
+    val withBase = base.map(r => (r.timeseries_id, r.timestamp, r.value)).toSet
+    // SPLIT path: pending touches 1 of 4 real dates + carries a null-ts
+    // row -> 3 untouched partitions pass through, nulls ride the anti-join
+    val pend = Seq(
+      t("2024-08-30 10:00:00", 30.0, "id-b"),
+      t(null, 50.0, "id-n"))
+    Streams.upsertDeltaBatch(pend.toDF(), out, batchId = 1, compactEvery = 99)
+    val expectSplit = withBase - (("id-b", ts("2024-08-30 10:00:00"), 3.0)) +
+      (("id-b", ts("2024-08-30 10:00:00"), 30.0)) + (("id-n", null, 50.0))
+    assert(snap(Streams.upsertRead(spark, out)) === expectSplit,
+      "split plan must keep the stored null-ts row and append the pending one")
+    // FALLBACK path: pending touches every real date -> single scan; the
+    // resolution of the null-ts rows must be identical to the split's
+    val pendAll = Seq(
+      t("2024-08-28 10:00:00", 10.0, "id-a"),
+      t("2024-08-29 10:00:00", 20.0, "id-a"),
+      t("2024-08-31 10:00:00", 40.0, "id-b"))
+    Streams.upsertDeltaBatch(pendAll.toDF(), out, batchId = 2, compactEvery = 99)
+    val expectAll = Set(
+      ("id-a", ts("2024-08-28 10:00:00"), 10.0),
+      ("id-a", ts("2024-08-29 10:00:00"), 20.0),
+      ("id-b", ts("2024-08-30 10:00:00"), 30.0),
+      ("id-b", ts("2024-08-31 10:00:00"), 40.0),
+      ("id-n", null: java.sql.Timestamp, 5.0),
+      ("id-n", null: java.sql.Timestamp, 50.0))
+    assert(snap(Streams.upsertRead(spark, out)) === expectAll,
+      "single-scan fallback must agree with the split on null-ts rows")
+    // fold everything: the compacted store equals the merge-on-read view,
+    // and the DIRECT tier lands the same state from the same batches
+    Streams.compactUpsertDeltas(spark, out)
+    assert(snap(spark.read.parquet(out)) === expectAll)
+    val direct = java.nio.file.Files.createTempDirectory("graft_upnull_direct").toString
+    Seq(base, pend, pendAll).foreach(b => Streams.upsertBatch(b.toDF(), direct))
+    assert(snap(spark.read.parquet(direct)) === expectAll,
+      "direct tier must land null-ts rows identically")
+  }
+
   test("sketchMvSink: stream-maintained KLL MV equals the direct batch sketch; replay is a no-op; day range prunes") {
     implicit val sqlCtx = spark.sqlContext
     val mv = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
