@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway entry smoke (deleted after the gate): driver contract is
+  * `SparkEntry.entry(spark)` returning >0 rows at sf0.001.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}

@@ -452,36 +452,14 @@ object SimOps {
     // testdata and >= 90% recall on planted cosine-0.97 near-dups.
     Q.noOracle("q_dedup_embed_lsh") { (s, d) => embedLshPairs(s, d, 0.35) },
 
-    // LSH-bucketed approximate top-k: candidates restricted to the query's
-    // hyperplane bucket plus hamming-1 probes, then exact cosine on the
-    // pruned set. Hash-dependent => ScalaTest verifies candidates' cosines
-    // against brute force; driver records rows-only.
-    Q.noOracle("q_sim_ann_lsh") { (s, d) =>
-      val e = U.embeddings(s, d)
-      val bucketed = e.select(
-        col("vec_id"),
-        col("embedding"),
-        bucketOf(col("embedding")).as("bucket"))
-      val q = bucketed
-        .filter(col("vec_id") === 0)
-        .select(
-          col("embedding").as("qv"),
-          col("bucket").as("q_bucket"),
-          norm(col("embedding")).as("q_nrm"))
-      bucketed
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        // multiprobe: exact bucket or any single differing hyperplane bit
-        .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
-        .select(
-          col("vec_id"),
-          col("bucket").cast("long").as("bucket"),
-          (dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("q_nrm")))
-            .as("cos_raw"))
-        .orderBy(col("cos_raw").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 4).as("cos_sim"))
-    },
+    // LSH-bucketed approximate top-k, served from the STORED index (r18):
+    // candidates are the query's hyperplane bucket plus its 8 hamming-1
+    // probes — 9 literal partition values, so the scan reads 9 of 256
+    // bucket directories instead of recomputing buckets over the corpus —
+    // then exact cosine on the pruned set. Bit-identical to the pre-r18
+    // in-session plan (AnnIndexSpec). Hash-dependent => ScalaTest verifies
+    // candidates' cosines against brute force; driver records rows-only.
+    Q.noOracle("q_sim_ann_lsh") { (s, d) => lshTopKStored(s, d) },
 
     // Symmetric int8 quantization per vector (embedding compression — 4x
     // smaller than float32 at ~1% cosine error, the standard serving-side
@@ -542,7 +520,13 @@ object SimOps {
     // follow the data — the usual recall-at-fixed-nprobe lever. Hash-free
     // but codebook-dependent => no SQL oracle; DedupSimSpec checks every
     // returned cosine against the brute-force ranking.
-    Q.noOracle("q_sim_ann_ivf") { (s, d) => ivfTopK(s, d, codebookIters = 3) },
+    //
+    // r18: served from the STORED index — the trained codebook and the
+    // cell-partitioned inverted lists are parquet artifacts
+    // ([[buildAnnIndex]]); a query partition-prunes to its nprobe cell
+    // directories instead of re-assigning the corpus per call.
+    // Bit-identical to ivfTopK(codebookIters = 3) (AnnIndexSpec).
+    Q.noOracle("q_sim_ann_ivf") { (s, d) => ivfTopKStored(s, d) },
 
     // Per-label embedding centroids — the k-means/IVF codebook training
     // step (q_sim_ann_ivf consumes a codebook; this is how one is built
@@ -744,7 +728,13 @@ object SimOps {
     // no_oracle: codebook-dependent; DedupSimSpec asserts returned cosines
     // are bit-identical to the brute-force ranking's and measures planted
     // recall.
-    Q.noOracle("q_sim_ann_ivfpq") { (s, d) => ivfpqTopK(s, d) }
+    //
+    // r18: served from the STORED index — codebooks, 2-byte PQ codes and
+    // the IVF-Flat lists are parquet artifacts; the ADC candidate scan
+    // reads codes from the pruned cell directories and only the shortlist
+    // fetches vectors (from the same pruned cells) for the exact re-rank.
+    // Bit-identical to ivfpqTopK (AnnIndexSpec).
+    Q.noOracle("q_sim_ann_ivfpq") { (s, d) => ivfpqTopKStored(s, d) }
   )
 
   /** The q_sim_knn_graph kernel, parameterized by k so the DedupSimSpec
@@ -975,5 +965,322 @@ object SimOps {
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  // ---- Persistent ANN index (r18; VERDICT r17 item 1) ----
+  //
+  // The production serving shape: the trained IVF/PQ codebooks AND the
+  // per-vector derived state (cell assignments, PQ codes, LSH buckets) are
+  // parquet artifacts written once by an offline build job and READ at
+  // query time — the discipline every sketch MV already follows
+  // (q_agg_hll_mv/_kll_mv/_bitmap_mv/_cm_mv), applied to the artifact a
+  // deployment most obviously persists. Before r18 the codebooks were
+  // MatCache'd per session and every serving call re-assigned/re-encoded
+  // the full corpus map-side; at sf100 that made the IVF / IVF-PQ top-k
+  // walls 178 / 244 s of mostly training+encode (CORRECTNESS_sf100anntopk,
+  // r17). Stored, a query touches only its probed cells.
+  //
+  // Layout under <root>/<dirToken(corpus)>/:
+  //   codebook/  (cell BIGINT, cv ARRAY<DOUBLE>, cnrm DOUBLE)   — 16 rows
+  //   pqbooks/   (sub, cell, cv, cvv)                           — 64 rows
+  //   ivf/       partitionBy(cell): (vec_id, embedding, nrm)    — IVF-Flat
+  //              inverted lists; a query scans nprobe of 16 cell
+  //              directories (static partition pruning on literal cell
+  //              ids), never the corpus
+  //   pq/        partitionBy(cell): (vec_id, nrm, c0..c3)       — 2-byte
+  //              ADC codes; the candidate scan reads codes, not vectors
+  //   lsh/       partitionBy(bucket): (vec_id, embedding, nrm)  — 256
+  //              hyperplane buckets; a query reads its bucket + 8
+  //              hamming-1 probes = 9 of 256 directories
+  //   _ANN_INDEX_META.properties + _ANN_INDEX_READY (marker, written last)
+  //
+  // Storage cost is the classic ANN trade (ivf/ and lsh/ each hold a
+  // corpus copy); at 100 TB the build is one assign pass + one encode pass
+  // + three partitioned writes, all map-side against broadcast codebooks.
+  //
+  // Root resolution: spark conf `spark.graft.ann.index.dir` (or env
+  // SPARK_GRAFT_ANN_INDEX_DIR) pins a durable root shared across sessions
+  // — the production deployment shape, where a stale index is an ERROR
+  // (the offline build job owns rebuilds). Unpinned, the index lives in
+  // session scratch (built once per JVM, reclaimed at exit) — the gates'
+  // shape. Training determinism (micro-int centroid means, lexicographic
+  // tie-breaks — DedupSimSpec replays both loops bit-exact) makes the
+  // stored artifacts equal a retrain bit for bit, so serving from storage
+  // is bit-identical to the pre-r18 in-session plans (AnnIndexSpec pins
+  // this equivalence directly).
+
+  private[graft] val AnnIndexDirConf = "spark.graft.ann.index.dir"
+  private val annEnsured = scala.collection.mutable.Set.empty[String]
+
+  private def hadoopFs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Build the full ANN index for corpus `d` under `dir` (overwrites). */
+  def buildAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
+    val cents = trainCodebook(s, d, 16, 3)
+    val books = trainPqCodebooks(s, d)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    books.coalesce(1).write.mode("overwrite").parquet(s"$dir/pqbooks")
+    val e = U.embeddings(s, d)
+      .filter(col("vec_id") =!= 0) // vec 0 is the ANN family's query slot
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    withPqCodes(assigned, books)
+      .select(
+        (col("vec_id") +: col("nrm") +:
+          (0 until PqM).map(i => col(s"c$i")) :+ col("cell")): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/pq")
+    e.withColumn("bucket", bucketOf(col("embedding")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/lsh")
+    val meta = new java.util.Properties()
+    meta.setProperty("corpus", d)
+    meta.setProperty("n_vectors", U.embeddings(s, d).count().toString)
+    meta.setProperty("cells", "16")
+    meta.setProperty("iters", "3")
+    meta.setProperty("pq_m", PqM.toString)
+    meta.setProperty("pq_k", PqK.toString)
+    meta.setProperty("pq_subdim", PqSubDim.toString)
+    meta.setProperty("lsh_planes", planes.size.toString)
+    val fs = hadoopFs(s, dir)
+    val mp = new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_META.properties")
+    val out = fs.create(mp, true)
+    try meta.store(out, "graft ANN index") finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_READY"), true)
+      .close()
+  }
+
+  /** The serving index directory for corpus `d`: ensures a valid index
+    * exists there (building it if absent), once per JVM. On a pinned root
+    * a geometry/corpus mismatch is an error naming the rebuild path — a
+    * silently rebuilt "durable" index would hide that some OTHER session
+    * is now serving different artifacts; in session scratch it just
+    * rebuilds.
+    */
+  def annIndexDir(s: SparkSession, d: String): String = {
+    val pinnedRoot = s.conf
+      .getOption(AnnIndexDirConf)
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_INDEX_DIR"))
+      .filter(_.nonEmpty)
+    val dir = pinnedRoot match {
+      case Some(root) => s"$root/${U.dirToken(d)}"
+      case None       => U.scratchDir("annindex", d)
+    }
+    annEnsured.synchronized {
+      if (!annEnsured.contains(dir)) {
+        val fs = hadoopFs(s, dir)
+        val ready = new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_READY")
+        val fresh: Option[String] = if (!fs.exists(ready)) Some("absent")
+        else {
+          val meta = new java.util.Properties()
+          val in = fs.open(
+            new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_META.properties"))
+          try meta.load(in) finally in.close()
+          val nNow = U.embeddings(s, d).count()
+          if (meta.getProperty("n_vectors") != nNow.toString)
+            Some(s"corpus has $nNow vectors, index built at ${meta.getProperty("n_vectors")}")
+          else if (meta.getProperty("cells") != "16" ||
+            meta.getProperty("pq_m") != PqM.toString ||
+            meta.getProperty("pq_k") != PqK.toString ||
+            meta.getProperty("pq_subdim") != PqSubDim.toString ||
+            meta.getProperty("lsh_planes") != planes.size.toString)
+            Some("index geometry differs from this build's constants")
+          else None
+        }
+        fresh.foreach { why =>
+          if (pinnedRoot.isDefined && fs.exists(ready))
+            throw new IllegalStateException(
+              s"stale ANN index at $dir ($why); rebuild it with " +
+                s"SimOps.buildAnnIndex — a pinned index dir is owned by " +
+                "the offline build job, not rebuilt behind its back")
+          buildAnnIndex(s, d, dir)
+        }
+        annEnsured.add(dir)
+      }
+    }
+    dir
+  }
+
+  /** The query's `nprobe` nearest coarse cells, as literal ids for static
+    * partition pruning on the postings scan — a bounded (≤ nprobe of 16)
+    * driver-side collect, same discipline as the streaming touched-date
+    * lists. Selection order identical to the in-session plans (csim desc,
+    * cell asc tie-break).
+    */
+  private def probedCells(
+      qv: DataFrame,
+      cents: DataFrame,
+      nprobe: Int): Array[Long] =
+    qv.crossJoin(broadcast(cents))
+      .select(
+        col("cell"),
+        (dot(col("embedding"), col("cv")) / (col("nrm") * col("cnrm")))
+          .as("csim"))
+      .orderBy(col("csim").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+
+  private def cellIn(cells: Array[Long]): Column =
+    col("cell").isin(cells.map(Long.box).toIndexedSeq: _*)
+
+  /** IVF top-k served from the stored index: nprobe cell directories are
+    * partition-pruned at the scan; the exact-cosine re-rank runs over
+    * those inverted lists only. Bit-identical output to
+    * [[ivfTopK]](codebookIters = 3) — AnnIndexSpec pins it.
+    */
+  private[graft] def ivfTopKStored(
+      s: SparkSession,
+      d: String,
+      nprobe: Int = 2,
+      k: Int = 10,
+      queryId: Long = 0L): DataFrame = {
+    val dir = annIndexDir(s, d)
+    val cents = s.read.parquet(s"$dir/codebook")
+    val qv = U.embeddings(s, d)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    val cells = probedCells(qv, cents, nprobe)
+    val q = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    s.read.parquet(s"$dir/ivf")
+      .filter(cellIn(cells) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** IVF-PQ top-k served from the stored index: the candidate scan reads
+    * 2-byte codes from the pruned cell directories (never a raw vector —
+    * the ADC trick at its storage-level payoff), and only the ≤ shortlist
+    * survivors fetch their vectors from the SAME pruned cells of the
+    * ivf/ lists for the exact re-rank. Bit-identical to [[ivfpqTopK]].
+    */
+  private[graft] def ivfpqTopKStored(
+      s: SparkSession,
+      d: String,
+      nprobe: Int = 4,
+      shortlist: Int = 50,
+      k: Int = 10,
+      queryId: Long = 0L): DataFrame = {
+    val dir = annIndexDir(s, d)
+    val cents = s.read.parquet(s"$dir/codebook")
+    val books = s.read.parquet(s"$dir/pqbooks")
+    val qv = U.embeddings(s, d)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    val cells = probedCells(qv, cents, nprobe)
+    val qemb = col("embedding").cast("array<double>")
+    val lutRow = qv
+      .crossJoin(broadcast(books))
+      .select(
+        (col("sub").cast("long") * 32 + col("cell")).as("k"),
+        dot(
+          slice(qemb, (col("sub") * PqSubDim + 1).cast("int"), lit(PqSubDim)),
+          col("cv")).as("qdot"))
+      .agg(collect_list(struct(col("k"), col("qdot"))).as("l"))
+      .select(map_from_entries(array_sort(col("l"))).as("lut"))
+    val q1r = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    val adc = (0 until PqM)
+      .map(i => element_at(col("lut"), lit(i.toLong * 32) + col(s"c$i")))
+      .reduce(_ + _)
+    val short = s.read.parquet(s"$dir/pq")
+      .filter(cellIn(cells) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lutRow))
+      .withColumn("adc", adc)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    s.read.parquet(s"$dir/ivf")
+      .filter(cellIn(cells))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(q1r))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        (dot(col("embedding"), col("qv")) / (col("nrm") * col("qnrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** Hyperplane-LSH top-k served from the stored index: the query's bucket
+    * plus its 8 hamming-1 probes are 9 literal partition values — 9 of 256
+    * bucket directories scanned, vs the pre-r18 full-corpus bucket
+    * recompute. Bit-identical to [[lshTopKInSession]].
+    */
+  private[graft] def lshTopKStored(
+      s: SparkSession,
+      d: String,
+      k: Int = 10,
+      queryId: Long = 0L): DataFrame = {
+    val dir = annIndexDir(s, d)
+    val qrow = U.embeddings(s, d)
+      .filter(col("vec_id") === queryId)
+      .select(
+        col("embedding").as("qv"),
+        bucketOf(col("embedding")).as("q_bucket"),
+        norm(col("embedding")).as("q_nrm"))
+    // 1-row bounded collect: the query's bucket, expanded to the 9-value
+    // multiprobe set driver-side so the scan prunes on literals
+    val qb = qrow.select(col("q_bucket").cast("int")).collect() match {
+      case Array(r) => r.getInt(0)
+      case _        => return s.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("bucket"),
+          lit(0.0).as("cos_sim")).limit(0)
+    }
+    val probes = (qb +: planes.indices.map(i => qb ^ (1 << i))).map(Int.box)
+    s.read.parquet(s"$dir/lsh")
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .select(
+        col("vec_id"),
+        col("bucket").cast("long").as("bucket"),
+        (dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("q_nrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** The pre-r18 in-session LSH plan (bucket recompute over the full
+    * corpus, hamming filter) — kept as the spec's equivalence twin for
+    * [[lshTopKStored]], exactly as [[ivfTopK]]/[[ivfpqTopK]] remain the
+    * twins for their stored forms.
+    */
+  private[graft] def lshTopKInSession(s: SparkSession, d: String): DataFrame = {
+    val e = U.embeddings(s, d)
+    val bucketed = e.select(
+      col("vec_id"),
+      col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val q = bucketed
+      .filter(col("vec_id") === 0)
+      .select(
+        col("embedding").as("qv"),
+        col("bucket").as("q_bucket"),
+        norm(col("embedding")).as("q_nrm"))
+    bucketed
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+      .select(
+        col("vec_id"),
+        col("bucket").cast("long").as("bucket"),
+        (dot(col("embedding"), col("qv")) / (norm(col("embedding")) * col("q_nrm")))
+          .as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("bucket"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 }

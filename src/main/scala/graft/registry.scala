@@ -98,9 +98,16 @@ object U {
     * of leaking a copy per invocation; a shutdown hook reclaims the one
     * copy each JVM leaves.
     */
-  def scratchDir(prefix: String, d: String): String = {
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
+  /** Stable 8-byte token for a dataset path — the corpus-keyed subdirectory
+    * name persistent artifact stores (ANN index) use under a user-pinned
+    * root, and the hash [[scratchDir]] keys session scratch by.
+    */
+  def dirToken(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  def scratchDir(prefix: String, d: String): String = {
+    val dirHash = dirToken(d)
     val f = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_${prefix}_${dirHash}_$jvmToken")
     scratchRoots.synchronized {

@@ -51,6 +51,15 @@ KEYS = [
     # third-decade oracle row before
     "q_tpch_q4", "q_tpch_q12", "q_tpch_q14",
     "q_ts_session", "q_funnel",
+    # r18 widening pass (VERDICT r17 item 3): the window family's ranked /
+    # tiled / streak / pattern / rolling-corr shapes, the range and as-of
+    # joins, and the exact-moment aggregates — the DECIMAL(20,0)x(18,0)
+    # moment chains are precisely the overflow/rounding class a 600 M-row
+    # hash actually tests
+    "q_win_rank", "q_win_ntile", "q_win_streak", "q_win_pattern",
+    "q_win_rolling_corr",
+    "q_join_range", "q_join_asof",
+    "q_agg_corr", "q_agg_skewness", "q_agg_kurtosis", "q_agg_mad",
 ]
 
 
