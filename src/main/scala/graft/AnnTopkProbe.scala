@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * id) retrieves top-10 for every planted query. Reported per path:
   *
   *   - recall@10 = fraction of planted queries whose SOURCE vector is in
-  *     their top-10 (floor 0.9);
+  *     their top-10 (floor 0.8 per path — DedupSimSpec's planted-recall
+  *     floor; the 8-plane hamming-1 LSH geometry's EXPECTED recall at
+  *     cos ~0.98 is ~0.93 (p_bit = 1 - acos(0.98)/pi = 0.936;
+  *     P[hamming<=1] = p^8 + 8p^7(1-p)), so a 0.9 floor would flake on
+  *     binomial noise at n=100 while 0.8 is ~4 sigma below expectation);
   *   - cosines_exact = every returned cosine equals the exact driver-side
   *     recompute (round-to-4, the operators' own emission) — planted
   *     vectors are rounded through the STORAGE element type before truth
@@ -152,7 +156,7 @@ object AnnTopkProbe {
         rows.filter { case (id, c) => round4(cos(vecOf(id), vecOf(qid))) != c }
       }
       val recall = found.toDouble / nQueries
-      val ok = recall >= 0.9 && badCos.isEmpty
+      val ok = recall >= 0.8 && badCos.isEmpty
       allOk &= ok
       results(key) =
         f"""{"ok":$ok,"recall_at_10":$recall%.4f,"found":$found,"n_queries":$nQueries,"cosines_exact":${badCos.isEmpty},"bad_cosines":${badCos.length},"serve_wall_sec":$wall%.1f,"mean_query_sec":${wall / nQueries}%.3f}"""
@@ -162,9 +166,9 @@ object AnnTopkProbe {
     val json =
       f"""{"metric":"planted-query top-k recall@10 distribution at full corpus occupancy","sf":"$sfDir","n_queries":$nQueries,"corpus_vectors":${nBase + nQueries},"mean_planted_cos":${planted.map(_._4).sum / nQueries}%.4f,"index_build_wall_sec":$buildWall%.1f,""" +
         results.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "") +
-        s""","floor":0.9,"ok":$allOk}"""
+        s""","floor":0.8,"ok":$allOk}"""
     println(json)
-    println(if (allOk) "PASS: recall@10 >= 0.9 on every ANN path, all cosines exact"
+    println(if (allOk) "PASS: recall@10 >= 0.8 on every ANN path, all cosines exact"
       else "FAIL")
     out.foreach { p =>
       java.nio.file.Files.write(

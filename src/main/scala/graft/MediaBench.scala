@@ -50,7 +50,7 @@ object MediaBench {
     val nDocs = docs.count()
 
     val tb0 = System.nanoTime()
-    docs.as[(Long, Long)]
+    docs.repartition(cpus.toInt * 4).as[(Long, Long)]
       .map { case (id, n) =>
         (id,
           Ppm.encode(syntheticImage(id, n, mult)),
