@@ -1103,6 +1103,58 @@ object SimOps {
     dir
   }
 
+  /** Append newly-ingested vectors to a stored ANN index WITHOUT
+    * retraining or rebuilding — the incremental ingest path a production
+    * deployment runs between offline rebuilds. Codebooks are FROZEN (a
+    * retrain is a deliberate offline decision, never a side effect of
+    * ingest — IVF systems accept the recall drift and rebuild on a
+    * schedule), the new vectors are assigned / PQ-encoded / bucketed
+    * map-side against the stored codebooks, and their rows land as new
+    * parquet files INSIDE the existing cell/bucket partition directories
+    * (append mode) — a serving query's partition-pruned scan simply sees
+    * more files, no coordination beyond the single-writer discipline the
+    * build job already owns. The meta row count is refreshed from the
+    * corpus LAST, so [[annIndexDir]]'s staleness validation accepts the
+    * grown index exactly when the corpus itself has grown to match.
+    *
+    * `newVecs` must be the corpus DELTA (rows not yet indexed) — id
+    * uniqueness is the ingest pipeline's contract, same as the corpus
+    * table's own. AnnIndexSpec witnesses: appended postings ==
+    * frozen-codebook assignment of the delta, and serving over the
+    * appended index == the in-session frozen-codebook plan over the
+    * grown corpus.
+    */
+  def appendToAnnIndex(
+      s: SparkSession,
+      d: String,
+      dir: String,
+      newVecs: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$dir/codebook")
+    val books = s.read.parquet(s"$dir/pqbooks")
+    val e = newVecs
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/ivf")
+    withPqCodes(assigned, books)
+      .select(
+        (col("vec_id") +: col("nrm") +:
+          (0 until PqM).map(i => col(s"c$i")) :+ col("cell")): _*)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/pq")
+    e.withColumn("bucket", bucketOf(col("embedding")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/lsh")
+    // meta refresh last: the index now matches the grown corpus
+    val fs = hadoopFs(s, dir)
+    val mp = new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_META.properties")
+    val meta = new java.util.Properties()
+    val in = fs.open(mp)
+    try meta.load(in) finally in.close()
+    meta.setProperty("n_vectors", U.embeddings(s, d).count().toString)
+    val out = fs.create(mp, true)
+    try meta.store(out, "graft ANN index (incremental append)") finally out.close()
+  }
+
   /** The query's `nprobe` nearest coarse cells, as literal ids for static
     * partition pruning on the postings scan — a bounded (≤ nprobe of 16)
     * driver-side collect, same discipline as the streaming touched-date

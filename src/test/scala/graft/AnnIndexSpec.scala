@@ -99,6 +99,78 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: frozen-codebook ingest grows the index in place, new vectors are servable") {
+    // corpus A = query slot + two thirds of the fixture; B = the rest
+    val work = java.nio.file.Files.createTempDirectory("graft_annappend").toString
+    val corpus = s"$work/corpus"
+    val all = U.embeddings(spark, sfDir)
+    val isB = pmod(col("vec_id").cast("long"), lit(3)) === 2 && col("vec_id") =!= 0
+    all.filter(!isB).write.parquet(s"$corpus/embeddings.parquet")
+    val root = s"$work/annroot"
+    val dir = s"$root/${U.dirToken(corpus)}"
+    ops.SimOps.buildAnnIndex(spark, corpus, dir)
+    val nA = spark.read.parquet(s"$dir/ivf").count()
+    // the corpus grows: B rows + one planted near-dup of an existing
+    // vector (the retrieval witness for the freshly ingested slice)
+    val srcRow = all.filter(col("vec_id").cast("long") === 7)
+      .select(col("embedding")).collect()(0)
+    val src = srcRow.getSeq[Any](0).map {
+      case f: Float => f.toDouble; case d: Double => d
+    }.toArray
+    val rnd = new scala.util.Random(31)
+    val scale = 0.1 * math.sqrt(src.map(x => x * x).sum / src.length)
+    val elemT = all.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val plantedId = 990000007L
+    import spark.implicits._
+    val plantedDf = Seq((plantedId, src.map(x =>
+        (x + scale * rnd.nextGaussian()).toFloat.toDouble).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(
+        col("vec_id").cast(all.schema("vec_id").dataType).as("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(elemT))
+          .as("embedding"),
+        col("label").cast(all.schema("label").dataType).as("label"))
+    val delta = all.filter(isB)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(plantedDf)
+    delta.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    ops.SimOps.appendToAnnIndex(spark, corpus, dir, delta)
+    val nDelta = delta.count()
+    assert(spark.read.parquet(s"$dir/ivf").count() === nA + nDelta)
+    // appended assignments == frozen-codebook assignment of the delta
+    val cbA = spark.read.parquet(s"$dir/codebook")
+    val want = ops.SimOps.assignCells(
+        delta.select(col("vec_id"), col("embedding"),
+          sqrt(graft.functions.VecDot.vecDot(col("embedding"), col("embedding")))
+            .as("nrm")),
+        cbA)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotB = spark.read.parquet(s"$dir/ivf")
+      .filter(col("vec_id").cast("long").isin(
+        want.map(w => Long.box(w._1)).toSeq: _*))
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB === want)
+    // the grown index serves the appended slice: querying BY the planted
+    // id must retrieve its source at rank 1 with the exact cosine on all
+    // three paths
+    spark.conf.set(ops.SimOps.AnnIndexDirConf, root)
+    try {
+      for ((name, res) <- Seq(
+        "lsh" -> ops.SimOps.lshTopKStored(spark, corpus, queryId = plantedId),
+        "ivf" -> ops.SimOps.ivfTopKStored(spark, corpus, queryId = plantedId),
+        "ivfpq" -> ops.SimOps.ivfpqTopKStored(spark, corpus, queryId = plantedId))) {
+        val rows = res.select(col("vec_id").cast("long"), col("cos_sim"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(rows.headOption.map(_._1) === Some(7L),
+          s"$name: planted source not at rank 1: ${rows.toSeq}")
+        assert(rows.head._2 >= 0.99, s"$name: cosine ${rows.head._2}")
+      }
+    } finally spark.conf.unset(ops.SimOps.AnnIndexDirConf)
+  }
+
   test("pinned root: a stale index is an error naming the rebuild path, never a silent rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft_annroot").toString
     val dir = s"$root/${U.dirToken(sfDir)}"
