@@ -907,21 +907,43 @@ object SimOps {
       .select(df.columns.toIndexedSeq.map(col) ++ codes: _*)
   }
 
+  /** Occupancy-adaptive ADC shortlist: floor 50, plus one exact-re-rank
+    * slot per 1000 estimated ADC candidates (n·nprobe/cells). The r18
+    * sf100 probe caught the fixed 50 as a silent scale cap: at 2 M
+    * vectors the shortlist covered 1e-4 of the ~500 k probed candidates
+    * (vs 10% at fixture scale) and recall@10 sagged to 0.80
+    * (CORRECTNESS_sf100anntopk, first pass) — the classic fixed-k
+    * degradation every occupancy-adaptive knob in this engine exists to
+    * prevent (lshGeometry, semanticCells, SemDeDup's k ∝ √n). The exact
+    * tail stays ~0.1% of the candidate scan, so the adaptive form keeps
+    * the ADC asymmetry intact; below ~200 k vectors the floor reproduces
+    * the historical 50 exactly (gate outputs bit-unchanged).
+    */
+  private[graft] def adaptiveShortlist(
+      nVectors: Long,
+      nprobe: Int,
+      cells: Int = 16): Int =
+    math.min(math.max(50L, nVectors * nprobe / cells / 1000L), 100000L).toInt
+
   /** IVF-PQ search body: coarse IVF cells prune to `nprobe` of 16, ADC
     * (precomputed ⟨q_sub, centroid⟩ lookup table, map keys sub·32+cell)
     * ranks candidates from their 4 codes alone in a fixed-order 4-term
     * sum (deterministic — each element_at is an exact lookup), the top
     * `shortlist` pay the exact cosine, and the final top `k` report
-    * round(cos, 4) like the rest of the ANN family.
+    * round(cos, 4) like the rest of the ANN family. `shortlist = 0`
+    * (default) = occupancy-adaptive ([[adaptiveShortlist]]).
     */
   private[graft] def ivfpqTopK(
       s: SparkSession,
       d: String,
       nprobe: Int = 4,
-      shortlist: Int = 50,
+      shortlist: Int = 0,
       k: Int = 10): DataFrame = {
     val e = U.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val slist =
+      if (shortlist > 0) shortlist
+      else adaptiveShortlist(U.embeddings(s, d).count(), nprobe)
     val cents = trainCodebook(s, d, 16, 3)
     val books = trainPqCodebooks(s, d)
     val qv = e.filter(col("vec_id") === 0)
@@ -955,7 +977,7 @@ object SimOps {
       .crossJoin(broadcast(lutRow))
       .withColumn("adc", adc)
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(shortlist)
+      .limit(slist)
       .crossJoin(broadcast(q1r))
       .select(
         col("vec_id"),
@@ -1015,6 +1037,14 @@ object SimOps {
   private def hadoopFs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def readAnnMeta(s: SparkSession, dir: String): java.util.Properties = {
+    val meta = new java.util.Properties()
+    val in = hadoopFs(s, dir).open(
+      new org.apache.hadoop.fs.Path(dir, "_ANN_INDEX_META.properties"))
+    try meta.load(in) finally in.close()
+    meta
+  }
 
   /** Build the full ANN index for corpus `d` under `dir` (overwrites). */
   def buildAnnIndex(s: SparkSession, d: String, dir: String): Unit = {
@@ -1220,10 +1250,15 @@ object SimOps {
       s: SparkSession,
       d: String,
       nprobe: Int = 4,
-      shortlist: Int = 50,
+      shortlist: Int = 0,
       k: Int = 10,
       queryId: Long = 0L): DataFrame = {
     val dir = annIndexDir(s, d)
+    val slist =
+      if (shortlist > 0) shortlist
+      // n_vectors from the index meta: adaptive sizing with NO extra job
+      else adaptiveShortlist(readAnnMeta(s, dir)
+        .getProperty("n_vectors").toLong, nprobe)
     val cents = s.read.parquet(s"$dir/codebook")
     val books = s.read.parquet(s"$dir/pqbooks")
     val qv = U.embeddings(s, d)
@@ -1249,7 +1284,7 @@ object SimOps {
       .crossJoin(broadcast(lutRow))
       .withColumn("adc", adc)
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(shortlist)
+      .limit(slist)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     s.read.parquet(s"$dir/ivf")
       .filter(cellIn(cells))
