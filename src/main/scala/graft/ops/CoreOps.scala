@@ -311,10 +311,10 @@ object CoreOps {
     // (the reference's only guard is a bounds check, main.rs:93-95; this is
     // that idea generalized to declarative rules). Scale shape: all rules
     // on one table share ONE wide partial-aggregated scan (r1+r2 on
-    // lineitem, r4 on orders), so the rule count doesn't multiply table
-    // scans; the two referential rules are LEFT ANTI joins (nation is
-    // broadcast-size; orders→customer shuffles on the key like any FK
-    // check must — at 100 TB that anti-join rides the same bloom-pruned
+    // lineitem; r3+r4 on orders, r6 with the count on customer — the FK
+    // verdicts ride their table's scan as a left-outer null-key count,
+    // nation is broadcast-size; orders→customer shuffles on the key like
+    // any FK check must — at 100 TB that join rides the same bloom-pruned
     // shuffle as q_join_bloom). Each rule frame aggregates to ONE row, so
     // the final unions/crossJoins move a constant number of rows no matter
     // the corpus. Rules are crafted so both verdicts occur on the driver
@@ -355,34 +355,45 @@ object CoreOps {
         sum(when(col("l_quantity").isNull || col("l_quantity") < 1 ||
           col("l_quantity") > 45, 1L).otherwise(0L)).cast("long").as("v1"),
         (count(lit(1)) - count(col("l_shipdate"))).as("v2"))
-      val o = U.orders(s, d).agg(
-        count(lit(1)).as("n_o"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v4"))
-      val ofk = U.orders(s, d).select(col("o_custkey"))
+      // r18: each FK rule rides ITS table's one scan instead of adding a
+      // second — the anti-join count is the same integer as a left-outer
+      // join against the (unique-keyed) parent with a null-key count, so
+      // the orders rules (n, uniqueness, FK) share one orders pass and the
+      // customer rules share one customer pass (before: 9 scans / 7
+      // one-row frames, after: 7 scans / 5 frames, .explain'd). Join
+      // strategy stays a stats decision exactly as the anti-join's was;
+      // parent-key uniqueness (c_custkey, n_nationkey are PKs) is what
+      // makes the outer join multiplicity-free.
+      val o = U.orders(s, d)
         .join(
           U.customer(s, d).select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("v3"))
+          "left_outer")
+        .agg(
+          count(lit(1)).as("n_o"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v4"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("v3"))
       val dc = U.documents(s, d).agg(
         count(lit(1)).as("n_dc"),
         sum(when(not(col("n_chars") <=> length(col("text"))), 1L)
           .otherwise(0L)).cast("long").as("v5"))
-      val cu = U.customer(s, d).agg(count(lit(1)).as("n_cu"))
-      val cfk = U.customer(s, d).select(col("c_nationkey"))
+      val cu = U.customer(s, d)
         .join(
           broadcast(U.nation(s, d).select(col("n_nationkey"))),
           col("c_nationkey") === col("n_nationkey"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("v6"))
+          "left_outer")
+        .agg(
+          count(lit(1)).as("n_cu"),
+          sum(when(col("n_nationkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("v6"))
       val ev = U.events(s, d).agg(
         count(lit(1)).as("n_ev"),
         sum(when(col("value").isNull || isnan(col("value")) ||
           col("value") < 0 || col("value") > 99, 1L).otherwise(0L))
           .cast("long").as("v7"))
 
-      li.crossJoin(o).crossJoin(ofk).crossJoin(dc)
-        .crossJoin(cu).crossJoin(cfk).crossJoin(ev)
+      li.crossJoin(o).crossJoin(dc).crossJoin(cu).crossJoin(ev)
         .selectExpr(
           """stack(7,
             |  'r1_lineitem_qty_range', 'lineitem', 'range', n_li, v1,

@@ -789,6 +789,18 @@ object DedupOps {
       // "write the shingle index" step a production dedup pipeline runs
       // anyway: linear in corpus tokens but digests-only (text never
       // leaves the first scan), and strictly cheaper than re-deriving.
+      // r18: the digest derivation shuffles by h alone — hash(h) clusters
+      // (doc_id, h) too, so the dedup aggregates in place of its own
+      // (doc_id, h) exchange and the checkpoint lands already h-grouped.
+      // The checkpoint STAYS: an A/B'd checkpoint-free form (relying on
+      // runtime exchange reuse between the census and probe consumers)
+      // measured 2.6 s hash vs 1.36 s here — AQE does not reuse across
+      // the broadcast-subquery boundary the hot-census rides in on, so
+      // without the checkpoint the tokenize+md5 really does run twice.
+      // (Downstream h-aggregations still re-exchange the checkpoint — the
+      // coalesced checkpoint RDD reports UnknownPartitioning — but those
+      // move 16-byte digests, not text; 1.59/1.43 → 1.31/1.36 s
+      // count/hash at sf0.1 vs the r17 (doc_id, h)-keyed dedup exchange.)
       val wins = graft.U.documents(s, d)
         .select(col("doc_id"), graft.U.words.as("w"))
         .filter(size(col("w")) >= W)
@@ -799,6 +811,7 @@ object DedupOps {
         .select(
           col("doc_id"),
           md5(array_join(slice(col("w"), col("i"), lit(W)), " ")).as("h"))
+        .repartition(col("h"))
         .distinct()
         .localCheckpoint()
       val hot = wins

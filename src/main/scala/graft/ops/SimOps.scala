@@ -764,6 +764,13 @@ object SimOps {
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"), cos.as("cos_sim"))
+      // r18: one exchange instead of two — partitioning the candidate
+      // pairs by src alone still clusters (src, dst, cos) for the dedup
+      // aggregate (hash(src) co-locates every dst of a src) AND is exactly
+      // the distribution the top-k window needs, so the window runs on the
+      // dedup's output with no second exchange (before: distinct exchanged
+      // on the full pair key, then the window re-exchanged on src)
+      .repartition(col("src"))
       .distinct()
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

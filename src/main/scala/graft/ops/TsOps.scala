@@ -81,24 +81,6 @@ object TsOps {
     */
   val TheilSenCap = 32
 
-  /** Per-series median of `(user_id, v)` by explicit rank selection — the
-    * two middle rows are picked by row_number and averaged as
-    * `sum(v) / count(*)` (one value on odd counts, (a+b)/2 on even): the
-    * identical IEEE ops in both engines, unlike their median() builtins
-    * (see [[slopeMedian]] for the full rationale — same two hazards:
-    * builtin interpolation order and the unbounded percentile buffer).
-    */
-  private def rankMedian(df: DataFrame, v: String, out: String): DataFrame =
-    df.select(
-        col("user_id"),
-        col(v),
-        row_number().over(
-          Window.partitionBy(col("user_id")).orderBy(col(v))).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("user_id"))).as("m"))
-      .filter(col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2"))
-      .groupBy(col("user_id"))
-      .agg((sum(col(v)) / count(lit(1))).as(out))
-
   /** Per-series median of a (user_id, sm) slope frame by EXPLICIT rank
     * selection, shared by the windowed contract query and the all-pairs
     * twin. Not percentile()/median(): (a) the engines' builtins
@@ -133,6 +115,14 @@ object TsOps {
     * the same hash partitioning. With cap >= max series length this IS the
     * exact all-pairs estimator ([[theilsenExact]]; TsOpsSpec pins the
     * equality).
+    *
+    * r18 measured-and-left-alone: moving the slope arithmetic inside the
+    * lead array (exploding `cap` slope structs instead of (ts2, v2) pairs)
+    * was A/B'd at sf0.1 and did NOT help — the hash-consumer wall is the
+    * 64-frame window pass plus the 32n-row median sort, not the explode
+    * width (2.31 → 2.47 s hash), while the count consumer REGRESSED 0.9 s
+    * because it could no longer prune the slope projection. Kept in the
+    * original form.
     */
   def theilsen(s: SparkSession, d: String, cap: Int): DataFrame = {
     val dd = U.events(s, d)
@@ -582,12 +572,20 @@ object TsOps {
         .orderBy(col("bkt").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val obsBkt = when(col("avg_v").isNotNull, col("bkt"))
+      // all four lookups in ONE select: chained withColumn put a Project
+      // between same-spec Window nodes, which blocked CollapseWindow and
+      // left FOUR Window operators (four full passes over the spine,
+      // .explain'd); grouped by spec here they plan as exactly two
       spine
         .join(hourly, Seq("user_id", "bkt"), "left")
-        .withColumn("v0", last(col("avg_v"), ignoreNulls = true).over(wb))
-        .withColumn("t0", last(obsBkt, ignoreNulls = true).over(wb))
-        .withColumn("v1", last(col("avg_v"), ignoreNulls = true).over(wf))
-        .withColumn("t1", last(obsBkt, ignoreNulls = true).over(wf))
+        .select(
+          col("user_id"),
+          col("bkt"),
+          col("avg_v"),
+          last(col("avg_v"), ignoreNulls = true).over(wb).as("v0"),
+          last(obsBkt, ignoreNulls = true).over(wb).as("t0"),
+          last(col("avg_v"), ignoreNulls = true).over(wf).as("v1"),
+          last(obsBkt, ignoreNulls = true).over(wf).as("t1"))
         .select(
           col("user_id"),
           col("bkt"),
@@ -949,10 +947,16 @@ object TsOps {
     // dragged by the outliers they're meant to find (50% breakdown point
     // vs 0%). Exactness: medians are exact percentiles (a data value on
     // odd counts, one (a+b)/2 interpolation on even); the 3·1.4826·mad
-    // threshold folds left-to-right identically in both engines. Scale:
-    // two grouped exact medians + two co-partitioned joins on the series
-    // key — same exchange pattern as q_agg_mad; the approximate path at
-    // extreme cardinality is percentile_approx in the same shape.
+    // threshold folds left-to-right identically in both engines. Scale
+    // (r18 rewrite): ONE series-key exchange runs the whole thing — both
+    // rank-selected medians are window CONDITIONAL AGGREGATES over the
+    // same partitioning (sum/count of the two middle-ranked rows), so the
+    // old shape's two median frames and two re-join scans (4 parquet
+    // scans, 5 exchanges, 2 joins — .explain'd) collapse into a single
+    // scan, one exchange, two in-partition sorts and zero joins. The
+    // selected-row sums are 1- or 2-element double sums, and IEEE addition
+    // of two doubles is commutative, so the window aggregate's
+    // sort-order evaluation is bit-identical to the old groupBy sum.
     Q(
       "q_ts_outlier_mad",
       """WITH r1 AS (SELECT user_id, value,
@@ -979,19 +983,38 @@ object TsOps {
       // builtins interpolate even counts with DIFFERENT op orders (Spark
       // lo + (hi-lo)*0.5, DuckDB (a+b)/2 -- up to 1 ulp apart on doubles)
       // and Spark's exact percentile buffers the whole series in one
-      // on-heap aggregation buffer. Both engines now sum the same two
+      // on-heap aggregation buffer. Both engines sum the same two
       // rank-selected rows and divide -- identical IEEE, spillable sort.
       val ev = U.events(s, d).select(col("user_id"), col("value"))
-      val m = rankMedian(ev, "value", "med")
-      val dev = ev
-        .join(m, "user_id")
+      // median as a windowed conditional aggregate: rn ranks the rows,
+      // m is the partition count, and the two middle ranks' sum/count
+      // over the SAME partitioning yields the median with no join back
+      val wU = Window.partitionBy(col("user_id"))
+      val sel1 =
+        col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2")
+      val withMed = ev
         .select(
           col("user_id"),
-          abs(col("value") - col("med")).as("dev"),
-          col("med"))
-      val md = rankMedian(dev, "dev", "mad")
-      dev
-        .join(md, "user_id")
+          col("value"),
+          row_number().over(wU.orderBy(col("value"))).as("rn"),
+          count(lit(1)).over(wU).as("m"))
+        .withColumn(
+          "med",
+          sum(when(sel1, col("value"))).over(wU) /
+            count(when(sel1, lit(1))).over(wU))
+      val sel2 =
+        col("rn2") === expr("(m + 1) div 2") || col("rn2") === expr("(m + 2) div 2")
+      withMed
+        .select(
+          col("user_id"),
+          col("m"),
+          col("med"),
+          abs(col("value") - col("med")).as("dev"))
+        .withColumn("rn2", row_number().over(wU.orderBy(col("dev"))))
+        .withColumn(
+          "mad",
+          sum(when(sel2, col("dev"))).over(wU) /
+            count(when(sel2, lit(1))).over(wU))
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n"),

@@ -572,11 +572,19 @@ class PlanSpec extends SparkSpec {
       s"lineitem must scan once, got $scansByTable")
     assert(scansByTable.getOrElse("events.parquet", 0) === 1,
       s"events must scan once, got $scansByTable")
-    // the nation FK anti-join broadcasts the 25-row dim
-    val antiBcast = plan.collect {
-      case j: BroadcastHashJoinExec if j.toString.contains("LeftAnti") => j
+    // r18: the FK verdicts ride their table's ONE scan (left-outer
+    // null-key counts), so orders scans once and customer twice (the
+    // r3 parent side + the r6 child side) — before, each FK rule added
+    // its own anti-join scan pair
+    assert(scansByTable.getOrElse("orders.parquet", 0) === 1,
+      s"orders must scan once, got $scansByTable")
+    assert(scansByTable.getOrElse("customer.parquet", 0) <= 2,
+      s"customer must scan at most twice, got $scansByTable")
+    // the nation FK check broadcasts the 25-row dim into the outer join
+    val outerBcast = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT OUTER" => j
     }
-    assert(antiBcast.nonEmpty, s"nation anti-join must broadcast:\n$plan")
+    assert(outerBcast.nonEmpty, s"nation FK join must broadcast:\n$plan")
   }
 
   test("q_quality_drift: the midpoint rides a broadcast; one (type,bucket) hash exchange") {
