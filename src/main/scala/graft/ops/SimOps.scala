@@ -797,37 +797,68 @@ object SimOps {
   private def l2sq(sv: Column, svv: Column, cb: Column): Column =
     (svv - lit(2.0) * dot(sv, cb.getField("cv"))) + cb.getField("cvv")
 
-  /** Fold-argmin cell for subspace `sub`: minimizes (d2, cell)
-    * lexicographically over the broadcast 1-row codebook array `cbs`
-    * (entries of other subspaces are skipped), ties to the LOWER cell —
-    * order-independent, so the non-deterministic collect_list order cannot
-    * leak into the code.
+  /** Argmin cell for subspace `sub`: minimizes (d2, cell) lexicographically
+    * over that subspace's codebook entries, ties to the LOWER cell.
+    *
+    * r18: UNROLLED over the PqK (= 16, a compile-time constant) candidate
+    * cell ids as a `least(struct(d2, cell), ...)` chain over keyed map
+    * lookups instead of the r12-r17 `aggregate()` fold — higher-order
+    * functions are CodegenFallback, so the fold interpreted 64 lambda
+    * steps (each an interpreted 16-dim dot) per (vector, subspace) and
+    * broke whole-stage codegen for the encode stage; the unrolled form is
+    * pure codegen arithmetic (measured q_embed_pq hash 1.79 → 0.84 s at
+    * sf0.1, OPTIMIZATION_r18.md). Selection is bit-identical: least()
+    * over structs is the lexicographic (d2, cell) minimum, which equals
+    * the fold's strict-less-or-tie-lower scan in any entry order; a
+    * missing (sub, cell) slot (partial codebooks exist — fixture corpora
+    * smaller than PqK seed fewer cells) holds a SENTINEL entry whose
+    * d2 evaluates +Infinity with cell Long.MaxValue, so it loses every
+    * comparison exactly as the fold never visited it (a per-candidate
+    * null guard was A/B'd: the CaseWhen layer blew the codegen budget
+    * and ran ~2 s — branch-free sentinel padding keeps the 0.84 s tree);
+    * d2 can never be -0.0 (cvv is a from-+0.0 dot and svv − 2⟨sv,cv⟩
+    * produces +0.0 on equality), so double-compare and struct-ordering
+    * zeros agree.
     */
   private def bestPqCell(
       cbs: Column,
       sub: Column,
       sv: Column,
-      svv: Column): Column =
-    aggregate(
-      cbs,
-      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell")),
-      (acc, cb) => {
-        val d2 = l2sq(sv, svv, cb)
-        when(
-          cb.getField("sub") === sub &&
-            (d2 < acc.getField("d2") ||
-              (d2 === acc.getField("d2") &&
-                cb.getField("cell") < acc.getField("cell"))),
-          struct(d2.as("d2"), cb.getField("cell").as("cell")))
-          .otherwise(acc)
-      }).getField("cell")
+      svv: Column): Column = {
+    val cands = (1 to PqK).map { c =>
+      val cb = element_at(cbs, (sub * PqK + c).cast("int"))
+      struct(l2sq(sv, svv, cb).as("d2"), cb.getField("cell").as("cell"))
+    }
+    least(cands: _*).getField("cell")
+  }
 
-  /** The four per-subspace codebooks as one 1-row broadcastable frame:
-    * collect_list of (sub, cell, cv, cvv) structs.
+  /** The four per-subspace codebooks as one 1-row broadcastable frame: a
+    * DENSE positional array of PqM·PqK slots where slot sub·PqK + cell
+    * holds that cell's (cell, cv, cvv) struct — or the never-wins
+    * sentinel (cell Long.MaxValue, zero vector, cvv +Infinity) for cells
+    * a partial codebook never seeded (fixture corpora smaller than PqK) —
+    * so [[bestPqCell]]'s unrolled lookups are plain array indexing. The
+    * higher-order densify runs ONCE per broadcast build over ≤ 64
+    * entries, not per probed row (a keyed-map variant was A/B'd: the
+    * per-row MapData probes cost 2.2 s hash vs 0.84 s for this form).
     */
-  private def pqBooksRow(books: DataFrame): DataFrame =
-    books.agg(collect_list(
-      struct(col("sub"), col("cell"), col("cv"), col("cvv"))).as("cbs"))
+  private def pqBooksRow(books: DataFrame): DataFrame = {
+    val sentinel = struct(
+      lit(Long.MaxValue).as("cell"),
+      array_repeat(lit(0.0), PqSubDim).as("cv"),
+      lit(Double.PositiveInfinity).as("cvv"))
+    books
+      .agg(collect_list(struct(
+        (col("sub") * PqK + col("cell")).cast("int").as("k"),
+        struct(col("cell"), col("cv"), col("cvv")).as("cb"))).as("lst"))
+      .select(transform(
+        sequence(lit(1), lit(PqM * PqK)),
+        k => coalesce(
+          try_element_at(
+            filter(col("lst"), e => e.getField("k") === k), lit(1))
+            .getField("cb"),
+          sentinel)).as("cbs"))
+  }
 
   /** Per-subspace L2 k-means codebook trainer — [[trainCodebook]]'s
     * discipline applied to PQ: per iteration ONE broadcast of the
