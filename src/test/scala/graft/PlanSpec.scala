@@ -75,6 +75,26 @@ class PlanSpec extends SparkSpec {
     assert(joins.isEmpty, s"as-of must not plan a join, found ${joins.length}")
   }
 
+  test("q_ts_outlier_mad: join-free — one scan, one series-key hash exchange") {
+    // r18 rewrite: both rank-selected medians are window conditional
+    // aggregates over ONE user_id exchange; the old shape's two median
+    // frames re-joined and re-scanned events (4 scans, 2 joins)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = executed(q("q_ts_outlier_mad"))
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"MAD must not plan a join:\n$plan")
+    val scans = plan.collectLeaves().collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 1, s"events must scan exactly once, got ${scans.length}")
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.length === 1,
+      s"exactly one series-key hash exchange expected, got ${hashEx.length}:\n$plan")
+  }
+
   test("q_agg_hash: aggregation is two-phase (partial before the exchange)") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     val plan = executed(q("q_agg_hash"))
