@@ -244,6 +244,32 @@ object Bench {
       case _ =>
         s""","canary":{"probes":${canaryProbes.size},"error":${jq(canaryError.getOrElse("unknown"))}}"""
     }
+    // Canary-normalized totals (r19; VERDICT r18 items 2+5). The raw totals
+    // ride whatever the host is doing (the r16→r18 hash series moved ±20%
+    // on identical binaries, each time settled as drift by canaries and
+    // same-binary A/Bs) — so the artifact also carries
+    //   total × (CanaryRefSec / canary_mean)
+    // a number in "reference-host seconds": cross-round comparable by
+    // construction as long as the probe set and CanaryRefSec stay fixed.
+    // CanaryRefSec = 1.0 is an arbitrary unit anchor (≈ the sf0.1 probe
+    // set's cost on the r18-era host), not a measurement; only its
+    // CONSTANCY matters. Normalization uses the mean of the start/end
+    // probes — the best single host-speed estimate for the run — and is
+    // omitted (not faked) when the canary itself failed.
+    val canaryMean = (canaryStart, canaryEnd) match {
+      case (Some(a), Some(b)) if a > 0 && b > 0 => Some((a + b) / 2)
+      case _ => None
+    }
+    val CanaryRefSec = 1.0
+    def normJson(field: String, t: Double): String = canaryMean
+      .map(m => f""","$field":${t * CanaryRefSec / m}%.3f""").getOrElse("")
+    // the scaling contract, made legible (VERDICT r18 item 2): the driver's
+    // low-core rerun compares per-query times across SPARK_GRAFT_CPUS
+    // values, and r18's artifact carried no proof of which core count
+    // actually ran — emit both the requested count and what the scheduler
+    // actually gave us, on every JSON line the driver might key off
+    val cpusJson =
+      s""","cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism}"""
 
     val results = queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -267,7 +293,7 @@ object Bench {
       else ""
     val mainLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"agg":"min","failed":${failed
-          .mkString("[", ",", "]")},"errors":$errJson$subset$canaryJson,"sf":"$sfDir"}"""
+          .mkString("[", ",", "]")},"errors":$errJson$subset$canaryJson${normJson("total_canary_norm", total)}$cpusJson,"sf":"$sfDir"}"""
     println(mainLine)
     persist(mainLine)
     // The short count-headline summary prints ONCE, as the FINAL stdout
@@ -307,7 +333,7 @@ object Bench {
     if (hashOut.nonEmpty) {
       println(
         s"""{"metric":"total","short":true,"provisional":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
-            .mkString("[", ",", "]")},"sf":"$sfDir"}""")
+            .mkString("[", ",", "]")}${normJson("total_canary_norm", total)}$cpusJson,"sf":"$sfDir"}""")
       System.out.flush()
     }
     if (hashOut.nonEmpty) try {
@@ -358,10 +384,10 @@ object Bench {
         .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
       val hashLine =
         s"""{"metric":"total_hash","value":$hTotal,"unit":"sec","consumer":"xxhash64-struct (QTime.hashConsumer)","queries":$hQs,"passes":$hashPasses,"agg":"min","failed":${hFailed
-            .mkString("[", ",", "]")},"errors":$hErrJson$subset,"count_total_same_jvm":$total,"sf":"$sfDir"}"""
+            .mkString("[", ",", "]")},"errors":$hErrJson$subset,"count_total_same_jvm":$total${normJson("total_hash_canary_norm", hTotal)}$cpusJson,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(hashOut), hashLine + "\n")
       catch { case e: Exception => System.err.println(s"[bench-hash] write $hashOut failed: $e") }
-      println(s"""{"metric":"total_hash","short":true,"value":$hTotal,"unit":"sec","n":${hResults.size},"failed":${hFailed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total_hash","short":true,"value":$hTotal,"unit":"sec","n":${hResults.size},"failed":${hFailed.mkString("[", ",", "]")}${normJson("total_hash_canary_norm", hTotal)}$cpusJson,"sf":"$sfDir"}""")
       hashTotal = Some(hTotal)
     } catch { case e: Throwable =>
       System.err.println(s"[bench-hash] series failed: $e")
@@ -375,7 +401,7 @@ object Bench {
     val hashField = hashTotal.map(h => s""","total_hash":$h""").getOrElse("")
     println(
       s"""{"metric":"total","short":true,"value":$total,"unit":"sec","n":${results.size},"failed":${failed
-          .mkString("[", ",", "]")}$hashField,"sf":"$sfDir"}""")
+          .mkString("[", ",", "]")}$hashField${normJson("total_canary_norm", total)}$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -813,7 +813,7 @@ object DedupOps {
           md5(array_join(slice(col("w"), col("i"), lit(W)), " ")).as("h"))
         .repartition(col("h"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.U.ckpt(_, "q_dedup_substring_digest"))
       val hot = wins
         .groupBy(col("h"))
         .agg(count(lit(1)).as("df"))

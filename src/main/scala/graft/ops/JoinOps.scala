@@ -447,19 +447,22 @@ object JoinOps {
         .orderBy("user_id", "session_id", "incident_id")
     },
 
-    // Skew-mitigating salted join: the fact side gets a deterministic salt
-    // in [0, SaltBuckets); the dim side replicates each row across all
-    // salts, so a hot join key fans out over SaltBuckets reducers instead
-    // of melting one. Same result as the unsalted join (the oracle IS the
-    // plain join) — salting only changes the partitioning. For a plain
-    // shuffled equi JOIN, AQE's runtime skew split already handles a hot
-    // key unaided (PlanSpec "AQE skew-join splits a planted hot key"
-    // proves OptimizeSkewedJoin fires on exactly this shape), so the
-    // manual salt is the fallback for what AQE can't touch: skewed
-    // AGGREGATION keys (see q_agg_salted / Skew.saltedAgg), joins that
-    // must preserve a specific output partitioning, and build-side skew in
-    // a shuffled hash join. The `merge` hint pins the shuffle path for the
-    // same reason as q_join_shuffle.
+    // Skew-class shuffled join, UNSALTED since r19. Through r18 this key
+    // carried a manual salt (fact +pmod salt, dim exploded 8x) as the
+    // skew-mitigation demonstrator; the r19 sf1 A/B retired it: with no
+    // hot key in the data the 8x dim replication was pure overhead —
+    // salted 2.54/2.76 s vs plain 1.24/1.61 s (count/hash, back-to-back,
+    // 6 M lineitem rows) — and for a plain shuffled equi JOIN, AQE's
+    // runtime skew split handles a genuinely hot key unaided (PlanSpec
+    // "AQE skew-join splits a planted hot key" proves OptimizeSkewedJoin
+    // fires on exactly this shape), making the salt redundant on BOTH
+    // sides of the skew question. Manual salting remains the documented
+    // fallback for what AQE can't touch — skewed AGGREGATION keys (see
+    // q_agg_salted / Skew.saltedAgg), joins that must preserve a specific
+    // output partitioning, and build-side skew in a shuffled hash join.
+    // The `merge` hint pins the shuffle path for the same reason as
+    // q_join_shuffle (this key's contract is the shuffled-join plan
+    // class; results are oracle-identical either way).
     Q(
       "q_join_salted",
       """SELECT o_orderpriority, l_returnflag, count(*) AS n_lines,
@@ -467,18 +470,13 @@ object JoinOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority, l_returnflag
         |ORDER BY o_orderpriority, l_returnflag""".stripMargin) { (s, d) =>
-      val SaltBuckets = 8
-      val fact = U.lineitem(s, d).withColumn(
-        "fsalt",
-        pmod(col("l_partkey") + col("l_linenumber"), lit(SaltBuckets)))
-      val dim = U.orders(s, d).withColumn(
-        "dsalt",
-        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+      val fact = U.lineitem(s, d)
+      val dim = U.orders(s, d)
       fact
         .hint("merge")
         .join(
           dim,
-          col("l_orderkey") === col("o_orderkey") && col("fsalt") === col("dsalt"))
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"), col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_lines"),

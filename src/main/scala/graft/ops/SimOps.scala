@@ -240,6 +240,23 @@ object SimOps {
     * (csim, cell) lexicographic max is order-independent, so the
     * non-deterministic collect_list order cannot leak into the result.
     * Input must carry (vec_id, embedding, nrm); output adds (cell, csim).
+    *
+    * r19 measured-and-kept-as-is: unrolling this argmax the way
+    * [[bestPqCell]] was unrolled in r18 LOSES here, twice over. A
+    * `greatest(struct(csim, cell) × k)` chain over a dense sentinel-padded
+    * centroid array (bit-identical selection, dump-equality green) ran
+    * q_dedup_semantic +10-30% at k = 16 (sf0.1) and +30% at k = 32 (sf1
+    * probe, 1.9 → 2.4 s count); a primitive two-phase form (greatest over
+    * k double columns, then a null-skipping greatest argmax over cells)
+    * was 4x WORSE (8.2 s) — CollapseProject/CSE re-inlined the k cosines
+    * into the k equality probes. The difference from the PQ win: the
+    * fold's per-step work HERE is one 64-dim [[dot]] — a compiled kernel
+    * invoked via nullSafeEval — so interpretation is thin glue around real
+    * work, while PQ paid 4 folds x 64 interpreted steps of 16-dim slices
+    * per row. The fold also allocates only on argmax improvements;
+    * the unrolled chains allocate/compare k structs per row inside one
+    * oversized generated method. Measured at two scales, two shapes; the
+    * fold stays.
     */
   private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val centsRow = cents
@@ -323,7 +340,7 @@ object SimOps {
         col("vec_id").as("cell"),
         col("embedding").cast("array<double>").as("cv"))
       .withColumn("cnrm", norm(col("cv")))
-      .localCheckpoint()
+      .transform(U.ckpt(_, "codebook_seed"))
     for (_ <- 1 to iters) {
       val newCents = assignCells(e, cents)
         .select(col("cell"), posexplode(col("embedding")))
@@ -346,7 +363,7 @@ object SimOps {
         .join(newCents.withColumnRenamed("cv", "next_cv"), Seq("cell"), "left")
         .select(col("cell"), coalesce(col("next_cv"), col("prev_cv")).as("cv"))
         .withColumn("cnrm", norm(col("cv")))
-        .localCheckpoint()
+        .transform(U.ckpt(_, "codebook_iter"))
     }
     cents
   }
@@ -895,7 +912,7 @@ object SimOps {
       .filter(col("vec_id").between(1, PqK))
       .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
       .withColumn("cvv", dot(col("cv"), col("cv")))
-      .localCheckpoint()
+      .transform(U.ckpt(_, "pqbooks_seed"))
     for (_ <- 1 to iters) {
       val next = e
         .crossJoin(broadcast(pqBooksRow(books)))
@@ -926,7 +943,7 @@ object SimOps {
           col("cell"),
           coalesce(col("next_cv"), col("prev_cv")).as("cv"))
         .withColumn("cvv", dot(col("cv"), col("cv")))
-        .localCheckpoint()
+        .transform(U.ckpt(_, "pqbooks_iter"))
     }
     books
   }
@@ -1223,6 +1240,31 @@ object SimOps {
     try meta.store(out, "graft ANN index (incremental append)") finally out.close()
   }
 
+  /** The ANN query vector as a 0/1-row LOCAL relation: (embedding, nrm)
+    * collected once per execution — bounded, one row, the same discipline
+    * as [[probedCells]]' ≤ nprobe collect — so the stored-index serving
+    * plans stop re-scanning the corpus parquet for the query row in every
+    * consumer. Before r19 one ivfpq call scanned embeddings THREE times
+    * (probe-cell selection, the ADC LUT build, the exact re-rank's query
+    * row) plus twice more across ivf/lsh; each was a 1-row pruned scan,
+    * but at serving rates that is 3 extra stages + footer reads per query.
+    * The nrm is computed IN-plan before the collect (same [[norm]]
+    * expression over the same scan), and the collected values re-enter
+    * the plans through the schema-identical local relation, so every
+    * downstream expression tree sees the same bits as the scan-based
+    * form — AnnIndexSpec's stored==in-session pins stay the proof.
+    */
+  private def collectedQueryRow(
+      s: SparkSession,
+      d: String,
+      queryId: Long): DataFrame = {
+    val pre = U.embeddings(s, d)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(pre.collect().toList.asJava, pre.schema)
+  }
+
   /** The query's `nprobe` nearest coarse cells, as literal ids for static
     * partition pruning on the postings scan — a bounded (≤ nprobe of 16)
     * driver-side collect, same discipline as the streaming touched-date
@@ -1260,9 +1302,7 @@ object SimOps {
       queryId: Long = 0L): DataFrame = {
     val dir = annIndexDir(s, d)
     val cents = s.read.parquet(s"$dir/codebook")
-    val qv = U.embeddings(s, d)
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    val qv = collectedQueryRow(s, d, queryId)
     val cells = probedCells(qv, cents, nprobe)
     val q = qv.select(col("embedding").as("qv"), col("nrm").as("qnrm"))
     s.read.parquet(s"$dir/ivf")
@@ -1299,9 +1339,7 @@ object SimOps {
         .getProperty("n_vectors").toLong, nprobe)
     val cents = s.read.parquet(s"$dir/codebook")
     val books = s.read.parquet(s"$dir/pqbooks")
-    val qv = U.embeddings(s, d)
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+    val qv = collectedQueryRow(s, d, queryId)
     val cells = probedCells(qv, cents, nprobe)
     val qemb = col("embedding").cast("array<double>")
     val lutRow = qv
@@ -1350,12 +1388,11 @@ object SimOps {
       k: Int = 10,
       queryId: Long = 0L): DataFrame = {
     val dir = annIndexDir(s, d)
-    val qrow = U.embeddings(s, d)
-      .filter(col("vec_id") === queryId)
+    val qrow = collectedQueryRow(s, d, queryId)
       .select(
         col("embedding").as("qv"),
         bucketOf(col("embedding")).as("q_bucket"),
-        norm(col("embedding")).as("q_nrm"))
+        col("nrm").as("q_nrm"))
     // 1-row bounded collect: the query's bucket, expanded to the 9-value
     // multiprobe set driver-side so the scan prunes on literals
     val qb = qrow.select(col("q_bucket").cast("int")).collect() match {

@@ -457,7 +457,7 @@ object TextOps {
           tf("spark").as("tf_spark"),
           tf("filter").as("tf_filter"),
           tf("window").as("tf_window"))
-        .localCheckpoint()
+        .transform(U.ckpt(_, "q_text_topterms_tf"))
       val dfs = f.agg(
         expr("1000000 div count(CASE WHEN tf_spark > 0 THEN 1 END)")
           .as("w_spark"),
@@ -619,8 +619,19 @@ object TextOps {
         .select(
           col("doc_id"), col("lang"),
           col("bgp.w1").as("w1"), col("bgp.w2").as("w2"))
+      // bg is consumed three ways (model join side, the c1 prefix sums, the
+      // per-language continuation vocabulary V) and the optimizer rewrites
+      // the countDistinct arm into a distinct over the RAW occurrences
+      // (RemoveRedundantAggregates collapses the two aggregates), so
+      // un-checkpointed the corpus is tokenized+exploded once per arm that
+      // cannot reuse bg's exchange — .explain'd: the vl subtree exchanges
+      // on (lang, w2) straight off its own Generate. Checkpointing the
+      // (lang, w1, w2, c12) frame — the vocab²-bounded model input, orders
+      // of magnitude below corpus size — pins ONE tokenize pass for the
+      // whole model side; only the doc-scoring pass re-reads the corpus
       val bg = occ.groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
+        .transform(U.ckpt(_, "q_text_perplexity_bg"))
       val pre = bg.groupBy(col("lang"), col("w1"))
         .agg(sum(col("c12")).as("c1"))
       val vl = bg.groupBy(col("lang"))

@@ -125,32 +125,83 @@ object TsOps {
     * original form.
     */
   def theilsen(s: SparkSession, d: String, cap: Int): DataFrame = {
+    import s.implicits._
     val dd = U.events(s, d)
       .select(
         col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("event_id"),
         col("value"))
-    val w = wUser.orderBy(col("ts_us"), col("event_id"))
-    val nbrs = (1 to cap).map { k =>
-      struct(
-        lead(col("ts_us"), k).over(w).as("ts2"),
-        lead(col("value"), k).over(w).as("v2"))
-    }
-    dd.select(
-        col("user_id"), col("ts_us"), col("value"),
-        array(nbrs: _*).as("nbrs"))
-      .select(
-        col("user_id"), col("ts_us"), col("value"),
-        explode(col("nbrs")).as("p"))
-      .filter(col("p.ts2").isNotNull && col("ts_us") < col("p.ts2"))
-      .select(
-        col("user_id"),
-        floor(
-          (col("p.v2") - col("value")) * lit(3600000000.0)
-            / (col("p.ts2") - col("ts_us")) * 1000000 + 0.5)
-          .cast("long").as("sm"))
-      .transform(slopeMedian)
+    // Pair generation as ONE streaming ring-buffer pass (r19). The r1-r18
+    // form was 32 lead(ts)/lead(v) pairs in one Window (32 offset frames,
+    // 64 window expressions), an array() re-assembly and an explode —
+    // WindowExec materializes each series into a row buffer and walks 32
+    // frame pointers per row. Two declarative alternatives were A/B'd
+    // first and LOST: r18's slope-structs-inside-the-lead-array (+0.16 s
+    // hash, count arm +0.9 s from lost pruning) and r19's
+    // lead(struct(ts,v), k) (2.9→4.0 s count, 2.5→3.3 s hash — the struct
+    // is allocated per (row, frame) inside the window machinery). This
+    // pass replaces the whole Window+explode segment with the foldSeries
+    // secondary-sort discipline: same one exchange by series key, same
+    // spillable sortWithinPartitions, then each row pairs against a
+    // cap-slot ring of its predecessors in a tight JVM loop — O(cap) per
+    // row, no frame objects, no per-row array.
+    //
+    // Bit-exactness: the emitted slope is literally the same IEEE op
+    // sequence as the old expression tree — (v2 − v1) * 3.6e9 /
+    // (ts2 − ts1).toDouble * 1e6 + 0.5, floor, toLong (Spark FLOOR(double)
+    // and java d2l agree with math.floor/.toLong) — over exactly the same
+    // pairs: row i pairs with successors i+1..i+cap of its series in
+    // (ts, event_id) order, kept only when ts is STRICTLY increasing
+    // (equal-timestamp and null-timestamp pairs drop, as the old
+    // `ts_us < p.ts2` null/false semantics did); a null value propagates a
+    // null slope WITHOUT dropping the pair, exactly like the old
+    // arithmetic (boxed fields carry that case; the fixtures have no
+    // nulls, and the DuckDB oracle pins the windowed SQL either way).
+    // Pair emission order differs (keyed by the successor, not the
+    // anchor), which [[slopeMedian]]'s rank sort erases.
+    val slopes = dd
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .as[(java.lang.Long, java.lang.Long, java.lang.Double)]
+      .mapPartitions { it =>
+        var uid: java.lang.Long = null
+        var started = false
+        val ringTs = new Array[java.lang.Long](cap)
+        val ringV = new Array[java.lang.Double](cap)
+        var n = 0 // rows of the current series seen so far
+        it.flatMap { case (u, ts, v) =>
+          if (!started || !java.util.Objects.equals(u, uid)) {
+            uid = u; n = 0; started = true
+          }
+          val lo = math.max(0, n - cap)
+          val out =
+            new scala.collection.mutable.ArrayBuffer[(java.lang.Long, java.lang.Long)](
+              n - lo)
+          var j = lo
+          while (j < n) {
+            val bTs = ringTs(j % cap)
+            val bV = ringV(j % cap)
+            if (bTs != null && ts != null && bTs.longValue < ts.longValue) {
+              val sm: java.lang.Long =
+                if (bV == null || v == null) null
+                else java.lang.Long.valueOf(math.floor(
+                  (v.doubleValue - bV.doubleValue) * 3600000000.0
+                    / (ts.longValue - bTs.longValue).toDouble * 1000000
+                    + 0.5).toLong)
+              out += ((u, sm))
+            }
+            j += 1
+          }
+          ringTs(n % cap) = ts
+          ringV(n % cap) = v
+          n += 1
+          out
+        }
+      }
+      .toDF("user_id", "sm")
+    slopeMedian(slopes)
   }
 
   /** Exact all-pairs Theil-Sen — the O(n²)-per-series reference form the

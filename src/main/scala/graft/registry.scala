@@ -49,6 +49,32 @@ object Q {
 object U {
   val Dec: DecimalType = DecimalType(18, 6)
 
+  /** `localCheckpoint()` with an inspectable derivation (r19; VERDICT r18
+    * item 8): a checkpoint cuts lineage, so a committed `.explain` dump of
+    * a checkpointed query shows the segment ABOVE the checkpoint only —
+    * r18's q_dedup_substring exchange-key change was invisible in its own
+    * before/after plan dumps. When `SPARK_GRAFT_DUMP_PRECKPT` names a
+    * directory, the formatted plan of the segment FEEDING the checkpoint
+    * is written there as `<label>.txt` before the lineage is cut (loops
+    * overwrite; the per-iteration plans differ only in expr ids). Dormant
+    * (one env probe) in every normal run.
+    */
+  def ckpt(df: org.apache.spark.sql.DataFrame, label: String)
+      : org.apache.spark.sql.DataFrame = {
+    sys.env.get("SPARK_GRAFT_DUMP_PRECKPT").filter(_.nonEmpty).foreach { dir =>
+      try {
+        val p = java.nio.file.Paths.get(dir, s"$label.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[ckpt] pre-checkpoint dump $label failed: $e")
+      }
+    }
+    df.localCheckpoint()
+  }
+
   /** The wide side of exact decimal products. The width pair encodes BOTH
     * engines' constraints at once: one operand's width must exceed 18 or
     * DuckDB multiplies INT64 representations and overflows at runtime

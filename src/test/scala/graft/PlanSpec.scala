@@ -184,7 +184,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("AQE skew-join splits a planted hot key (OptimizeSkewedJoin fires)") {
-    // Establishes WHEN q_join_salted's manual salt is actually needed: for
+    // Establishes why q_join_salted's manual salt was retired in r19: for
     // a plain shuffled equi join AQE's runtime skew split handles the hot
     // key by itself (asserted here), so manual salting is only for the
     // cases AQE can't touch — skewed AGGREGATION keys and joins that must
@@ -437,7 +437,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_ts_theilsen: windowed estimator is join-free — one series-key hash exchange") {
+  test("q_ts_theilsen: windowed estimator is join-free — two series-key hash exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
@@ -448,10 +448,15 @@ class PlanSpec extends SparkSpec {
       case e: ShuffleExchangeExec
           if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
     }
-    // ONE window shuffle on user_id serves the K leads, the slope explode,
-    // and the median aggregation (same partitioning end to end)
-    assert(hashEx.length === 1,
-      s"expected exactly one hash exchange, got ${hashEx.length}:\n$plan")
+    // r19: the ring-buffer pairing pass replaced the 32-frame lead window
+    // (−45% both arms, see the theilsen scaladoc) at the cost of ONE more
+    // exchange — the mapPartitions object boundary hides the series
+    // partitioning, so the rank-median sort re-shuffles the 16-byte
+    // (series, slope) pairs. Exactly two: events by series key into the
+    // pairing pass, slope pairs by series key into the median. A third
+    // would mean a lost partitioning somewhere new.
+    assert(hashEx.length === 2,
+      s"expected exactly two hash exchanges, got ${hashEx.length}:\n$plan")
   }
 
   test("q_ts_sax / q_win_pattern: one series-key hash exchange serves the whole window+agg chain") {
@@ -635,22 +640,27 @@ class PlanSpec extends SparkSpec {
       s"quantization bounds must broadcast:\n$plan")
   }
 
-  test("q_ts_theilsen: the slope data crosses exactly one exchange (series partitioning reused through explode and both median windows)") {
+  test("q_ts_theilsen: slope rows cross one exchange and sort once (pairing pass emits them series-grouped)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
     val plan = executed(q("q_ts_theilsen"))
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    // one series-key exchange feeds the lead window, the pair explode, and
-    // the rank-median windows; the only other exchange is the final
-    // orderBy's range partitioning over 150 output rows
+    // r19 ring-buffer pairing (see the theilsen scaladoc): events cross
+    // one series-key exchange into the pairing pass, the emitted
+    // (series, slope) pairs cross one more into the rank median — the
+    // object boundary hides the partitioning — and the only other
+    // exchange is the final orderBy's range partitioning over the
+    // per-series output rows
     val dataExchanges = exchanges.filterNot(
       _.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
-    assert(dataExchanges.length === 1,
-      s"expected exactly one hash exchange, got ${dataExchanges.length}:\n$plan")
-    // two sorts on the slope data (lead window's ts order + the median's
-    // sm order) — a third would mean a lost partitioning
+    assert(dataExchanges.length === 2,
+      s"expected exactly two hash exchanges, got ${dataExchanges.length}:\n$plan")
+    // two sorts on the way to the median (the pairing pass's
+    // (series, ts, event) secondary sort + the median's sm order) plus
+    // (possibly) the final orderBy — a fourth would mean a lost
+    // partitioning
     val sorts = plan.collect { case s: SortExec => s }
-    assert(sorts.length <= 3, // 2 window sorts + (possibly) the final orderBy
+    assert(sorts.length <= 3,
       s"expected at most 3 sorts, got ${sorts.length}:\n$plan")
   }
 
